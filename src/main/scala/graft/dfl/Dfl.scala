@@ -1,0 +1,203 @@
+package graft.dfl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dynamic Filter Language → Catalyst `Column` compiler.
+  *
+  * The reference parses + interprets DFL boolean expressions row-by-row with
+  * a memo cache (`/root/reference/osm/Filter.go:27-47`,
+  * `EvaluateExpression.go:19-42`, examples `/root/reference/README.md:105`:
+  * `@craft like brewery`). We compile the same surface language to built-in
+  * Catalyst expressions instead — whole-stage codegen replaces the
+  * interpreter and the memo cache (SURVEY.md §2.2 F5/F6).
+  *
+  * Grammar (case-insensitive keywords):
+  * {{{
+  *   expr   := and ( 'or' and )*
+  *   and    := not ( 'and' not )*
+  *   not    := 'not' not | primary
+  *   primary:= '(' expr ')' | cmp
+  *   cmp    := operand ('like'|'in'|'=='|'!='|'<'|'<='|'>'|'>=') operand
+  *   operand:= '@'ident | number | quoted | bareword | '[' list ']'
+  * }}}
+  *
+  * `@x` resolves through the caller-supplied attribute resolver (e.g.
+  * `element_at(tags, "x")` for tag maps, or a direct column). `like` with a
+  * `%` wildcard is SQL LIKE; without one it is equality (go-dfl semantics on
+  * plain words). Missing attributes evaluate to null, so comparisons are
+  * false — matching the reference's behavior on absent tags.
+  */
+object Dfl {
+
+  sealed trait Node
+  case class Attr(name: String) extends Node
+  case class Lit(value: Any) extends Node
+  case class ListLit(values: Seq[Any]) extends Node
+  case class Cmp(op: String, l: Node, r: Node) extends Node
+  case class And(l: Node, r: Node) extends Node
+  case class Or(l: Node, r: Node) extends Node
+  case class Not(c: Node) extends Node
+
+  /** Compile a DFL expression to a boolean Column. */
+  def compile(dfl: String, resolve: String => Column): Column =
+    toColumn(parse(dfl), resolve)
+
+  /** Attribute names referenced by the expression (reference
+    * Filter.go:35 `Attributes()` — used for projection pushdown).
+    */
+  def attributes(dfl: String): Seq[String] = {
+    def walk(n: Node): Seq[String] = n match {
+      case Attr(a) => Seq(a)
+      case Cmp(_, l, r) => walk(l) ++ walk(r)
+      case And(l, r) => walk(l) ++ walk(r)
+      case Or(l, r) => walk(l) ++ walk(r)
+      case Not(c) => walk(c)
+      case _ => Nil
+    }
+    walk(parse(dfl)).distinct
+  }
+
+  def toColumn(n: Node, resolve: String => Column): Column = n match {
+    case And(l, r) => toColumn(l, resolve) && toColumn(r, resolve)
+    case Or(l, r) => toColumn(l, resolve) || toColumn(r, resolve)
+    case Not(c) => !toColumn(c, resolve)
+    case Cmp(op, l, r) => cmpColumn(op, l, r, resolve)
+    case _ => throw new IllegalArgumentException(s"not a boolean expression: $n")
+  }
+
+  private def operand(n: Node, resolve: String => Column): Column = n match {
+    case Attr(a) => resolve(a)
+    case Lit(v) => lit(v)
+    case other => throw new IllegalArgumentException(s"unexpected operand: $other")
+  }
+
+  private def cmpColumn(op: String, l: Node, r: Node, resolve: String => Column): Column = {
+    op match {
+      case "in" =>
+        val vals = r match {
+          case ListLit(vs) => vs
+          case Lit(v) => Seq(v)
+          case o => throw new IllegalArgumentException(s"IN needs a list, got $o")
+        }
+        operand(l, resolve).isin(vals: _*)
+      case "like" =>
+        (r: @unchecked) match {
+          case Lit(s: String) if s.contains("%") => operand(l, resolve).like(s)
+          case Lit(v) => operand(l, resolve) === lit(v)
+        }
+      case "ilike" =>
+        (r: @unchecked) match {
+          case Lit(s: String) if s.contains("%") => operand(l, resolve).ilike(s)
+          case Lit(v) => lower(operand(l, resolve)) === lower(lit(v))
+        }
+      case "==" | "=" => operand(l, resolve) === operand(r, resolve)
+      case "!=" => operand(l, resolve) =!= operand(r, resolve)
+      case "<" => castNum(operand(l, resolve), l) < castNum(operand(r, resolve), r)
+      case "<=" => castNum(operand(l, resolve), l) <= castNum(operand(r, resolve), r)
+      case ">" => castNum(operand(l, resolve), l) > castNum(operand(r, resolve), r)
+      case ">=" => castNum(operand(l, resolve), l) >= castNum(operand(r, resolve), r)
+      case o => throw new IllegalArgumentException(s"unknown operator: $o")
+    }
+  }
+
+  /** Numeric comparisons on attrs cast to double (tag values are strings). */
+  private def castNum(c: Column, n: Node): Column = n match {
+    case Attr(_) => c.cast("double")
+    case _ => c
+  }
+
+  // ---- parser ---------------------------------------------------------------
+
+  private case class P(tokens: Vector[String], var pos: Int = 0) {
+    def peek: Option[String] = if (pos < tokens.length) Some(tokens(pos)) else None
+    def next(): String = { val t = tokens(pos); pos += 1; t }
+    def expect(t: String): Unit = {
+      val g = next()
+      require(g.equalsIgnoreCase(t), s"expected '$t', got '$g'")
+    }
+  }
+
+  def parse(s: String): Node = {
+    val p = P(tokenize(s))
+    val n = parseOr(p)
+    require(p.pos == p.tokens.length, s"trailing tokens: ${p.tokens.drop(p.pos).mkString(" ")}")
+    n
+  }
+
+  private def parseOr(p: P): Node = {
+    var l = parseAnd(p)
+    while (p.peek.exists(_.equalsIgnoreCase("or"))) { p.next(); l = Or(l, parseAnd(p)) }
+    l
+  }
+
+  private def parseAnd(p: P): Node = {
+    var l = parseNot(p)
+    while (p.peek.exists(_.equalsIgnoreCase("and"))) { p.next(); l = And(l, parseNot(p)) }
+    l
+  }
+
+  private def parseNot(p: P): Node =
+    if (p.peek.exists(_.equalsIgnoreCase("not"))) { p.next(); Not(parseNot(p)) }
+    else parsePrimary(p)
+
+  private def parsePrimary(p: P): Node = {
+    if (p.peek.contains("(")) {
+      p.next(); val n = parseOr(p); p.expect(")"); n
+    } else {
+      val l = parseOperand(p)
+      val op = p.next().toLowerCase
+      val r = parseOperand(p)
+      Cmp(op, l, r)
+    }
+  }
+
+  private def parseOperand(p: P): Node = p.next() match {
+    case "[" =>
+      val vs = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var done = false
+      while (!done) {
+        p.peek match {
+          case Some("]") => p.next(); done = true
+          case Some(",") => p.next()
+          case Some(_) => vs += litValue(p.next())
+          case None => throw new IllegalArgumentException("unterminated list")
+        }
+      }
+      ListLit(vs.toSeq)
+    case t if t.startsWith("@") => Attr(t.drop(1))
+    case t => Lit(litValue(t))
+  }
+
+  private def litValue(t: String): Any = {
+    if (t.length >= 2 && ((t.head == '\'' && t.last == '\'') || (t.head == '"' && t.last == '"')))
+      t.substring(1, t.length - 1)
+    else if (t.matches("[+-]?\\d+")) t.toLong
+    else if (t.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?")) t.toDouble
+    else t // bareword string
+  }
+
+  private def tokenize(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if ("()[],".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      else if (c == '\'' || c == '"') {
+        val j = s.indexOf(c, i + 1)
+        require(j > 0, s"unterminated string at $i")
+        out += s.substring(i, j + 1); i = j + 1
+      } else if ("<>!=".indexOf(c) >= 0) {
+        val two = s.substring(i, math.min(i + 2, s.length))
+        if (two == "<=" || two == ">=" || two == "==" || two == "!=") { out += two; i += 2 }
+        else { out += c.toString; i += 1 }
+      } else {
+        var j = i
+        while (j < s.length && !s.charAt(j).isWhitespace && "()[],<>!=".indexOf(s.charAt(j)) < 0) j += 1
+        out += s.substring(i, j); i = j
+      }
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,206 @@
+package graft.index
+
+/** Pure-JVM hierarchical cell index over Web-Mercator slippy-map tiles.
+  *
+  * The math generalizes the reference's latent tiling primitive
+  * (`/root/reference/osm/Node.go:26-33`, `Node.Tile(z)`):
+  *   x = floor((180 + lon) / 360 * 2^z)
+  *   y = floor((1 - ln(tan(latRad) + sec(latRad)) / pi) / 2 * 2^z)
+  *
+  * A *cell id* packs the z-order (Morton) interleave of (x, y) together with
+  * the zoom level into one Long:
+  *
+  *   cellId = (morton(x, y) << 5) | z          (z in [0, 29])
+  *
+  * Morton interleave makes the id prefix-hierarchical: a parent's bit string
+  * is a strict prefix of all of its children's, so
+  *   - range predicates on cellId prune by spatial containment
+  *     (bbox -> cell-prefix partition pruning), and
+  *   - `repartitionByRange` on cellId co-locates spatially adjacent data.
+  *
+  * This replaces H3/S2 (no such jar exists in this environment) with the
+  * quadtree scheme the reference itself encodes.
+  */
+object CellIndex {
+
+  val MaxZ = 29
+  val MinLat: Double = -85.05112878
+  val MaxLat: Double = 85.05112878
+
+  /** Slippy-map tile x at zoom z. Result clamped to [0, 2^z - 1]. */
+  def tileX(lon: Double, z: Int): Long = {
+    val n = 1L << z
+    val x = math.floor((lon + 180.0) / 360.0 * n).toLong
+    clamp(x, n)
+  }
+
+  /** Slippy-map tile y at zoom z (Web-Mercator). Clamped to [0, 2^z - 1]. */
+  def tileY(lat: Double, z: Int): Long = {
+    val n = 1L << z
+    val latR = math.toRadians(clampLat(lat))
+    val y = math.floor((1.0 - math.log(math.tan(latR) + 1.0 / math.cos(latR)) / math.Pi) / 2.0 * n).toLong
+    clamp(y, n)
+  }
+
+  private def clamp(v: Long, n: Long): Long = if (v < 0) 0L else if (v >= n) n - 1 else v
+  private def clampLat(lat: Double): Double =
+    if (lat < MinLat) MinLat else if (lat > MaxLat) MaxLat else lat
+
+  /** Morton (z-order) interleave of x (even bits) and y (odd bits). */
+  def morton(x: Long, y: Long, z: Int): Long = {
+    var m = 0L
+    var i = 0
+    while (i < z) {
+      m |= ((x >> i) & 1L) << (2 * i)
+      m |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    m
+  }
+
+  def mortonX(m: Long, z: Int): Long = {
+    var x = 0L; var i = 0
+    while (i < z) { x |= ((m >> (2 * i)) & 1L) << i; i += 1 }
+    x
+  }
+
+  def mortonY(m: Long, z: Int): Long = {
+    var y = 0L; var i = 0
+    while (i < z) { y |= ((m >> (2 * i + 1)) & 1L) << i; i += 1 }
+    y
+  }
+
+  /** Pack (x, y, z) into a cell id. */
+  def pack(x: Long, y: Long, z: Int): Long = (morton(x, y, z) << 5) | z.toLong
+
+  /** Cell id of the point (lon, lat) at zoom z. */
+  def cellId(lon: Double, lat: Double, z: Int): Long =
+    pack(tileX(lon, z), tileY(lat, z), z)
+
+  def zOf(cell: Long): Int = (cell & 31L).toInt
+  def xOf(cell: Long): Long = mortonX(cell >>> 5, zOf(cell))
+  def yOf(cell: Long): Long = mortonY(cell >>> 5, zOf(cell))
+
+  /** Parent cell one level up (identity at z = 0). */
+  def parent(cell: Long): Long = {
+    val z = zOf(cell)
+    if (z == 0) cell else (((cell >>> 5) >>> 2) << 5) | (z - 1).toLong
+  }
+
+  /** Ancestor at the given zoom (must be <= cell's zoom). */
+  def ancestor(cell: Long, z: Int): Long = {
+    val cz = zOf(cell)
+    require(z <= cz, s"ancestor zoom $z > cell zoom $cz")
+    (((cell >>> 5) >>> (2 * (cz - z))) << 5) | z.toLong
+  }
+
+  /** The four children one level down. */
+  def children(cell: Long): Array[Long] = {
+    val z = zOf(cell)
+    val base = (cell >>> 5) << 2
+    Array.tabulate(4)(d => ((base | d.toLong) << 5) | (z + 1).toLong)
+  }
+
+  /** Lon/lat bounds of a cell: (minLon, minLat, maxLon, maxLat). */
+  def bounds(cell: Long): (Double, Double, Double, Double) = {
+    val z = zOf(cell); val x = xOf(cell); val y = yOf(cell)
+    val n = (1L << z).toDouble
+    val minLon = x / n * 360.0 - 180.0
+    val maxLon = (x + 1) / n * 360.0 - 180.0
+    val maxLat = yToLat(y.toDouble, n)
+    val minLat = yToLat((y + 1).toDouble, n)
+    (minLon, minLat, maxLon, maxLat)
+  }
+
+  private def yToLat(y: Double, n: Double): Double = {
+    val t = math.Pi * (1.0 - 2.0 * y / n)
+    math.toDegrees(math.atan(math.sinh(t)))
+  }
+
+  /** Cells at Chebyshev tile distance exactly k from the center cell
+    * (k = 0 is the cell itself). X wraps around the antimeridian; Y is
+    * clamped (out-of-range rows skipped). Used by kNN ring expansion.
+    */
+  def ring(cell: Long, k: Int): Array[Long] = {
+    val z = zOf(cell); val cx = xOf(cell); val cy = yOf(cell)
+    val n = 1L << z
+    if (k == 0) return Array(cell)
+    val out = Array.newBuilder[Long]
+    var dx = -k
+    while (dx <= k) {
+      var dy = -k
+      while (dy <= k) {
+        if (math.max(math.abs(dx), math.abs(dy)) == k) {
+          val y = cy + dy
+          if (y >= 0 && y < n) {
+            val x = java.lang.Math.floorMod(cx + dx, n)
+            out += pack(x, y, z)
+          }
+        }
+        dy += 1
+      }
+      dx += 1
+    }
+    // wrap-around can alias cells when 2k+1 > 2^z; dedupe so ring joins
+    // never double-count a candidate
+    out.result().distinct
+  }
+
+  /** Lower bound on squared degree-distance from (lon, lat) to ANY cell of
+    * ring(cell, k). +Infinity when the ring is empty (fully clipped) —
+    * which correctly terminates kNN expansion.
+    */
+  def minSqDistToRing(lon: Double, lat: Double, cell: Long, k: Int): Double = {
+    val cells = ring(cell, k)
+    var m = Double.PositiveInfinity
+    var i = 0
+    while (i < cells.length) {
+      val d = minSqDistDeg(lon, lat, cells(i))
+      if (d < m) m = d
+      i += 1
+    }
+    m
+  }
+
+  /** All cells at zoom z covering the given lon/lat bbox (inclusive).
+    * Handles bboxes that straddle the antimeridian when minLon > maxLon.
+    */
+  def cover(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double, z: Int): Array[Long] = {
+    val y0 = tileY(maxLat, z) // north edge -> smaller y
+    val y1 = tileY(minLat, z)
+    val n = 1L << z
+    val xs: Array[Long] =
+      if (minLon <= maxLon) (tileX(minLon, z) to tileX(maxLon, z)).toArray
+      else ((tileX(minLon, z) until n) ++ (0L to tileX(maxLon, z))).toArray
+    val out = new Array[Long](xs.length * (y1 - y0 + 1).toInt)
+    var i = 0
+    var yi = y0
+    while (yi <= y1) {
+      var xi = 0
+      while (xi < xs.length) { out(i) = pack(xs(xi), yi, z); i += 1; xi += 1 }
+      yi += 1
+    }
+    out
+  }
+
+  /** Lower bound on squared euclidean degree-distance from a point to any
+    * point inside the cell (0 if the point is inside). The kNN ring
+    * expansion terminates when this bound for the next ring exceeds the
+    * current kth-best distance.
+    */
+  def minSqDistDeg(lon: Double, lat: Double, cell: Long): Double = {
+    val (minLon, minLat, maxLon, maxLat) = bounds(cell)
+    val dLon = if (lon < minLon) minLon - lon else if (lon > maxLon) lon - maxLon else 0.0
+    val dLat = if (lat < minLat) minLat - lat else if (lat > maxLat) lat - maxLat else 0.0
+    dLon * dLon + dLat * dLat
+  }
+
+  /** Quadkey digit string ("0123…") — interoperable debug form. */
+  def quadKeyString(cell: Long): String = {
+    val z = zOf(cell); val m = cell >>> 5
+    val sb = new StringBuilder
+    var i = z - 1
+    while (i >= 0) { sb.append(((m >> (2 * i)) & 3L).toString); i -= 1 }
+    sb.toString
+  }
+}

@@ -1,0 +1,135 @@
+package graft.join
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.types._
+import graft.expr.CoverCellsExpr
+import graft.functions.GeoFunctions._
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory, Polygon => JtsPolygon}
+import org.locationtech.jts.geom.prep.{PreparedGeometryFactory, PreparedGeometry}
+import org.locationtech.jts.index.strtree.STRtree
+
+/** Point-in-polygon spatial join — the engine's marquee operator, realizing
+  * the reference's latent R-tree (`/root/reference/osm/Planet.go:36,50`:
+  * constructed, never queried) as two scale-appropriate Spark plans:
+  *
+  * 1. [[cellJoin]] — polygons exploded to covering cells at zoom z, points
+  *    keyed by `cell_id`, shuffle equi-join on the cell, then exact
+  *    refinement with the codegen'd `point_in_ring` expression. Scales to
+  *    arbitrarily large BOTH sides; shuffle is keyed on the spatial cell so
+  *    AQE's skew-join splitting handles dense-city cells.
+  *
+  * 2. [[broadcastRtreeJoin]] — the polygon side (typically 10^2..10^6
+  *    boundary rings vs 10^12 points) is collected into a JTS STRtree of
+  *    PreparedGeometries, broadcast, and probed per-partition. ZERO shuffle
+  *    of the point table — at 100 TB this is the default plan.
+  *
+  * Both return the same rows; `SpatialJoinSpec` cross-checks them against a
+  * brute-force O(n·m) oracle.
+  */
+object SpatialJoin {
+
+  def coverCells(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column, z: Int): Column =
+    toCol(CoverCellsExpr(Seq(
+      toExpr(minLon.cast(DoubleType)), toExpr(minLat.cast(DoubleType)),
+      toExpr(maxLon.cast(DoubleType)), toExpr(maxLat.cast(DoubleType)),
+      toExpr(lit(z)))))
+
+  /** Ring bbox via builtin lambda functions (stays in codegen). */
+  def ringBounds(ring: Column): (Column, Column, Column, Column) = (
+    array_min(transform(ring, p => p.getField("lon"))),
+    array_min(transform(ring, p => p.getField("lat"))),
+    array_max(transform(ring, p => p.getField("lon"))),
+    array_max(transform(ring, p => p.getField("lat"))))
+
+  /** Cell equi-join + exact PIP refine.
+    *
+    * @param points   point side; must expose `lonCol`/`latCol`
+    * @param polygons polygon side; must expose `ringCol`
+    *                 (array<struct<lon,lat>>, closed)
+    * @param z        cell zoom — pick so polygons cover few cells
+    * @return points × containing polygons, with all columns of both inputs
+    */
+  def cellJoin(points: DataFrame, lonCol: String, latCol: String,
+               polygons: DataFrame, ringCol: String, z: Int = 7): DataFrame = {
+    val (mnLon, mnLat, mxLon, mxLat) = ringBounds(col(ringCol))
+    val polyCells = polygons
+      .withColumn("__cell", explode(coverCells(mnLon, mnLat, mxLon, mxLat, z)))
+    val ptCells = points.withColumn("__cell", cell_id(col(lonCol), col(latCol), z))
+    // Each point lies in exactly one covering cell of each polygon (cells
+    // partition the plane), so no post-join dedup is needed.
+    ptCells.join(polyCells, "__cell")
+      .filter(point_in_ring(col(lonCol), col(latCol), col(ringCol)))
+      .drop("__cell")
+  }
+
+  /** Broadcast-R-tree variant: build an STRtree of prepared polygons on the
+    * driver, broadcast it, probe per point partition. Returns
+    * (pointColumns..., polygon_id).
+    *
+    * The polygon side must fit on the driver (~10^6 rings OK); candidate
+    * lookup is O(log m) per point and the point table is never shuffled.
+    */
+  def broadcastRtreeJoin(points: DataFrame, lonCol: String, latCol: String,
+                         polygons: DataFrame, idCol: String, ringCol: String): DataFrame = {
+    val spark = points.sparkSession
+    val polyRows: Array[(Long, Array[Double])] = polygons
+      .select(col(idCol).cast(LongType), col(ringCol))
+      .collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val ring = r.getSeq[Row](1)
+        val flat = new Array[Double](ring.length * 2)
+        var i = 0
+        ring.foreach { p => flat(i) = p.getDouble(0); flat(i + 1) = p.getDouble(1); i += 2 }
+        (id, flat)
+      }
+    val bc = spark.sparkContext.broadcast(polyRows)
+
+    val probe = udf { (lon: Double, lat: Double) =>
+      val tree = RtreeCache.get(bc.id, bc.value)
+      val hits = tree.query(new org.locationtech.jts.geom.Envelope(lon, lon, lat, lat))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val pt = RtreeCache.factory.createPoint(new Coordinate(lon, lat))
+      val it = hits.iterator()
+      while (it.hasNext) {
+        val (id, prep) = it.next().asInstanceOf[(Long, PreparedGeometry)]
+        if (prep.covers(pt)) out += id
+      }
+      out.toSeq
+    }
+    points
+      .withColumn("polygon_id", explode(probe(col(lonCol), col(latCol))))
+  }
+}
+
+/** Per-executor cache: deserialize the broadcast ring array into a JTS
+  * STRtree of PreparedGeometries once per executor, not once per task.
+  */
+object RtreeCache {
+  val factory = new GeometryFactory()
+  private val prepFactory = new PreparedGeometryFactory()
+  @volatile private var cached: (Long, STRtree) = (-1L, null)
+
+  def get(bcId: Long, polys: Array[(Long, Array[Double])]): STRtree = {
+    val c = cached
+    if (c._1 == bcId && c._2 != null) return c._2
+    synchronized {
+      val c2 = cached
+      if (c2._1 == bcId && c2._2 != null) return c2._2
+      val tree = new STRtree()
+      polys.foreach { case (id, flat) =>
+        val coords = new Array[Coordinate](flat.length / 2)
+        var i = 0
+        while (i < coords.length) { coords(i) = new Coordinate(flat(2 * i), flat(2 * i + 1)); i += 1 }
+        val poly: JtsPolygon = factory.createPolygon(coords)
+        val prep = prepFactory.create(poly)
+        tree.insert(poly.getEnvelopeInternal, (id, prep))
+      }
+      tree.build()
+      cached = (bcId, tree)
+      tree
+    }
+  }
+}

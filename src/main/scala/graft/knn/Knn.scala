@@ -1,0 +1,158 @@
+package graft.knn
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+import graft.expr.{RingCellsExpr, RingMinSqDistExpr}
+import graft.functions.GeoFunctions._
+
+/** k-nearest-points per query via cell-ring expansion (north-rule operator;
+  * the reference's latent R-tree realized as a scalable top-k).
+  *
+  * Algorithm (provably complete — SURVEY.md §7.5.6): explore rings of cells
+  * around each query's cell, accumulating a per-query top-k; a query
+  * finishes when it holds k candidates AND its kth distance is ≤ the lower
+  * bound of the next unexplored ring (no closer point can exist there).
+  * Distance metric: squared euclidean in degree space, ties broken by
+  * point id — fully deterministic under any parallelism.
+  *
+  * Each iteration is one shuffle keyed on the spatial cell; finished queries
+  * drop out, so late rings touch only the sparse stragglers. `best` is
+  * localCheckpoint'd to keep lineage flat across iterations.
+  */
+object Knn {
+
+  def ringCells(cell: Column, k: Column): Column =
+    toCol(RingCellsExpr(toExpr(cell), toExpr(k.cast("int"))))
+
+  def ringMinSqDist(lon: Column, lat: Column, cell: Column, k: Column): Column =
+    toCol(RingMinSqDistExpr(Seq(
+      toExpr(lon), toExpr(lat), toExpr(cell), toExpr(k.cast("int")))))
+
+  /** @param queries (queryIdCol, qLonCol, qLatCol)
+    * @param points  (pointIdCol, lonCol, latCol)
+    * @return (query_id, rank, point_id, dist) with rank in 1..k
+    */
+  def cellRing(queries: DataFrame, queryIdCol: String, qLonCol: String, qLatCol: String,
+               points: DataFrame, pointIdCol: String, lonCol: String, latCol: String,
+               k: Int, z: Int = 7, maxRings: Int = 1 << 10): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+
+    val pts = points.select(
+      col(pointIdCol).as("point_id"), col(lonCol).as("p_lon"), col(latCol).as("p_lat"),
+      cell_id(col(lonCol), col(latCol), z).as("__cell"))
+      .persist()
+
+    var remaining = queries.select(
+      col(queryIdCol).as("query_id"), col(qLonCol).as("q_lon"), col(qLatCol).as("q_lat"),
+      cell_id(col(qLonCol), col(qLatCol), z).as("__qcell"))
+      .persist()
+
+    val emptyBest = spark.emptyDataFrame
+    var best: DataFrame = null
+    var r = 0
+    val hardMax = math.min(maxRings, 1 << math.min(z, 20))
+
+    while (r <= hardMax && !remaining.isEmpty) {
+      val cand = remaining
+        .withColumn("__cell", explode(ringCells(col("__qcell"), lit(r))))
+        .join(pts, "__cell")
+        .select(col("query_id"), col("point_id"),
+          sq_dist_deg(col("p_lon"), col("p_lat"), col("q_lon"), col("q_lat")).as("dist"))
+
+      val merged =
+        if (best == null) cand
+        else best.select("query_id", "point_id", "dist").unionByName(cand)
+
+      // wrap-aliasing across rings can re-surface a candidate: dedupe, rank, cut
+      val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("point_id"))
+      val newBest = merged
+        .dropDuplicates("query_id", "point_id")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .localCheckpoint(true)
+
+      val stats = newBest.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__n"), max(col("dist")).as("__kth"))
+
+      val prevBest = best
+      best = newBest
+      val prevRemaining = remaining
+      remaining = prevRemaining
+        .join(stats, Seq("query_id"), "left")
+        .filter(coalesce(col("__n"), lit(0L)) < k ||
+          col("__kth") > ringMinSqDist(col("q_lon"), col("q_lat"), col("__qcell"), lit(r + 1)))
+        .select("query_id", "q_lon", "q_lat", "__qcell")
+        .persist()
+      prevRemaining.unpersist()
+      r += 1
+    }
+
+    remaining.unpersist()
+    pts.unpersist()
+    if (best == null) emptyBest
+    else best.select(col("query_id"), col("rank"), col("point_id"), col("dist"))
+  }
+
+  /** Scan-based exact kNN: broadcast the query set, one pass over points
+    * with per-partition top-k heaps, merge by query. No shuffle of the
+    * point table — the 100 TB plan when queries fit in executor memory.
+    * O(n_points · log k) with a cell-grid prefilter over queries.
+    */
+  def scan(queries: DataFrame, queryIdCol: String, qLonCol: String, qLatCol: String,
+           points: DataFrame, pointIdCol: String, lonCol: String, latCol: String,
+           k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+
+    val qs: Array[(Long, Double, Double)] = queries
+      .select(col(queryIdCol).cast("long"), col(qLonCol), col(qLatCol))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val bc = spark.sparkContext.broadcast(qs)
+
+    val partials = points
+      .select(col(pointIdCol).cast("long").as("point_id"),
+        col(lonCol).as("p_lon"), col(latCol).as("p_lat"))
+      .as[(Long, Double, Double)]
+      .mapPartitions { it =>
+        val queries = bc.value
+        // per-query bounded max-heap ordered by (dist desc, id desc)
+        val heaps = Array.fill(queries.length)(
+          new java.util.PriorityQueue[(Double, Long)](k,
+            (a: (Double, Long), b: (Double, Long)) => {
+              val c = java.lang.Double.compare(b._1, a._1)
+              if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+            }))
+        it.foreach { case (pid, plon, plat) =>
+          var i = 0
+          while (i < queries.length) {
+            val q = queries(i)
+            val dx = plon - q._2; val dy = plat - q._3
+            val d = dx * dx + dy * dy
+            val h = heaps(i)
+            if (h.size < k) h.add((d, pid))
+            else {
+              val top = h.peek()
+              if (d < top._1 || (d == top._1 && pid < top._2)) { h.poll(); h.add((d, pid)) }
+            }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          val qid = queries(i)._1
+          val it2 = h.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          while (it2.hasNext) { val (d, pid) = it2.next(); buf += ((qid, pid, d)) }
+          buf
+        }
+      }.toDF("query_id", "point_id", "dist")
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("point_id"))
+    partials
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("point_id"), col("dist"))
+  }
+}

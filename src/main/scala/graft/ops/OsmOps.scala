@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's operator set (SURVEY.md §2) as declarative DataFrame
+  * transforms — Catalyst handles pushdown, pruning, and codegen; nothing
+  * here is hand-scheduled.
+  */
+object OsmOps {
+
+  // ---- F2: tag-key projection (a projection on the map column, NOT a row
+  //      filter — /root/reference/osm/PlanetResource.go:17-18) -------------
+
+  def keepKeys(tags: Column, keys: Seq[String]): Column =
+    map_filter(tags, (k, _) => k.isInCollection(keys))
+
+  def dropKeys(tags: Column, keys: Seq[String]): Column =
+    map_filter(tags, (k, _) => !k.isInCollection(keys))
+
+  // ---- F3: key-existence row filter (KeepNode.go:23-47; keep/drop keys are
+  //      mutually exclusive per cmd/osm/main.go:257-260) -------------------
+
+  def hasAnyKey(tags: Column, keys: Seq[String]): Column =
+    arrays_overlap(map_keys(tags), lit(keys.toArray))
+
+  def filterKeepKeys(df: DataFrame, tagsCol: String, keys: Seq[String]): DataFrame =
+    df.filter(hasAnyKey(col(tagsCol), keys))
+
+  def filterDropKeys(df: DataFrame, tagsCol: String, keys: Seq[String]): DataFrame =
+    df.filter(!hasAnyKey(col(tagsCol), keys))
+
+  // ---- F1: attribute drop (Element.go:23-67, parse- and output-time) -----
+
+  def dropAttrs(df: DataFrame, attrs: Seq[String]): DataFrame = df.drop(attrs: _*)
+
+  // ---- F4: bbox extract (Filter.ContainsPoint Filter.go:65-70, with the
+  //      lon/lat swap bug of Bounds.go:25 fixed) ---------------------------
+
+  def bboxExtract(df: DataFrame, lonCol: String, latCol: String,
+                  minLon: Double, minLat: Double, maxLon: Double, maxLat: Double): DataFrame =
+    df.filter(col(lonCol).between(minLon, maxLon) && col(latCol).between(minLat, maxLat))
+
+  // ---- J1: way→node reference resolution (Planet.ConvertWayToNode
+  //      :209-244) — THE join: refs exploded positionally, hash-joined to
+  //      nodes, order restored by pos ---------------------------------------
+
+  /** @param ways  (wayId, refs: array<long>, ...)
+    * @param nodes (nodeId, lon, lat, ...)
+    * @return one row per (way, position): wayId, pos, ref, lon, lat
+    */
+  def resolveWayRefs(ways: DataFrame, wayIdCol: String, refsCol: String,
+                     nodes: DataFrame, nodeIdCol: String): DataFrame = {
+    val exploded = ways.select(col(wayIdCol).as("way_id"),
+      posexplode(col(refsCol)).as(Seq("pos", "ref")))
+    exploded.join(nodes.withColumnRenamed(nodeIdCol, "ref"), Seq("ref"))
+  }
+
+  /** Assemble resolved refs into ordered vertex arrays (polyline/ring). */
+  def assembleWays(resolved: DataFrame, lonCol: String = "lon", latCol: String = "lat"): DataFrame =
+    resolved
+      .groupBy(col("way_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col(lonCol).as("lon"), col(latCol).as("lat"))))
+        .as("verts"))
+      .select(col("way_id"),
+        transform(col("verts"), v => struct(v.getField("lon").as("lon"), v.getField("lat").as("lat")))
+          .as("ring"),
+        (element_at(col("verts"), 1).getField("lon") === element_at(col("verts"), -1).getField("lon") &&
+         element_at(col("verts"), 1).getField("lat") === element_at(col("verts"), -1).getField("lat"))
+          .as("closed")) // ring-closure first==last (Planet.go:67 intent)
+
+  // ---- A1 + W1: ways→nodes centroid collapse with deterministic fresh ids
+  //      (ConvertWayToNode :209-244; id sequencing MarshalPlanet.go:99-118 is
+  //      iteration-order-dependent — we use dense_rank over way_id so ids are
+  //      stable under any parallelism, required by the two-cluster-size
+  //      equality check) ----------------------------------------------------
+
+  def wayCentroids(resolved: DataFrame, maxId: Long): DataFrame = {
+    val agg = resolved.groupBy(col("way_id"))
+      .agg(avg(col("lon")).as("lon"), avg(col("lat")).as("lat"), count(lit(1)).as("n_refs"))
+    agg.withColumn("new_id", lit(maxId) + dense_rank().over(Window.orderBy(col("way_id"))))
+  }
+
+  // ---- J2: way-node retention semi-join (UnmarshalPlanet.go:139-177):
+  //      nodes referenced by any kept way bypass the node filter -----------
+
+  def retention(nodes: DataFrame, nodeIdCol: String, nodeKeep: Column,
+                keptWayRefs: DataFrame, refCol: String): DataFrame = {
+    val viaWays = nodes.join(
+      keptWayRefs.select(col(refCol).as(nodeIdCol)).distinct(), Seq(nodeIdCol), "left_semi")
+    nodes.filter(nodeKeep).unionByName(viaWays).dropDuplicates(nodeIdCol)
+  }
+
+  // ---- J4: duplicate-id anti-check on multi-input union (AddNode
+  //      Planet.go:158-173 — reference fails fast on duplicate ids) --------
+
+  def unionWithDupCheck(dfs: Seq[DataFrame], idCol: String): DataFrame = {
+    val u = dfs.reduce(_.unionByName(_))
+    val dups = u.groupBy(col(idCol)).count().filter(col("count") > 1).limit(1).collect()
+    if (dups.nonEmpty)
+      throw new IllegalStateException(s"duplicate id on union: ${dups(0).get(0)}")
+    u
+  }
+
+  // ---- A2: summarize (Planet.Summarize:497-520) — one multi-aggregate
+  //      pass; per-key counts via exploded map keys -------------------------
+
+  /** Dataset profile: element counts + distinct users + distinct tag keys +
+    * distinct key=value pairs, plus recomputed bounds (the reference trusts
+    * the input header — Summary.go:9; we recompute honestly, SURVEY A5).
+    */
+  def summarize(df: DataFrame, uidCol: String,
+                lonCol: String, latCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col(uidCol)).as("n_users"),
+      min(col(lonCol)).as("min_lon"), min(col(latCol)).as("min_lat"),
+      max(col(lonCol)).as("max_lon"), max(col(latCol)).as("max_lat"))
+
+  /** Per-key / per-value counts (Summary per-key {node,way,relation} counts,
+    * Summary.go:25-39).
+    */
+  def tagCounts(df: DataFrame, tagsCol: String): DataFrame =
+    df.select(explode(col(tagsCol)).as(Seq("key", "value")))
+      .groupBy(col("key"), col("value")).agg(count(lit(1)).as("n"))
+
+  /** Distinct key and key=value cardinalities (TagsCache capability,
+    * TagsCache.go:10-33; `approx_count_distinct` is the 10^12-scale variant).
+    */
+  def tagCardinality(df: DataFrame, tagsCol: String, approx: Boolean = false): DataFrame = {
+    val kv = df.select(explode(col(tagsCol)).as(Seq("key", "value")))
+    if (approx)
+      kv.agg(approx_count_distinct(col("key")).as("n_keys"),
+        approx_count_distinct(concat_ws("=", col("key"), col("value"))).as("n_tags"))
+    else
+      kv.agg(countDistinct(col("key")).as("n_keys"),
+        countDistinct(col("key"), col("value")).as("n_tags"))
+  }
+
+  // ---- A3/A5: max-id and honest bounds ------------------------------------
+
+  def maxId(df: DataFrame, idCol: String): Long =
+    df.agg(max(col(idCol))).collect()(0).getLong(0)
+
+  def bounds(df: DataFrame, lonCol: String, latCol: String): DataFrame =
+    df.agg(min(col(lonCol)).as("min_lon"), min(col(latCol)).as("min_lat"),
+      max(col(lonCol)).as("max_lon"), max(col(latCol)).as("max_lat"))
+}
