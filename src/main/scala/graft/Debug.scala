@@ -6,53 +6,32 @@ import org.apache.spark.sql.functions._
 /** Scratch diagnostics main (not part of the library surface). */
 object Debug {
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.001"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
 
-    // q09 row-count anatomy
-    val p = geo.GeoTables.points(spark, dir)
-    println("pts rows = " + p.count())
-    val ways = p.groupBy(col("way_id"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("point_id")))),
-        v => v.getField("point_id")).as("refs"))
-    println("ways rows = " + ways.count())
-    println("total refs = " + ways.select(sum(size(col("refs")))).collect()(0))
-    val exploded = ways.select(col("way_id"),
-      posexplode(col("refs")).as(Seq("pos", "ref")))
-    println("exploded = " + exploded.count())
-    val nodes = p.select(col("point_id").as("node_id"), col("lon"), col("lat"))
-    val joined = ops.OsmOps.resolveWayRefs(ways, "way_id", "refs", nodes, "node_id")
-    println("joined = " + joined.count())
-    println("distinct ref in nodes = " + nodes.select("node_id").distinct().count())
+    val df = Seq(("abc", "x the y the z a")).toDF("s", "t")
+    df.select(
+      size(split(col("s"), "")).as("split_empty_size"),
+      ascii(lit("")).as("ascii_empty"),
+      ascii(substring(lit("ab"), 5, 1)).as("ascii_oob"),
+      rpad(lit("ab"), 5, "q").as("rpad"),
+      text.TextOps.fingerprintRolling(col("s")).as("rolling_abc"), // duck: 96354
+      text.TextOps.markerCount(col("t"), " the ").as("marker2"),
+      size(regexp_extract_all(lit("ab c1 d_e"), lit("[A-Za-z0-9_]+"), lit(0))).as("tok3"),
+      length(regexp_replace(lit("ab c1 d_e"), "[^A-Za-z]", "")).as("alpha5")
+    ).show(false)
 
-    // q13 anatomy
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-    val kept = orders.filter(col("o_totalprice") > 300000.0)
-    println("kept orders = " + kept.count())
-    val keptPts = p.join(kept.select(col("o_orderkey").as("way_id")), Seq("way_id"), "left_semi")
-    println("kept way pts = " + keptPts.count())
-    println("qty>45 pts = " + p.filter(col("quantity") > 45).count())
-    val ret = ops.OsmOps.retention(p, "point_id", col("quantity") > 45,
-      keptPts.select(col("point_id").as("ref")), "ref")
-    println("retention = " + ret.count())
+    // positional fingerprint for 'abc': duck expects 1380
+    text.TextOps.fingerprintPositional(df.select(lit(1L).as("doc_id"), col("s").as("text")), "doc_id", "text").show(false)
 
-    // q15: polygon 0 anatomy
-    val r0 = geo.GeoTables.rects(spark, dir).filter(col("polygon_id") === 0)
-      .select("polygon_id", "center_lon", "center_lat")
-    r0.show(false)
-    val knnRes = graft.knn.Knn.cellRing(r0, "polygon_id", "center_lon", "center_lat",
-      p, "point_id", "lon", "lat", k = 5, z = 7)
-    knnRes.orderBy("rank").show(false)
-    val c = r0.collect()(0)
-    val (qlon, qlat) = (c.getDouble(1), c.getDouble(2))
-    p.select(col("point_id"),
-      ((col("lon") - qlon) * (col("lon") - qlon) + (col("lat") - qlat) * (col("lat") - qlat)).as("dist"))
-      .orderBy("dist", "point_id").show(8, false)
+    // quantize round parity probe
+    spark.createDataFrame(Seq((1L, Seq(0.1234567f, -0.9876543f, 2.5004997f))))
+      .toDF("id", "emb")
+      .select(ann.Ann.quantize(col("emb"))).show(false)
     spark.stop()
   }
 }

@@ -10,6 +10,9 @@ import graft.knn.Knn
 import graft.tiles.Tiles
 import graft.dfl.Dfl
 import graft.functions.GeoFunctions._
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.ann.Ann
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB oracle over the same parquet tables.
@@ -37,6 +40,17 @@ object SparkEntry {
         when(col("quantity") > 30, map(lit("bulk"), lit("y"))).otherwise(map()),
         when(col("quantity") < 5, map(lit("tiny"), lit("y"))).otherwise(map())))
   }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Pluggable language-ID marker sets (order = tie-break priority). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a "),
+    "de" -> Seq(" der ", " und "),
+    "es" -> Seq(" el ", " los "),
+    "fr" -> Seq(" le ", " et "),
+    "zh" -> Seq(" zh ", " han "))
 
   private val withPts = s"WITH pts AS (\n${GeoTables.pointsSql}\n)"
   private val withBoth = s"WITH pts AS (\n${GeoTables.pointsSql}\n), rect AS (\n${GeoTables.rectsSql}\n)"
@@ -207,7 +221,123 @@ object SparkEntry {
         pts(s, dir), "point_id", "lon", "lat", k = 5)
         .select(col("query_id").as("polygon_id"), col("rank"), col("point_id"))
         .orderBy("polygon_id", "rank")
-    })
+    }),
+
+    // event-time tumbling window aggregation (batch form of the streaming op)
+    "q17_event_window" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .select(col("event_type"), col("window.start").as("window_start"),
+          col("n"), col("min_value"), col("max_value"))
+        .orderBy("event_type", "window_start")),
+
+    // semi-structured props extraction + aggregation
+    "q18_event_props" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // text analysis: token counting + character-class quality signals
+    "q19_text_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.alphaCount(col("text")).as("n_alpha"),
+        length(col("text")).as("n_len"),
+        (TextOps.alphaCount(col("text")) / length(col("text"))).as("alpha_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID marker scoring + deterministic argmax
+    "q20_lang_id" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scores = TextOps.langScores(col("text"), LangMarkers)
+      val cols = scores.map { case (l, c) => c.as(s"s_$l") }
+      d.select((col("doc_id") +: cols :+
+        TextOps.langPredict(scores).as("pred_lang")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring (length/alpha-ratio heuristic)
+    "q21_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.qualityScore(col("text"), length(col("text"))).as("quality"))
+        .orderBy("doc_id")),
+
+    // document fingerprinting: positional (commutative) + rolling polynomial
+    "q22_fingerprint" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.fingerprintPositional(d, "doc_id", "text")
+        .join(d.select(col("doc_id"),
+          TextOps.fingerprintRolling(col("text")).as("rolling")), "doc_id")
+        .select(col("doc_id"), col("fingerprint"), col("rolling"))
+        .orderBy("doc_id")
+    }),
+
+    // exact dedup by normalized content key
+    "q23_dedup_exact" -> ((s, dir) =>
+      Dedup.exactCanonical(docs(s, dir), "doc_id", Dedup.normKey(col("text")))
+        .orderBy("doc_id")),
+
+    // exact n-gram Jaccard near-dup pairs within a blocking key
+    "q24_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("source").isin("src6", "src7"))
+      val sh = Dedup.shingles(d, "doc_id", "text", 5, carry = Seq("lang"))
+      Dedup.jaccardPairs(sh, "doc_id", Seq("lang"))
+        .filter(col("jaccard") >= 0.25)
+        .select(col("id_1"), col("id_2"), col("n_inter"), col("n_1"), col("n_2"))
+        .orderBy("id_1", "id_2")
+    }),
+
+    // MinHash + LSH banding near-dup pipeline, candidates verified exactly
+    "q25_minhash_lsh" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("source").isin("src6", "src7"))
+      val sh = Dedup.shingles(d, "doc_id", "text", 5)
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", 5, 8)
+      val cand = Dedup.lshCandidates(sigs, "doc_id", 8, 2)
+      val verified = Dedup.jaccardPairs(sh, "doc_id", Nil)
+        .join(cand, Seq("id_1", "id_2"), "left_semi")
+        .filter(col("jaccard") >= 0.25)
+      verified.select(col("id_1"), col("id_2"), col("n_inter"))
+        .orderBy("id_1", "id_2")
+    }),
+
+    // SimHash document fingerprint (16-bit, token sign votes)
+    "q26_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text", bits = 16)
+        .orderBy("doc_id")),
+
+    // similarity search: exact top-k by int-quantized dot product
+    "q27_ann_dot_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(pmod(col("vec_id"), lit(50L)) === 0)
+      Ann.bruteTopK(queries, "vec_id", "embedding", emb, "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // similarity search: sign-random-projection LSH (bucket join, multi-probe)
+    // — no SQL oracle (rows-only check); recall vs brute force in AnnSpec
+    "q28_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(pmod(col("vec_id"), lit(50L)) === 0)
+      Ann.lshTopK(queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k = 10, bits = 12, dims = 64, probeRadius = 1)
+        .orderBy("query_id", "rank")
+    }),
+
+    // S6/S7: GeoJSON feature sink projection — no SQL oracle (JSON string
+    // formatting is engine-specific); golden-tested in GeoFunctionsSpec
+    "q29_geojson" -> ((s, dir) =>
+      OsmOps.bboxExtract(taggedPts(s, dir), "lon", "lat", -100.0, -40.0, 0.0, 40.0)
+        .select(col("point_id"),
+          graft.functions.GeoFunctions.geojson_feature(
+            col("point_id"), col("lon"), col("lat"), col("tags")).as("feature"))
+        .orderBy("point_id"))
   )
 
   // ---- oracle SQL -------------------------------------------------------------
@@ -342,7 +472,164 @@ object SparkEntry {
            |FROM xs ORDER BY point_id, tile_x, tile_y""".stripMargin,
 
       "q15_knn_cellring" -> knnOracle,
-      "q16_knn_scan" -> knnOracle
+      "q16_knn_scan" -> knnOracle,
+
+      "q17_event_window" ->
+        """SELECT event_type, date_trunc('hour', ts) AS window_start,
+          |       COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q18_event_props" ->
+        """SELECT event_type, SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+          |       COUNT(*) AS n
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q19_text_stats" ->
+        """SELECT doc_id,
+          |       len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+          |       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+          |       length(text) AS n_len,
+          |       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) AS alpha_ratio
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q20_lang_id" -> langIdSql,
+
+      "q21_quality" ->
+        """SELECT doc_id,
+          |       CAST(FLOOR(100.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)) AS BIGINT)
+          |       + CASE WHEN length(text) BETWEEN 100 AND 400 THEN 50 ELSE 0 END AS quality
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q22_fingerprint" ->
+        """WITH e AS (
+          |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents
+          |)
+          |SELECT e.doc_id,
+          |       SUM(ascii(substr(e.text, e.i, 1)) * e.i * e.i) % 1000000007 AS fingerprint,
+          |       MIN(r.rolling) AS rolling
+          |FROM e JOIN (
+          |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |           [CAST(ascii(x) AS BIGINT) for x in string_split(text, '')]),
+          |           (a, c) -> (a * 31 + c) % 1000000007) AS rolling
+          |  FROM documents
+          |) r ON e.doc_id = r.doc_id
+          |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+      "q23_dedup_exact" ->
+        """SELECT doc_id,
+          |       MIN(doc_id) OVER (PARTITION BY k) AS canonical_id,
+          |       COUNT(*) OVER (PARTITION BY k) AS group_n
+          |FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS k FROM documents)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q24_ngram_jaccard" ->
+        """WITH sh AS (
+          |  SELECT doc_id, lang, substr(text, i, 5) AS shingle
+          |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-4)) AS i) g
+          |  WHERE source IN ('src6', 'src7')
+          |  GROUP BY ALL
+          |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          |p AS (
+          |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS n_inter
+          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |)
+          |SELECT p.id_1, p.id_2, p.n_inter, x.n AS n_1, y.n AS n_2
+          |FROM p JOIN sz x ON p.id_1 = x.doc_id JOIN sz y ON p.id_2 = y.doc_id
+          |WHERE CAST(p.n_inter AS DOUBLE) / (x.n + y.n - p.n_inter) >= 0.25
+          |ORDER BY id_1, id_2""".stripMargin,
+
+      "q25_minhash_lsh" -> minhashLshSql,
+
+      "q26_simhash" -> simhashSql,
+
+      "q27_ann_dot_topk" ->
+        """WITH dims AS (
+          |  SELECT vec_id, CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv,
+          |         unnest(generate_series(1, len(embedding))) AS i
+          |  FROM embeddings
+          |), q AS (SELECT vec_id AS query_id, qv, i FROM dims WHERE vec_id % 50 = 0),
+          |dots AS (
+          |  SELECT q.query_id, d.vec_id, SUM(q.qv * d.qv) AS dot
+          |  FROM q JOIN dims d ON q.i = d.i GROUP BY 1, 2
+          |), r AS (
+          |  SELECT query_id, vec_id, dot,
+          |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+          |  FROM dots
+          |)
+          |SELECT query_id, rank, vec_id, dot FROM r WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin
     )
+  }
+
+  /** Language-ID oracle mirroring [[LangMarkers]] scoring + first-wins argmax. */
+  private def langIdSql: String = {
+    def cnt(m: String) = s"(length(text) - length(replace(text, '$m', ''))) / ${m.length}"
+    val scores = LangMarkers.map { case (l, ms) =>
+      l -> ms.map(cnt).mkString("(", " + ", ")")
+    }
+    val scoreCols = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n       ")
+    val greatest = scores.map(s => s"s_${s._1}").mkString("GREATEST(", ", ", ")")
+    val caseChain = scores.map { case (l, _) => s"WHEN s_$l = g THEN '$l'" }.mkString(" ")
+    s"""WITH s AS (
+       |  SELECT doc_id, $scoreCols
+       |  FROM documents
+       |), g AS (SELECT *, $greatest AS g FROM s)
+       |SELECT doc_id, ${scores.map(s => s"s_${s._1}").mkString(", ")},
+       |       CASE $caseChain ELSE 'und' END AS pred_lang
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  /** MinHash+LSH oracle mirroring [[graft.dedup.Dedup]] exactly. */
+  private def minhashLshSql: String = {
+    val hExpr = (1 to 5).map(j =>
+      s"CAST(ascii(substr(shingle, $j, 1)) AS BIGINT) * ${math.pow(81, 5 - j).toLong}")
+      .mkString(" + ")
+    val mhs = (0 until 8).map(j =>
+      s"MIN((${Dedup.HashA(j)} * h + ${Dedup.HashB(j)}) % ${Dedup.P}) AS mh_$j")
+      .mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, concat_ws('_', $b, mh_${2 * b}, mh_${2 * b + 1}) AS bk FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, substr(text, i, 5) AS shingle
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-4)) AS i) g
+       |  WHERE source IN ('src6', 'src7')
+       |  GROUP BY ALL
+       |), hs AS (SELECT doc_id, ($hExpr) AS h FROM sh),
+       |sig AS (SELECT doc_id, $mhs FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bands
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_1, y.doc_id AS id_2
+       |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+       |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |ver AS (
+       |  SELECT c.id_1, c.id_2, count(*) AS n_inter
+       |  FROM cand c JOIN sh a ON a.doc_id = c.id_1
+       |              JOIN sh b ON b.doc_id = c.id_2 AND a.shingle = b.shingle
+       |  GROUP BY 1, 2
+       |)
+       |SELECT v.id_1, v.id_2, v.n_inter
+       |FROM ver v JOIN sz x ON v.id_1 = x.doc_id JOIN sz y ON v.id_2 = y.doc_id
+       |WHERE CAST(v.n_inter AS DOUBLE) / (x.n + y.n - v.n_inter) >= 0.25
+       |ORDER BY id_1, id_2""".stripMargin
+  }
+
+  /** SimHash oracle mirroring [[graft.dedup.Dedup.simhash]] (16 bits). */
+  private def simhashSql: String = {
+    val hExpr = (1 to 5).map(j =>
+      s"CAST(ascii(substr(rpad(tok, 5, 'q'), $j, 1)) AS BIGINT) * ${math.pow(81, 5 - j).toLong}")
+      .mkString(" + ")
+    val votes = (0 until 16).map(j =>
+      s"SUM(((h >> $j) & 1) * 2 - 1) AS v_$j").mkString(", ")
+    val bits = (0 until 16).map(j =>
+      s"CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), h AS (
+       |  SELECT doc_id, ($hExpr) + length(tok) AS h FROM tok WHERE tok <> ''
+       |), v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash FROM v ORDER BY doc_id""".stripMargin
   }
 }

@@ -1,0 +1,115 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  *  - [[quantize]] + [[bruteTopK]] — exact top-k by integer-quantized dot
+  *    product: the correctness baseline — broadcast query side, one pass
+  *    over the corpus. Integer arithmetic → engine-exact, oracle-checkable.
+  *  - [[cosineTopK]] — float cosine variant (builtin zip_with/aggregate
+  *    fold, no UDF).
+  *  - [[lshBuckets]] + [[lshTopK]] — sign-random-projection LSH: corpus is
+  *    bucketed by a b-bit sketch; queries probe only near buckets (Hamming
+  *    radius 0..r). The 100 TB scale path: bucket join instead of full scan.
+  */
+object Ann {
+
+  /** int-quantized copy of an embedding: round(x · 1000). `round` of a
+    * float-sourced value can never hit an exact .5 (x·1000 = k+0.5 would
+    * need a non-dyadic float), so round is engine-exact.
+    */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * lit(1000.0)).cast("long"))
+
+  /** Sequential-fold dot product of two equal-length arrays (builtin). */
+  def dotFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  def dotFoldD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Exact top-k by quantized dot product. Queries are broadcast; the
+    * corpus is scanned once; per-query ranking via window.
+    * Output: query_id, rank, vec_id, dot.
+    */
+  def bruteTopK(queries: DataFrame, qIdCol: String, qEmbCol: String,
+                corpus: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"), quantize(col(qEmbCol)).as("q_emb"))
+    val c = corpus.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"), dotFold(col("q_emb"), col("c_emb")).as("dot"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot"))
+  }
+
+  /** Float cosine top-k (same plan, double arithmetic). */
+  def cosineTopK(queries: DataFrame, qIdCol: String, qEmbCol: String,
+                 corpus: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("q_emb"),
+      norm2(col(qEmbCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"),
+      norm2(col(embCol)).as("c_norm"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        (dotFoldD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d coefficient =
+    * ((p·12582917 + d·104729) mod 97) − 48 — integer, engine-independent.
+    */
+  def planeCoeff(p: Int, d: Int): Long = ((p * 12582917L + d * 104729L) % 97L) - 48L
+
+  /** b-bit sign sketch of a quantized embedding. */
+  def signSketch(qEmb: Column, bits: Int, dims: Int): Column =
+    (0 until bits).map { p =>
+      val proj = (0 until dims).map { d =>
+        element_at(qEmb, d + 1) * lit(planeCoeff(p, d))
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Corpus bucketed by sign sketch — persist/bucket this by `bucket` at
+    * scale (write.bucketBy) so queries touch only matching buckets.
+    */
+  def lshBuckets(corpus: DataFrame, idCol: String, embCol: String,
+                 bits: Int, dims: Int): DataFrame =
+    corpus.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("c_emb"))
+      .withColumn("bucket", signSketch(col("c_emb"), bits, dims))
+
+  /** Approximate top-k: probe buckets within Hamming radius `probeRadius`
+    * of each query's sketch (radius 0/1 = classic multi-probe LSH), then
+    * exact-score only those candidates. Recall measured against
+    * [[bruteTopK]] in tests.
+    */
+  def lshTopK(queries: DataFrame, qIdCol: String, qEmbCol: String,
+              corpus: DataFrame, idCol: String, embCol: String,
+              k: Int, bits: Int, dims: Int, probeRadius: Int = 1): DataFrame = {
+    val buckets = lshBuckets(corpus, idCol, embCol, bits, dims)
+    val q0 = queries.select(col(qIdCol).as("query_id"), quantize(col(qEmbCol)).as("q_emb"))
+      .withColumn("q_bucket", signSketch(col("q_emb"), bits, dims))
+    // enumerate probe buckets: the query's own + single-bit flips (radius 1)
+    val probes: Column =
+      if (probeRadius <= 0) array(col("q_bucket"))
+      else array((col("q_bucket") +: (0 until bits).map(p =>
+        col("q_bucket").bitwiseXOR(lit(1L << p)))): _*)
+    val qProbed = q0.withColumn("bucket", explode(probes))
+    val cand = qProbed.join(buckets, "bucket")
+      .select(col("query_id"), col("vec_id"), dotFold(col("q_emb"), col("c_emb")).as("dot"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot"))
+  }
+}

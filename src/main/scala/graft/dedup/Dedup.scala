@@ -1,0 +1,149 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines, smallest to largest
+  * scale path:
+  *
+  *  - [[exactCanonical]]   — exact dedup by (normalized) content key: one
+  *    hash shuffle, the 100 TB workhorse.
+  *  - [[shingles]] + [[jaccardPairs]] — exact n-gram Jaccard within blocking
+  *    keys: the quadratic verifier, only ever run inside small blocks.
+  *  - [[minhashSignatures]] + [[lshCandidates]] — MinHash+LSH banding: the
+  *    sub-quadratic near-dup path; candidates are verified with exact
+  *    Jaccard. All hash arithmetic is integer-exact and documented so
+  *    results are engine-independent.
+  *  - [[simhash]] — token-hash sign-aggregation fingerprint; near-dups =
+  *    small Hamming distance (use graft.functions.GeoFunctions.hamming64).
+  */
+object Dedup {
+
+  val P: Long = 2147483647L // Mersenne prime 2^31-1
+  /** MinHash affine constants (a_j, b_j) — small odd multipliers + primes. */
+  val HashA: Seq[Long] = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  val HashB: Seq[Long] = Seq(104729L, 224737L, 350377L, 479909L, 611953L, 746773L, 882377L, 1020379L)
+
+  // ---- exact ---------------------------------------------------------------
+
+  /** Map every row to its group's canonical (minimum) id by content key.
+    * Output: idCol, canonical_id, group_n.
+    */
+  def exactCanonical(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val w = Window.partitionBy(col("__key"))
+    df.select(col(idCol), key.as("__key"))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("group_n", count(lit(1)).over(w))
+      .drop("__key")
+  }
+
+  /** Normalized content key: lowercase, alphabetic chars only. */
+  def normKey(text: Column): Column = regexp_replace(lower(text), "[^a-z]", "")
+
+  // ---- character shingles ---------------------------------------------------
+
+  /** Distinct character n-gram shingles per document:
+    * output (idCol, carry…, shingle).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+               carry: Seq[String] = Nil): DataFrame = {
+    val keep = (Seq(idCol, textCol) ++ carry).distinct.map(col)
+    df.select(keep: _*)
+      .withColumn("i", explode(sequence(lit(1), length(col(textCol)) - (n - 1))))
+      .withColumn("shingle", substring_index_pos(col(textCol), col("i"), n))
+      .select((Seq(idCol) ++ carry).distinct.map(col) :+ col("shingle"): _*)
+      .distinct()
+  }
+
+  private def substring_index_pos(text: Column, pos: Column, len: Int): Column =
+    text.substr(pos, lit(len))
+
+  /** Exact pairwise Jaccard within blocking keys. Quadratic in block size —
+    * call only with small blocks (the verifier for LSH candidates).
+    * Output: id_1, id_2 (id_1 < id_2), n_inter, n_1, n_2, jaccard.
+    */
+  def jaccardPairs(sh: DataFrame, idCol: String, blockCols: Seq[String]): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select((blockCols :+ "shingle").map(col) :+ col(idCol).as("id_1"): _*)
+    val b = sh.select((blockCols :+ "shingle").map(col) :+ col(idCol).as("id_2"): _*)
+    val inter = a.join(b, blockCols :+ "shingle")
+      .filter(col("id_1") < col("id_2"))
+      .groupBy(col("id_1"), col("id_2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_1"), col("n").as("n_1")), "id_1")
+      .join(sizes.select(col(idCol).as("id_2"), col("n").as("n_2")), "id_2")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_1") + col("n_2") - col("n_inter")))
+  }
+
+  // ---- MinHash + LSH ---------------------------------------------------------
+
+  /** Integer shingle hash: Σ ascii(char_j) · 81^(n-j) — order-sensitive,
+    * exact, and expressible in any SQL engine (unrolled per position).
+    */
+  def shingleHash(shingle: Column, n: Int): Column =
+    (1 to n).map { j =>
+      ascii(substring(shingle, j, 1)).cast("long") * lit(math.pow(81, n - j).toLong)
+    }.reduce(_ + _)
+
+  /** MinHash signature columns mh_0..mh_{numHashes-1} per id:
+    * mh_j = MIN((a_j·h + b_j) mod P) over the document's shingle hashes.
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String, shingleN: Int,
+                        numHashes: Int): DataFrame = {
+    require(numHashes <= HashA.length, s"at most ${HashA.length} hashes")
+    val h = shingleHash(col("shingle"), shingleN)
+    val aggs = (0 until numHashes).map { j =>
+      min(pmod(lit(HashA(j)) * h + lit(HashB(j)), lit(P))).as(s"mh_$j")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: bands of `rowsPerBand` signature components; docs sharing
+    * any band key become candidate pairs. Sub-quadratic: one shuffle on the
+    * band key, join within buckets only.
+    * Output: id_1, id_2 (id_1 < id_2), distinct.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+                    numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val banded = (0 until numBands).map { b =>
+      val key = concat_ws("_",
+        lit(b) +: (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
+      sigs.select(col(idCol), key.as("band_key"))
+    }.reduce(_.unionByName(_))
+    banded.as("x").join(banded.as("y"), Seq("band_key"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_1"), col(s"y.$idCol").as("id_2"))
+      .distinct()
+  }
+
+  // ---- SimHash ----------------------------------------------------------------
+
+  /** Token hash mirroring [[shingleHash]] on the (right-padded) first 5
+    * chars plus the token length — exact and SQL-expressible.
+    */
+  def tokenHash(token: Column): Column =
+    shingleHash(rpad(token, 5, "q"), 5) + length(token)
+
+  /** `bits`-bit SimHash per id from whitespace tokens: bit j is set when
+    * the signed vote Σ_tokens (2·((h>>j)&1) − 1) is positive.
+    * Output: idCol, simhash (long).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", tokenHash(col("tok")))
+    val votes = (0 until bits).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v_$j")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sim = (0 until bits).map { j =>
+      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), sim.as("simhash"))
+  }
+}

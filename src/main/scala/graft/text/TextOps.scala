@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality signals, language-ID scoring, and document
+  * fingerprinting. All builtin-composed (codegen'd, no UDFs); every
+  * function has an exact cross-engine semantic so results are
+  * oracle-checkable.
+  */
+object TextOps {
+
+  val FingerprintP = 1000000007L
+
+  /** Token count: maximal runs of [A-Za-z0-9_]. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+"), lit(0)))
+
+  /** Count of alphabetic characters. */
+  def alphaCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", ""))
+
+  /** Number of (possibly overlapping-free) occurrences of a literal marker. */
+  def markerCount(text: Column, marker: String): Column =
+    (length(text) - length(replace(text, lit(marker), lit("")))) / lit(marker.length)
+
+  /** Language-ID by marker scoring: per language, the summed occurrence
+    * count of its marker strings; prediction = argmax with deterministic
+    * first-wins tie-break (languages in the given order). The marker sets
+    * are pluggable — this is the n-gram-heuristic shell, not a model.
+    */
+  def langScores(text: Column, markers: Seq[(String, Seq[String])]): Seq[(String, Column)] =
+    markers.map { case (lang, ms) =>
+      lang -> ms.map(m => markerCount(text, m)).reduce(_ + _)
+    }
+
+  def langPredict(scores: Seq[(String, Column)]): Column = {
+    // argmax, first language wins ties: fold right building CASE chain
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight puts earlier languages first in the when-chain → first wins ties
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score: floor(100 * alpha_ratio) + length-band bonus —
+    * a deterministic stand-in for heuristic quality classifiers.
+    */
+  def qualityScore(text: Column, nChars: Column): Column =
+    floor(lit(100.0) * alphaCount(text) / nChars).cast("long") +
+      when(nChars.between(100, 400), lit(50L)).otherwise(lit(0L))
+
+  /** Order-sensitive rolling (polynomial) fingerprint:
+    * fold over characters of `(acc * 31 + ascii(c)) % p`. Builtin
+    * `aggregate` over `split` — whole-stage codegen, no UDF.
+    */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(FingerprintP))
+
+  /** Commutative position-weighted fingerprint: Σ ascii(c_i)·i² mod p.
+    * Aggregation-friendly (computable via explode + SUM on both engines).
+    */
+  def fingerprintPositional(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), "")).as(Seq("i0", "c")))
+      .select(col(idCol), ((col("i0") + 1) * (col("i0") + 1) * ascii(col("c"))).as("w"))
+      .groupBy(col(idCol))
+      .agg((sum(col("w")) % lit(FingerprintP)).as("fingerprint"))
+}
