@@ -62,7 +62,10 @@ object Dfl {
     case And(l, r) => toColumn(l, resolve) && toColumn(r, resolve)
     case Or(l, r) => toColumn(l, resolve) || toColumn(r, resolve)
     case Not(c) => !toColumn(c, resolve)
-    case Cmp(op, l, r) => cmpColumn(op, l, r, resolve)
+    case Cmp(op, l, r) =>
+      // two-valued logic like the reference interpreter: a comparison on a
+      // missing attribute is FALSE (so `not` of it is TRUE), not SQL NULL
+      coalesce(cmpColumn(op, l, r, resolve), lit(false))
     case _ => throw new IllegalArgumentException(s"not a boolean expression: $n")
   }
 
@@ -111,7 +114,10 @@ object Dfl {
 
   private case class P(tokens: Vector[String], var pos: Int = 0) {
     def peek: Option[String] = if (pos < tokens.length) Some(tokens(pos)) else None
-    def next(): String = { val t = tokens(pos); pos += 1; t }
+    def next(): String = {
+      require(pos < tokens.length, "unexpected end of expression")
+      val t = tokens(pos); pos += 1; t
+    }
     def expect(t: String): Unit = {
       val g = next()
       require(g.equalsIgnoreCase(t), s"expected '$t', got '$g'")

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.functions.GeoFunctions
+
+/** Dedup family on planted duplicates + ANN recall vs brute force. */
+class DedupAnnSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  /** corpus with planted near-dup clusters: base docs + mutated copies */
+  private lazy val docs = {
+    val base = (0 until 40).map { i =>
+      val words = (0 until 60).map(j => s"w${GeoFixtures_mix(i * 97L + j) % 50}")
+      (i.toLong, words.mkString(" "))
+    }
+    val mutated = (0 until 40).map { i =>
+      val (id, text) = base(i)
+      val words = text.split(" ")
+      // mutate 3 words -> high jaccard near-dup of the base doc
+      val m = words.zipWithIndex.map { case (w, j) =>
+        if (j % 20 == 5) s"z$j" else w }
+      (id + 1000L, m.mkString(" "))
+    }
+    val exact = Seq((2000L, base(0)._2), (2001L, base(1)._2)) // exact dups
+    (base ++ mutated ++ exact).toDF("doc_id", "text").cache()
+  }
+
+  private def GeoFixtures_mix(v: Long): Long = math.abs(graft.geo.GeoFixtures.mix(v))
+
+  test("exact dedup groups exact duplicates to the minimum id") {
+    val res = Dedup.exactCanonical(docs, "doc_id", col("text"))
+    val dup0 = res.filter(col("doc_id") === 2000L).collect()(0)
+    assert(dup0.getAs[Long]("canonical_id") === 0L)
+    assert(dup0.getAs[Long]("group_n") === 2L)
+    val solo = res.filter(col("doc_id") === 5L).collect()(0)
+    assert(solo.getAs[Long]("canonical_id") === 5L)
+  }
+
+  test("ngram jaccard finds each planted near-dup pair") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val pairs = Dedup.jaccardPairs(sh, "doc_id", Nil)
+      .filter(col("jaccard") >= 0.6)
+      .select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 40).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 1000L)), s"missing planted pair $i")
+    }
+  }
+
+  test("minhash LSH candidates contain all high-jaccard pairs; verify filters") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", 5, 8)
+    val cand = Dedup.lshCandidates(sigs, "doc_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups share every minhash -> always candidates
+    assert(cand.contains((0L, 2000L)))
+    assert(cand.contains((1L, 2001L)))
+    // planted near-dups (jaccard ~0.85): recall across 40 pairs should be high
+    val found = (0 until 40).count(i => cand.contains((i.toLong, i + 1000L)))
+    assert(found >= 32, s"LSH recall too low: $found/40")
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sims = Dedup.simhash(docs, "doc_id", "text", bits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) === sims(2000L))
+    val dists = (0 until 40).map(i =>
+      java.lang.Long.bitCount(sims(i.toLong) ^ sims(i + 1000L)))
+    assert(dists.count(_ <= 4) >= 32, s"simhash near-dup distances too large: $dists")
+  }
+
+  // ---- ANN -------------------------------------------------------------------
+
+  private lazy val embeddings = {
+    // 8 clusters of 25 vectors in 16 dims
+    val rows = (0 until 200).map { i =>
+      val c = i % 8
+      val v = (0 until 16).map { d =>
+        val centroid = if (d % 8 == c) 1.0f else 0.0f
+        centroid + (GeoFixtures_mix(i * 31L + d) % 1000).toFloat / 5000.0f
+      }
+      (i.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding").cache()
+  }
+
+  test("bruteTopK matches a manual quantized-dot oracle exactly") {
+    val all = embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000.0)).toArray)
+    val q = embeddings.filter(col("vec_id") < 8)
+    val got = Ann.bruteTopK(q, "vec_id", "embedding", embeddings, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "vec_id", "dot").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = all.filter(_._1 < 8).flatMap { case (qid, qv) =>
+      all.map { case (vid, cv) =>
+        (qid, vid, qv.zip(cv).map { case (a, b) => a * b }.sum)
+      }.sortBy { case (_, vid, dot) => (-dot, vid) }
+        .take(5).zipWithIndex
+        .map { case ((q0, vid, dot), i) => (q0, i + 1, vid, dot) }
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("cosineTopK rank-1 is an exact or same-cluster match") {
+    val q = embeddings.filter(col("vec_id") < 8)
+    val res = Ann.cosineTopK(q, "vec_id", "embedding", embeddings, "vec_id", "embedding", 3)
+    val byQ = res.filter(col("rank") <= 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    byQ.foreach { case (q0, vs) =>
+      assert(vs.forall(v => v % 8 == q0 % 8), s"top-3 of $q0 left its cluster: $vs")
+    }
+  }
+
+  test("LSH top-k recall@10 vs brute force >= 0.7 with radius-1 probing") {
+    val q = embeddings.filter(col("vec_id") % 25 === 0)
+    val brute = Ann.bruteTopK(q, "vec_id", "embedding", embeddings, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(q, "vec_id", "embedding", embeddings, "vec_id", "embedding",
+      k = 10, bits = 10, dims = 16, probeRadius = 1)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("hamming64 expression works over simhash columns") {
+    val sims = Dedup.simhash(docs, "doc_id", "text", bits = 16)
+    val d = sims.as("a").crossJoin(sims.as("b"))
+      .filter(col("a.doc_id") === 0L && col("b.doc_id") === 2000L)
+      .select(GeoFunctions.hamming64(col("a.simhash"), col("b.simhash")).as("hd"))
+      .collect()(0).getInt(0)
+    assert(d === 0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dfl.Dfl
+
+/** DFL parser + compiler vs expected row sets — reference semantics
+  * (`@craft like brewery`, /root/reference/README.md:105).
+  */
+class DflSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Map("craft" -> "brewery", "name" -> "a"), 10.0),
+    (2L, Map("craft" -> "distillery"), 30.0),
+    (3L, Map("shop" -> "bakery"), 50.0),
+    (4L, Map("craft" -> "brewery", "active" -> "yes"), 70.0),
+    (5L, Map[String, String](), 90.0)
+  ).toDF("id", "tags", "qty")
+
+  private def run(dfl: String): Set[Long] =
+    df.filter(Dfl.compile(dfl, {
+      case "qty" => col("qty")
+      case k => element_at(col("tags"), k)
+    })).select("id").collect().map(_.getLong(0)).toSet
+
+  test("like without wildcard is equality (go-dfl bareword semantics)") {
+    assert(run("@craft like brewery") === Set(1L, 4L))
+  }
+
+  test("like with wildcard is SQL LIKE") {
+    assert(run("@craft like '%ery'") === Set(1L, 2L, 4L))
+  }
+
+  test("and / or / not / parens") {
+    assert(run("(@craft like brewery) and (@qty > 50)") === Set(4L))
+    assert(run("(@craft like brewery) or (@shop like bakery)") === Set(1L, 3L, 4L))
+    assert(run("not (@craft like brewery) and @qty < 60") === Set(2L, 3L))
+  }
+
+  test("in list") {
+    assert(run("@craft in [brewery, distillery]") === Set(1L, 2L, 4L))
+  }
+
+  test("comparisons and equality operators") {
+    assert(run("@qty >= 50") === Set(3L, 4L, 5L))
+    assert(run("@qty == 30") === Set(2L))
+    assert(run("@qty != 30 and @qty <= 70") === Set(1L, 3L, 4L))
+  }
+
+  test("missing attribute -> comparison is null -> row dropped") {
+    assert(run("@missing like x") === Set())
+    assert(run("@active == yes") === Set(4L))
+  }
+
+  test("attributes() extraction for projection pushdown") {
+    assert(Dfl.attributes("(@craft like brewery) and (@qty > 5 or not @x in [1, 2])")
+      === Seq("craft", "qty", "x"))
+  }
+
+  test("parse errors are rejected") {
+    intercept[IllegalArgumentException](Dfl.parse("@a like"))
+    intercept[IllegalArgumentException](Dfl.parse("(@a like b"))
+    intercept[IllegalArgumentException](Dfl.parse("@a like b extra tokens"))
+  }
+}

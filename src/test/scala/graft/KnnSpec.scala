@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.geo.GeoFixtures
+import graft.knn.Knn
+
+/** kNN cell-ring expansion and scan plan vs brute-force oracle — G7. */
+class KnnSpec extends SparkSpecBase {
+
+  private lazy val points = GeoFixtures.images(spark, 2000)
+    .select(monotonicallyStablePid(), col("lon"), col("lat")).cache()
+
+  private def monotonicallyStablePid() =
+    expr("cast(substring(image_id, 4, 9) as long)").as("pid")
+
+  private lazy val queries = {
+    import spark.implicits._
+    Seq((1L, -77.0, 38.9), (2L, 2.3, 48.8), (3L, 0.0, 0.0), (4L, 179.5, 0.0),
+      (5L, -179.5, 0.0), (6L, 10.0, 84.0), (7L, 60.0, -60.0))
+      .toDF("qid", "qlon", "qlat")
+  }
+
+  private def brute(k: Int): Set[(Long, Int, Long)] = {
+    val d = points.crossJoin(queries)
+      .select(col("qid"), col("pid"),
+        ((col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
+          (col("lat") - col("qlat")) * (col("lat") - col("qlat"))).as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("pid"))
+    d.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("pid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+  }
+
+  private def runCellRing(k: Int, z: Int): Set[(Long, Int, Long)] =
+    Knn.cellRing(queries, "qid", "qlon", "qlat", points, "pid", "lon", "lat", k, z)
+      .select(col("query_id"), col("rank"), col("point_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("cellRing matches brute force (k=5, z=7) incl. antimeridian queries") {
+    assert(runCellRing(5, 7) === brute(5))
+  }
+
+  test("cellRing matches brute force at coarse zoom (k=3, z=4)") {
+    assert(runCellRing(3, 4) === brute(3))
+  }
+
+  test("cellRing matches brute force for large k (k=40, z=7)") {
+    assert(runCellRing(40, 7) === brute(40))
+  }
+
+  test("scan plan matches brute force (k=7)") {
+    val got = Knn.scan(queries, "qid", "qlon", "qlat", points, "pid", "lon", "lat", 7)
+      .select(col("query_id"), col("rank"), col("point_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === brute(7))
+  }
+
+  test("k larger than population returns all points ranked") {
+    import spark.implicits._
+    val tiny = Seq((100L, 1.0, 1.0), (101L, 2.0, 2.0), (102L, 3.0, 3.0))
+      .toDF("pid", "lon", "lat")
+    val q = Seq((1L, 0.0, 0.0)).toDF("qid", "qlon", "qlat")
+    val got = Knn.cellRing(q, "qid", "qlon", "qlat", tiny, "pid", "lon", "lat", k = 10, z = 5)
+      .select("rank", "point_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got === Set((1, 100L), (2, 101L), (3, 102L)))
+  }
+}

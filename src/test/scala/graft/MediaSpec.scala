@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.geo.GeoFixtures
+import graft.media.Media
+
+/** Image payload integrity — the input_hint acceptance invariant (G8):
+  * decoded pixels exact for lossless, PSNR ≥ 40 dB for lossy-sim, caption
+  * byte-equality through a full write/read pipeline, phash as a
+  * decode-correctness probe.
+  */
+class MediaSpec extends SparkSpecBase {
+
+  test("png encode/decode roundtrip is pixel-exact") {
+    (Seq((1L, 16, 16), (2L, 32, 64), (3L, 64, 32))).foreach { case (id, w, h) =>
+      val px = Media.synthPixels(id, w, h)
+      val (dec, dw, dh) = Media.decodePng(Media.encodePng(px, w, h))
+      assert(dw === w && dh === h)
+      assert(java.util.Arrays.equals(dec, px))
+    }
+  }
+
+  test("quantized payload PSNR >= 40 dB and < infinity") {
+    val px = Media.synthPixels(99L, 64, 64)
+    val q = Media.quantize(px)
+    val p = Media.psnr(px, q)
+    assert(p >= 40.0, s"psnr $p")
+    assert(p < Double.PositiveInfinity)
+    assert(Media.psnr(px, px).isPosInfinity)
+  }
+
+  test("fixture phash is reproduced by decode->aHash (decode-correctness probe)") {
+    val imgs = GeoFixtures.images(spark, 200)
+    val recomputed = Media.imageFeatures(imgs.select(col("image_id"), col("bytes")))
+    val joined = imgs.select(col("image_id"), col("phash").as("expected"),
+        col("w").as("ew"), col("h").as("eh"))
+      .join(recomputed, "image_id")
+    val bad = joined.filter(col("phash") =!= col("expected") ||
+      col("w") =!= col("ew") || col("h") =!= col("eh")).count()
+    assert(bad === 0)
+    assert(joined.count() === 200)
+  }
+
+  test("captions survive a full parquet write/read round trip byte-equal") {
+    val imgs = GeoFixtures.images(spark, 300)
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    imgs.write.mode("overwrite").parquet(s"$dir/images")
+    val back = spark.read.parquet(s"$dir/images")
+    val diff = imgs.select(col("image_id"), col("caption"))
+      .except(back.select(col("image_id"), col("caption"))).count()
+    assert(diff === 0)
+    assert(back.count() === 300)
+  }
+
+  test("pixelCompare: lossless exact, lossy within PSNR bound") {
+    import spark.implicits._
+    val rows = (1L to 50L).map { id =>
+      val px = Media.synthPixels(id, 32, 32)
+      (s"img$id", Media.encodePng(px, 32, 32),
+        Media.encodePng(Media.quantize(px), 32, 32))
+    }
+    val df = rows.toDF("image_id", "bytes_a", "bytes_b")
+    val cmp = Media.pixelCompare(df).cache()
+    assert(cmp.filter(col("psnr") < 40.0).count() === 0)
+    // identical payloads are exact
+    val same = Media.pixelCompare(
+      rows.map(r => (r._1, r._2, r._2)).toDF("image_id", "bytes_a", "bytes_b"))
+    assert(same.filter(!col("exact")).count() === 0)
+  }
+
+  test("fixture generation is partition-count independent (determinism)") {
+    val a = GeoFixtures.images(spark, 150).repartition(1)
+      .select("image_id", "phash", "lon", "lat", "caption")
+      .collect().map(_.toSeq).toSet
+    val b = GeoFixtures.images(spark, 150).repartition(7)
+      .select("image_id", "phash", "lon", "lat", "caption")
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.OsmOps
+import graft.tiles.Tiles
+import graft.index.CellIndex
+
+/** OSM operator semantics: retention bypass truth table (J2), duplicate-id
+  * union check (J4), tag algebra (F2/F3), way assembly + centroid (J1/A1),
+  * tile cover vs direct formula (G6).
+  */
+class OsmOpsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("retention semi-join: way-referenced nodes bypass the node filter (J2)") {
+    val nodes = Seq((1L, 10.0), (2L, 60.0), (3L, 10.0), (4L, 60.0))
+      .toDF("id", "qty")
+    // kept ways reference nodes 1 and 2; node filter keeps qty > 50
+    val keptRefs = Seq(1L, 2L).toDF("ref")
+    val out = OsmOps.retention(nodes, "id", col("qty") > 50, keptRefs, "ref")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // 1: via way (fails filter), 2: both, 4: filter only, 3: dropped
+    assert(out === Set(1L, 2L, 4L))
+  }
+
+  test("union duplicate-id check fails fast (J4)") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((3L, "z")).toDF("id", "v")
+    assert(OsmOps.unionWithDupCheck(Seq(a, b), "id").count() === 3)
+    val dup = Seq((2L, "w")).toDF("id", "v")
+    intercept[IllegalStateException](OsmOps.unionWithDupCheck(Seq(a, dup), "id").count())
+  }
+
+  test("tag keep/drop projection and key-existence filters (F2/F3)") {
+    val df = Seq(
+      (1L, Map("craft" -> "brewery", "name" -> "n1")),
+      (2L, Map("shop" -> "bakery")),
+      (3L, Map[String, String]())).toDF("id", "tags")
+    val kept = df.select(col("id"), OsmOps.keepKeys(col("tags"), Seq("craft")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getMap[String, String](1).size).toMap
+    assert(kept === Map(1L -> 1, 2L -> 0, 3L -> 0))
+    val dropped = df.select(OsmOps.dropKeys(col("tags"), Seq("craft")).as("t"))
+      .collect().map(_.getMap[String, String](0).keySet)
+    assert(dropped(0).toString.contains("name"))
+    assert(OsmOps.filterKeepKeys(df, "tags", Seq("craft", "shop")).count() === 2)
+    assert(OsmOps.filterDropKeys(df, "tags", Seq("craft")).count() === 2)
+  }
+
+  test("way assembly preserves ref order and detects ring closure (J1/X7)") {
+    val ways = Seq((10L, Seq(3L, 1L, 2L, 3L)), (11L, Seq(1L, 2L))).toDF("way_id", "refs")
+    val nodes = Seq((1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 1.0, 1.0)).toDF("node_id", "lon", "lat")
+    val asm = OsmOps.assembleWays(
+      OsmOps.resolveWayRefs(ways, "way_id", "refs", nodes, "node_id"))
+    val rows = asm.collect().map(r => r.getLong(0) ->
+      (r.getSeq[org.apache.spark.sql.Row](1).map(v => (v.getDouble(0), v.getDouble(1))),
+        r.getBoolean(2))).toMap
+    assert(rows(10L)._1 === Seq((1.0, 1.0), (0.0, 0.0), (1.0, 0.0), (1.0, 1.0)))
+    assert(rows(10L)._2 === true, "closed ring")
+    assert(rows(11L)._2 === false, "open way")
+  }
+
+  test("dangling way refs drop out of the join (reference errors; we surface via anti-join)") {
+    val ways = Seq((10L, Seq(1L, 99L))).toDF("way_id", "refs")
+    val nodes = Seq((1L, 0.0, 0.0)).toDF("node_id", "lon", "lat")
+    val resolved = OsmOps.resolveWayRefs(ways, "way_id", "refs", nodes, "node_id")
+    assert(resolved.count() === 1)
+    // dangling detection = exploded refs anti-join nodes
+    val dangling = ways.select(col("way_id"), explode(col("refs")).as("ref"))
+      .join(nodes.withColumnRenamed("node_id", "ref"), Seq("ref"), "left_anti")
+    assert(dangling.collect().map(_.getLong(0)).toSeq === Seq(99L))
+  }
+
+  test("way centroid = mean of resolved vertices; fresh ids deterministic (A1/W1)") {
+    val ways = Seq((10L, Seq(1L, 2L)), (20L, Seq(2L, 3L))).toDF("way_id", "refs")
+    val nodes = Seq((1L, 0.0, 0.0), (2L, 2.0, 2.0), (3L, 4.0, 0.0)).toDF("node_id", "lon", "lat")
+    val cents = OsmOps.wayCentroids(
+      OsmOps.resolveWayRefs(ways, "way_id", "refs", nodes, "node_id"), maxId = 100L)
+      .collect().map(r => r.getAs[Long]("way_id") ->
+        (r.getAs[Double]("lon"), r.getAs[Double]("lat"), r.getAs[Long]("new_id"))).toMap
+    assert(cents(10L) === ((1.0, 1.0, 101L)))
+    assert(cents(20L) === ((3.0, 1.0, 102L)))
+  }
+
+  test("tagCardinality exact and approx (A2 TagsCache capability)") {
+    val df = Seq(
+      (1L, Map("a" -> "1", "b" -> "2")),
+      (2L, Map("a" -> "1", "b" -> "3"))).toDF("id", "tags")
+    val exact = OsmOps.tagCardinality(df, "tags").collect()(0)
+    assert(exact.getLong(0) === 2L) // keys a, b
+    assert(exact.getLong(1) === 3L) // a=1, b=2, b=3
+    val approx = OsmOps.tagCardinality(df, "tags", approx = true).collect()(0)
+    assert(approx.getLong(0) >= 1L && approx.getLong(1) >= 2L)
+  }
+
+  test("tile cover equals direct per-tile formula enumeration (G6)") {
+    val df = Seq((1L, -77.03, 38.89), (2L, 179.99, 84.9)).toDF("id", "lon", "lat")
+    val got = Tiles.coverFootprint(df, "lon", "lat", lit(0.3), lit(0.2), 8)
+      .select("id", "tile_x", "tile_y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = df.collect().flatMap { r =>
+      val (id, lon, lat) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      val x0 = CellIndex.tileX(lon - 0.3, 8); val x1 = CellIndex.tileX(lon + 0.3, 8)
+      val y0 = CellIndex.tileY(lat + 0.2, 8); val y1 = CellIndex.tileY(lat - 0.2, 8)
+      for (x <- x0 to x1; y <- y0 to y1) yield (id, x, y)
+    }.toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+}

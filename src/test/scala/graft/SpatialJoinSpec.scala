@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.geo.GeoFixtures
+import graft.join.SpatialJoin
+
+/** Both spatial-join plans vs an O(n·m) brute-force PIP oracle on irregular
+  * star polygons with city-clustered (skewed) points — FIXTURES.md G5.
+  */
+class SpatialJoinSpec extends SparkSpecBase {
+
+  private lazy val images = GeoFixtures.images(spark, 3000).cache()
+  private lazy val polys = GeoFixtures.boundaries(spark, 40).cache()
+
+  /** brute force: cross join + point_in_ring, no cells, no index */
+  private lazy val expected: Set[(String, Long)] =
+    images.select(col("image_id"), col("lon"), col("lat"))
+      .crossJoin(polys.select(col("polygon_id"), col("ring")))
+      .filter(graft.functions.GeoFunctions.point_in_ring(col("lon"), col("lat"), col("ring")))
+      .select(col("image_id"), col("polygon_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("cell equi-join + refine matches brute force exactly") {
+    val got = SpatialJoin.cellJoin(images, "lon", "lat", polys, "ring", z = 6)
+      .select(col("image_id"), col("polygon_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must produce joins")
+    assert(got === expected)
+  }
+
+  test("broadcast R-tree join matches brute force exactly") {
+    val got = SpatialJoin.broadcastRtreeJoin(images, "lon", "lat", polys, "polygon_id", "ring")
+      .select(col("image_id"), col("polygon_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
+  test("cell join at different zooms agrees (covering-cell correctness)") {
+    val z5 = SpatialJoin.cellJoin(images, "lon", "lat", polys, "ring", z = 5)
+      .select(col("image_id"), col("polygon_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val z8 = SpatialJoin.cellJoin(images, "lon", "lat", polys, "ring", z = 8)
+      .select(col("image_id"), col("polygon_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(z5 === expected)
+    assert(z8 === expected)
+  }
+
+  test("polygon straddling a cell boundary still joins (regression)") {
+    import spark.implicits._
+    // square centered exactly on the z=6 cell corner at (0,0)
+    val ring = Seq((-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0), (-1.0, -1.0))
+    val poly = Seq((1L, ring)).toDF("polygon_id", "r")
+      .selectExpr("polygon_id", "transform(r, v -> struct(v._1 AS lon, v._2 AS lat)) AS ring")
+    val pts = Seq(("a", -0.5, -0.5), ("b", 0.5, 0.5), ("c", 0.5, -0.5), ("d", -0.5, 0.5),
+      ("e", 2.0, 0.0)).toDF("image_id", "lon", "lat")
+    val got = SpatialJoin.cellJoin(pts, "lon", "lat", poly, "ring", z = 6)
+      .select("image_id").collect().map(_.getString(0)).toSet
+    assert(got === Set("a", "b", "c", "d"))
+  }
+}
