@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** Streaming == batch for the windowed aggregation; stateful sessionization
+  * across triggers.
+  */
+class StreamsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def ts(min: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  private val events = Seq(
+    Event(1L, "click", ts(0), 1.0), Event(1L, "click", ts(1), 2.0),
+    Event(1L, "view", ts(30), 3.0), Event(2L, "click", ts(2), 4.0),
+    Event(2L, "click", ts(45), 5.0), Event(1L, "click", ts(46), 6.0))
+
+  test("streaming windowed aggregation equals the batch plan (memory sink)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val agg = Streams.windowedCounts(mem.toDF(), "ts", "event_type", "15 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("win_out")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val expected = Streams.windowedCounts(events.toDF(), "ts", "event_type", "15 minutes")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("batch sessionization splits by event-time gap") {
+    val sessions = Streams.sessionize(events.toDS(), gapMs = 10 * 60 * 1000, streaming = false)
+      .collect().map(s => (s.user_id, s.start, s.end, s.n_events, s.sum_value)).toSet
+    assert(sessions === Set(
+      (1L, ts(0), ts(1), 2, 3.0),   // 0,1 then 30 breaks the 10min gap
+      (1L, ts(30), ts(30), 1, 3.0),
+      (1L, ts(46), ts(46), 1, 6.0),
+      (2L, ts(2), ts(2), 1, 4.0),
+      (2L, ts(45), ts(45), 1, 5.0)))
+  }
+
+  test("streaming sessionization carries state across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Streams.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000, streaming = true)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      mem.addData(Event(1L, "a", ts(0), 1.0), Event(1L, "a", ts(1), 2.0))
+      q.processAllAvailable()
+      // same session continues in the next trigger: no session closed yet
+      mem.addData(Event(1L, "a", ts(5), 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() === 0)
+      // a far event closes the first session (gap exceeded)
+      mem.addData(Event(1L, "a", ts(40), 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out")
+        .collect().map(s => (s.getLong(0), s.getTimestamp(1), s.getTimestamp(2), s.getInt(3)))
+      assert(closed.toSeq === Seq((1L, ts(0), ts(5), 3)),
+        "first session spans both triggers before closing")
+    } finally q.stop()
+  }
+}
