@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Orchestrate the two-parallelism scaling bench: one fresh JVM per
+(job, cpus) leg, aggregate to BENCH_SCALING.md + one JSON line."""
+import json, re, subprocess, sys, datetime, pathlib
+
+N_IMAGES, N_POLYS, N_PAYLOAD = 30_000_000, 1000, 3_000_000
+JOBS = [("join_cells", "spatial-join (cell equi-join + PIP refine) + tiling"),
+        ("join_rtree", "spatial-join (broadcast R-tree, zero shuffle) + tiling"),
+        ("decode", "image decode + feature extraction")]
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+
+def sbt(cmd):
+    out = subprocess.run(
+        ["sbt", "-batch", cmd], capture_output=True, text=True,
+        env={**__import__("os").environ, "SPARK_DRIVER_MEM": "48g"}).stdout
+    m = re.findall(r'\{.*\}', out)
+    if not m:
+        print(out[-3000:], file=sys.stderr)
+        sys.exit(1)
+    return json.loads(m[-1])
+
+sbt(f"runMain graft.BenchScaling prep {N_IMAGES} {N_POLYS} {N_PAYLOAD}")
+
+res = {}
+for job, _ in JOBS:
+    for cpus in (8, 32):
+        leg = sbt(f"runMain graft.BenchScaling run {job} {cpus} {REPS}")
+        res[(job, cpus)] = leg
+        print(json.dumps(leg), flush=True)
+
+combined = {"bench": "scaling", "n_images": N_IMAGES, "n_polys": N_POLYS,
+            "n_payload": N_PAYLOAD}
+lines = [f"\n## Scaling evidence ({datetime.date.today()})\n",
+         "Same job, same parquet input, one fresh JVM per leg, min of "
+         f"{REPS} measured runs (warm-up excluded): `local[8]` vs `local[32]`"
+         " — the sandbox substitute for N vs 4N executors.\n",
+         "| job | output rows | T(8 cores) | T(32 cores) | rows/s @8 | rows/s @32 | efficiency (T8/T32)/4 |",
+         "|---|---|---|---|---|---|---|"]
+for job, desc in JOBS:
+    a, b = res[(job, 8)], res[(job, 32)]
+    eff = (a["sec"] / b["sec"]) / 4
+    combined[job] = {"rows": a["rows"], "sec_8": a["sec"], "sec_32": b["sec"],
+                     "rows_per_sec_8": round(a["rows"] / a["sec"]),
+                     "rows_per_sec_32": round(b["rows"] / b["sec"]),
+                     "efficiency": round(eff, 3)}
+    lines.append(f"| {desc} | {a['rows']} | {a['sec']:.2f} s | {b['sec']:.2f} s | "
+                 f"{a['rows']/a['sec']:.0f} | {b['rows']/b['sec']:.0f} | {eff:.3f} |")
+pathlib.Path("BENCH_SCALING.md").write_text("\n".join(lines) + "\n")
+print(json.dumps(combined))

@@ -152,17 +152,20 @@ object SparkEntry {
         .orderBy("way_id", "pos")
     }),
 
-    // A1 + W1: way centroid collapse with deterministic fresh ids
+    // A1 + W1: way centroid collapse with deterministic fresh ids.
+    // sequentialIds has two identical-output plans: window (small inputs,
+    // forced here — the aggregated way table is tiny at bench scale) and
+    // range-partition + zipWithIndex (the 10^12-row path, spec-verified)
     "q10_way_centroid" -> ((s, dir) => {
       val p = pts(s, dir)
-      val maxPid = p.agg(max(col("point_id")).as("max_pid"))
+      val maxPid = p.agg(max(col("point_id"))).collect()(0).getLong(0)
       val agg = p.groupBy(col("way_id")).agg(
         sum(col("lon_milli")).as("sl"), sum(col("lat_milli")).as("st"),
         count(lit(1)).as("n_refs"))
-      agg.crossJoin(broadcast(maxPid))
+      OsmOps.sequentialIds(agg, "way_id", maxPid, "new_id", windowThreshold = Long.MaxValue)
         .select(
           col("way_id"),
-          (col("max_pid") + dense_rank().over(Window.orderBy(col("way_id")))).as("new_id"),
+          col("new_id"),
           ((col("sl").cast("double") / col("n_refs")) / lit(1000.0) - lit(180.0)).as("clon"),
           ((col("st").cast("double") / col("n_refs")) / lit(1000.0) - lit(85.0)).as("clat"),
           col("n_refs"))
@@ -329,6 +332,14 @@ object SparkEntry {
         k = 10, bits = 12, dims = 64, probeRadius = 1)
         .orderBy("query_id", "rank")
     }),
+
+    // embedding-cosine near-dup pairs (dedup mode 5) — integer-exact
+    // cross-multiplied cosine threshold on quantized vectors
+    "q30_embedding_neardup" -> ((s, dir) =>
+      Ann.embeddingNearDupPairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        tauNum = 2, tauDen = 5)
+        .orderBy("id_1", "id_2")),
 
     // S6/S7: GeoJSON feature sink projection — no SQL oracle (JSON string
     // formatting is engine-specific); golden-tested in GeoFunctionsSpec
@@ -542,6 +553,22 @@ object SparkEntry {
       "q25_minhash_lsh" -> minhashLshSql,
 
       "q26_simhash" -> simhashSql,
+
+      "q30_embedding_neardup" ->
+        """WITH q AS (
+          |  SELECT vec_id, [CAST(ROUND(CAST(x AS DOUBLE) * 100) AS BIGINT) for x in embedding] AS qe
+          |  FROM embeddings
+          |), n AS (
+          |  SELECT vec_id, qe, list_reduce([v * v for v in qe], (a, b) -> a + b) AS n2 FROM q
+          |), p AS (
+          |  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+          |         list_reduce(list_transform(list_zip(a.qe, b.qe), t -> t[1] * t[2]), (x, y) -> x + y) AS dot,
+          |         a.n2 AS n1, b.n2 AS n2b
+          |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+          |)
+          |SELECT id_1, id_2, dot FROM p
+          |WHERE dot > 0 AND dot * dot * 25 >= 4 * n1 * n2b
+          |ORDER BY id_1, id_2""".stripMargin,
 
       "q27_ann_dot_topk" ->
         """WITH dims AS (

@@ -66,17 +66,41 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
   }
 
+  /** Embedding near-duplicate pairs: cosine(a, b) >= tau, decided with
+    * EXACT integer arithmetic on quantized vectors (factor 100 keeps
+    * dot² · tauDen² inside Long): cos >= tau  ⇔  dot > 0 and
+    * dot² · tauDen² >= tauNum² · |a|² · |b|².  The fifth dedup mode
+    * (embedding-cosine) of the training-data suite.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                            tauNum: Int, tauDen: Int): DataFrame = {
+    val q = df.select(col(idCol).as("vid"),
+      transform(col(embCol), x => round(x.cast("double") * lit(100.0)).cast("long")).as("qe"))
+      .withColumn("n2", aggregate(transform(col("qe"), v => v * v), lit(0L), (a, v) => a + v))
+    val a = q.select(col("vid").as("id_1"), col("qe").as("e1"), col("n2").as("n1"))
+    val b = q.select(col("vid").as("id_2"), col("qe").as("e2"), col("n2").as("n2b"))
+    a.crossJoin(b).filter(col("id_1") < col("id_2"))
+      .withColumn("dot", dotFold(col("e1"), col("e2")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(tauDen.toLong * tauDen) >=
+          lit(tauNum.toLong * tauNum) * col("n1") * col("n2b"))
+      .select(col("id_1"), col("id_2"), col("dot"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim d coefficient =
     * ((p·12582917 + d·104729) mod 97) − 48 — integer, engine-independent.
     */
   def planeCoeff(p: Int, d: Int): Long = ((p * 12582917L + d * 104729L) % 97L) - 48L
 
-  /** b-bit sign sketch of a quantized embedding. */
+  /** b-bit sign sketch of a quantized embedding. One fold per plane over a
+    * literal coefficient array (compact codegen; a flat bits×dims expression
+    * tree would dominate janino compile time).
+    */
   def signSketch(qEmb: Column, bits: Int, dims: Int): Column =
     (0 until bits).map { p =>
-      val proj = (0 until dims).map { d =>
-        element_at(qEmb, d + 1) * lit(planeCoeff(p, d))
-      }.reduce(_ + _)
+      val coeffs = typedLit((0 until dims).map(d => planeCoeff(p, d)))
+      val proj = aggregate(zip_with(qEmb, coeffs, (x, c) => x * c),
+        lit(0L), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -51,6 +51,30 @@ object GeoMath {
     dot >= 0.0 && dot <= len2
   }
 
+  /** Ray-cast over a flat [x0,y0,x1,y1,…] closed-ring array — same
+    * semantics as the ArrayData variant; pure function (thread-safe, no
+    * allocation), used by the broadcast R-tree probe.
+    */
+  def pointInFlatRing(lon: Double, lat: Double, ring: Array[Double]): Boolean = {
+    val n = ring.length / 2
+    if (n < 4) return false
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = ring(2 * i); val yi = ring(2 * i + 1)
+      val xj = ring(2 * j); val yj = ring(2 * j + 1)
+      if (onSegment(lon, lat, xi, yi, xj, yj)) return true
+      if ((yi > lat) != (yj > lat)) {
+        val xCross = (xj - xi) * (lat - yi) / (yj - yi) + xi
+        if (lon < xCross) inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+
   /** Squared euclidean distance in degree space (the engine's kNN metric —
     * monotone in true distance at fixture scale; documented semantic).
     */

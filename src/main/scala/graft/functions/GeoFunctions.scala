@@ -72,6 +72,21 @@ object GeoFunctions {
   def geojson_point(lon: Column, lat: Column): Column =
     to_json(struct(lit("Point").as("type"), array(lon, lat).as("coordinates")))
 
+  /** GeoJSON LineString / Polygon geometry from an array<struct<lon,lat>>
+    * (reference WayToFeature, /root/reference/osm/Planet.go:59-78 — closed
+    * rings become Polygons, open ways LineStrings; closure test first==last,
+    * the documented intent of the reference's off-by-one at Planet.go:67).
+    */
+  def geojson_way_geometry(ring: Column): Column = {
+    val coords = transform(ring, p => array(p.getField("lon"), p.getField("lat")))
+    val closed = element_at(ring, 1).getField("lon") === element_at(ring, -1).getField("lon") &&
+      element_at(ring, 1).getField("lat") === element_at(ring, -1).getField("lat")
+    when(closed,
+      to_json(struct(lit("Polygon").as("type"), array(coords).as("coordinates"))))
+      .otherwise(
+        to_json(struct(lit("LineString").as("type"), coords.as("coordinates"))))
+  }
+
   /** GeoJSON Feature with tag map as properties (reference S6/S8 sinks). */
   def geojson_feature(id: Column, lon: Column, lat: Column, tags: Column): Column =
     to_json(struct(

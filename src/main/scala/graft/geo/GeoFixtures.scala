@@ -69,6 +69,31 @@ object GeoFixtures {
     }.toDF()
   }
 
+  case class ImageLiteRow(image_id: String, lon: Double, lat: Double,
+                          w: Int, h: Int, craft: String)
+
+  /** Payload-free variant for join/tile benchmarks (pure arithmetic; 10^7
+    * rows generate in seconds). Same coordinates as [[images]].
+    */
+  def imagesLite(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val craftVals = Array("brewery", "distillery", "bakery", "pottery")
+    spark.range(n).map { id0 =>
+      val id = id0 + seed * 1000003L
+      val sizes = Array(16, 32, 64)
+      val w = sizes((mix(id + 1) & 0x7fffffffL).toInt % 3)
+      val h = sizes((mix(id + 2) & 0x7fffffffL).toInt % 3)
+      val (lon, lat) =
+        if (uniform(id, 11) < 0.6) {
+          val c = Cities((mix(id + 4) & 0x7fffffffL).toInt % Cities.length)
+          (clampLon(c._1 + gauss(id, 13) * 0.5), clampLat(c._2 + gauss(id, 17) * 0.5))
+        } else
+          (uniform(id, 19) * 360.0 - 180.0, uniform(id, 23) * 170.0 - 85.0)
+      val craft = craftVals((mix(id + 5) & 0x7fffffffL).toInt % craftVals.length)
+      ImageLiteRow(f"img$id0%09d", lon, lat, w, h, craft)
+    }.toDF()
+  }
+
   private def clampLon(v: Double): Double = math.max(-179.999, math.min(179.999, v))
   private def clampLat(v: Double): Double = math.max(-84.999, math.min(84.999, v))
 

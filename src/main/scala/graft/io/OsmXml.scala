@@ -1,0 +1,217 @@
+package graft.io
+
+import java.io.{BufferedInputStream, BufferedOutputStream, FileInputStream, FileOutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import javax.xml.stream.{XMLInputFactory, XMLOutputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** OSM XML compatibility reader/writer — S1/S5 in SURVEY.md §2.1.
+  *
+  * The engine's canonical storage is Parquet; this driver-side StAX
+  * codec exists to ingest/emit golden fixtures in the reference's format
+  * (element/attribute shapes per /root/reference/osm/UnmarshalNode.go:22-92,
+  * MarshalNode.go:14-66, MarshalPlanet.go:23-188), including `.osm.gz`
+  * (reference Input.go:63-98). Unknown attributes/elements are ignored,
+  * mirroring the reference's switch-with-default parse.
+  *
+  * Output order follows the reference: bounds, then nodes (insertion/id
+  * order), then ways — MarshalPlanet.go:130-162.
+  */
+object OsmXml {
+
+  val nodeSchema: StructType = StructType(Seq(
+    StructField("id", LongType, false),
+    StructField("version", IntegerType, true),
+    StructField("ts", TimestampType, true),
+    StructField("changeset", LongType, true),
+    StructField("uid", LongType, true),
+    StructField("user", StringType, true),
+    StructField("lon", DoubleType, false),
+    StructField("lat", DoubleType, false),
+    StructField("tags", MapType(StringType, StringType, false), false)))
+
+  val waySchema: StructType = StructType(Seq(
+    StructField("id", LongType, false),
+    StructField("version", IntegerType, true),
+    StructField("ts", TimestampType, true),
+    StructField("changeset", LongType, true),
+    StructField("uid", LongType, true),
+    StructField("user", StringType, true),
+    StructField("refs", ArrayType(LongType, false), false),
+    StructField("tags", MapType(StringType, StringType, false), false)))
+
+  val relationSchema: StructType = StructType(Seq(
+    StructField("id", LongType, false),
+    StructField("version", IntegerType, true),
+    StructField("ts", TimestampType, true),
+    StructField("changeset", LongType, true),
+    StructField("uid", LongType, true),
+    StructField("user", StringType, true),
+    StructField("members", ArrayType(StructType(Seq(
+      StructField("type", StringType, true),
+      StructField("ref", LongType, false),
+      StructField("role", StringType, true))), false), false),
+    StructField("tags", MapType(StringType, StringType, false), false)))
+
+  case class Planet(nodes: DataFrame, ways: DataFrame, relations: DataFrame,
+                    bounds: Option[(Double, Double, Double, Double)])
+
+  private def openIn(path: String) = {
+    val raw = new BufferedInputStream(new FileInputStream(path))
+    if (path.endsWith(".gz")) new GZIPInputStream(raw) else raw
+  }
+
+  private val tsFmt = java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME
+
+  private def parseTs(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.OffsetDateTime.parse(s, tsFmt).toInstant)
+
+  /** Read a .osm / .osm.gz planet file into typed DataFrames. */
+  def readPlanet(spark: SparkSession, path: String): Planet = {
+    val f = XMLInputFactory.newInstance()
+    val r = f.createXMLStreamReader(openIn(path))
+    val nodes = mutable.ArrayBuffer.empty[Row]
+    val ways = mutable.ArrayBuffer.empty[Row]
+    val rels = mutable.ArrayBuffer.empty[Row]
+    var bounds: Option[(Double, Double, Double, Double)] = None
+
+    var curKind: String = null
+    var attrs: Map[String, String] = Map.empty
+    var tags = mutable.LinkedHashMap.empty[String, String]
+    var refs = mutable.ArrayBuffer.empty[Long]
+    var members = mutable.ArrayBuffer.empty[Row]
+
+    def attr(name: String): Option[String] = attrs.get(name)
+    def finishElement(): Unit = {
+      val id = attr("id").map(_.toLong).getOrElse(0L)
+      val version = attr("version").map(v => java.lang.Integer.valueOf(v.toInt)).orNull
+      val ts = attr("timestamp").map(parseTs).orNull
+      val cs = attr("changeset").map(v => java.lang.Long.valueOf(v.toLong)).orNull
+      val uid = attr("uid").map(v => java.lang.Long.valueOf(v.toLong)).orNull
+      val user = attr("user").orNull
+      curKind match {
+        case "node" =>
+          nodes += Row(id, version, ts, cs, uid, user,
+            attr("lon").map(_.toDouble).getOrElse(0.0),
+            attr("lat").map(_.toDouble).getOrElse(0.0), tags.toMap)
+        case "way" =>
+          ways += Row(id, version, ts, cs, uid, user, refs.toSeq, tags.toMap)
+        case "relation" =>
+          rels += Row(id, version, ts, cs, uid, user, members.toSeq, tags.toMap)
+        case _ =>
+      }
+      curKind = null
+    }
+
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          val name = r.getLocalName
+          def readAttrs(): Map[String, String] =
+            (0 until r.getAttributeCount).map(i => r.getAttributeLocalName(i) -> r.getAttributeValue(i)).toMap
+          name match {
+            case "node" | "way" | "relation" =>
+              curKind = name; attrs = readAttrs()
+              tags = mutable.LinkedHashMap.empty; refs = mutable.ArrayBuffer.empty
+              members = mutable.ArrayBuffer.empty
+            case "tag" if curKind != null =>
+              val a = readAttrs(); tags += (a.getOrElse("k", "") -> a.getOrElse("v", ""))
+            case "nd" if curKind == "way" =>
+              readAttrs().get("ref").foreach(v => refs += v.toLong)
+            case "member" if curKind == "relation" =>
+              val a = readAttrs()
+              members += Row(a.getOrElse("type", ""), a.get("ref").map(_.toLong).getOrElse(0L),
+                a.getOrElse("role", ""))
+            case "bounds" =>
+              val a = readAttrs()
+              bounds = Some((a("minlon").toDouble, a("minlat").toDouble,
+                a("maxlon").toDouble, a("maxlat").toDouble))
+            case _ => // unknown element: ignored (reference default case)
+          }
+        case XMLStreamConstants.END_ELEMENT =>
+          if (curKind != null && r.getLocalName == curKind) finishElement()
+        case _ =>
+      }
+    }
+    r.close()
+    import scala.jdk.CollectionConverters._
+    Planet(
+      spark.createDataFrame(nodes.asJava, nodeSchema),
+      spark.createDataFrame(ways.asJava, waySchema),
+      spark.createDataFrame(rels.asJava, relationSchema),
+      bounds)
+  }
+
+  /** Write DataFrames back to .osm / .osm.gz in the reference's order:
+    * bounds, nodes by id, ways by id (MarshalPlanet.go:130-162). Collects
+    * to the driver — fixture-scale only.
+    */
+  def writePlanet(p: Planet, path: String): Unit = {
+    val rawOut = new BufferedOutputStream(new FileOutputStream(path))
+    val out = if (path.endsWith(".gz")) new GZIPOutputStream(rawOut) else rawOut
+    val w = XMLOutputFactory.newInstance().createXMLStreamWriter(out, "UTF-8")
+    w.writeStartDocument("UTF-8", "1.0")
+    w.writeStartElement("osm")
+    w.writeAttribute("version", "0.6")
+    w.writeAttribute("generator", "graft")
+    p.bounds.foreach { case (minLon, minLat, maxLon, maxLat) =>
+      w.writeEmptyElement("bounds")
+      w.writeAttribute("minlon", f"$minLon%.7f"); w.writeAttribute("minlat", f"$minLat%.7f")
+      w.writeAttribute("maxlon", f"$maxLon%.7f"); w.writeAttribute("maxlat", f"$maxLat%.7f")
+    }
+
+    def writeCommon(r: Row): Unit = {
+      w.writeAttribute("id", r.getLong(0).toString)
+      if (!r.isNullAt(1)) w.writeAttribute("version", r.getInt(1).toString)
+      if (!r.isNullAt(2)) w.writeAttribute("timestamp",
+        java.time.OffsetDateTime.ofInstant(r.getTimestamp(2).toInstant,
+          java.time.ZoneOffset.UTC).format(tsFmt))
+      if (!r.isNullAt(3)) w.writeAttribute("changeset", r.getLong(3).toString)
+      if (!r.isNullAt(4)) w.writeAttribute("uid", r.getLong(4).toString)
+      if (!r.isNullAt(5)) w.writeAttribute("user", r.getString(5))
+    }
+    def writeTags(tags: Map[String, String]): Unit =
+      tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        w.writeEmptyElement("tag"); w.writeAttribute("k", k); w.writeAttribute("v", v)
+      }
+
+    p.nodes.orderBy(col("id")).collect().foreach { r =>
+      w.writeStartElement("node")
+      writeCommon(r)
+      w.writeAttribute("lon", f"${r.getDouble(6)}%.7f")
+      w.writeAttribute("lat", f"${r.getDouble(7)}%.7f")
+      writeTags(r.getMap[String, String](8).toMap)
+      w.writeEndElement()
+    }
+    p.ways.orderBy(col("id")).collect().foreach { r =>
+      w.writeStartElement("way")
+      writeCommon(r)
+      r.getSeq[Long](6).foreach { ref =>
+        w.writeEmptyElement("nd"); w.writeAttribute("ref", ref.toString)
+      }
+      writeTags(r.getMap[String, String](7).toMap)
+      w.writeEndElement()
+    }
+    p.relations.orderBy(col("id")).collect().foreach { r =>
+      w.writeStartElement("relation")
+      writeCommon(r)
+      r.getSeq[Row](6).foreach { m =>
+        w.writeEmptyElement("member")
+        w.writeAttribute("type", m.getString(0))
+        w.writeAttribute("ref", m.getLong(1).toString)
+        w.writeAttribute("role", m.getString(2))
+      }
+      writeTags(r.getMap[String, String](7).toMap)
+      w.writeEndElement()
+    }
+    w.writeEndElement()
+    w.writeEndDocument()
+    w.close()
+    out.close()
+  }
+}

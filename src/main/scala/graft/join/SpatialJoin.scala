@@ -6,8 +6,7 @@ import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => t
 import org.apache.spark.sql.types._
 import graft.expr.CoverCellsExpr
 import graft.functions.GeoFunctions._
-import org.locationtech.jts.geom.{Coordinate, GeometryFactory, Polygon => JtsPolygon}
-import org.locationtech.jts.geom.prep.{PreparedGeometryFactory, PreparedGeometry}
+import org.locationtech.jts.geom.GeometryFactory
 import org.locationtech.jts.index.strtree.STRtree
 
 /** Point-in-polygon spatial join — the engine's marquee operator, realizing
@@ -22,7 +21,7 @@ import org.locationtech.jts.index.strtree.STRtree
   *
   * 2. [[broadcastRtreeJoin]] — the polygon side (typically 10^2..10^6
   *    boundary rings vs 10^12 points) is collected into a JTS STRtree of
-  *    PreparedGeometries, broadcast, and probed per-partition. ZERO shuffle
+  *    flat ring arrays, broadcast, and probed per-partition. ZERO shuffle
   *    of the point table — at 100 TB this is the default plan.
   *
   * Both return the same rows; `SpatialJoinSpec` cross-checks them against a
@@ -64,6 +63,46 @@ object SpatialJoin {
       .drop("__cell")
   }
 
+  /** Salted cell join for skewed data: hot cells (dense cities) are split
+    * k ways — points get `salt = hash(pointRow) % k`, the polygon side is
+    * replicated across all k salt values for its hot cells — so no single
+    * reducer owns a whole city. Cold cells keep salt 0 with no replication.
+    * Same output as [[cellJoin]]; SpatialJoinSpec asserts equality.
+    *
+    * @param hotCellThreshold point count above which a cell is salted
+    * @param saltK            number of splits for hot cells
+    */
+  def cellJoinSalted(points: DataFrame, lonCol: String, latCol: String,
+                     polygons: DataFrame, ringCol: String, z: Int = 7,
+                     hotCellThreshold: Long = 1000000L, saltK: Int = 8): DataFrame = {
+    val ptCells = points.withColumn("__cell", cell_id(col(lonCol), col(latCol), z))
+    // 1. hot-cell histogram (cheap: one partial-agg pass over the cell col)
+    val hot = ptCells.groupBy(col("__cell")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotCellThreshold)
+      .select(col("__cell"))
+    val hotSet = hot.collect().map(_.getLong(0)).toSet
+    val hotLit = typedLit(hotSet.toSeq)
+
+    // 2. points: salt only hot cells
+    val ptSalted = ptCells.withColumn("__salt",
+      when(array_contains(hotLit, col("__cell")),
+        pmod(hash(col(lonCol), col(latCol)), lit(saltK)))
+        .otherwise(lit(0)))
+
+    // 3. polygons: replicate hot covering cells saltK ways, cold cells once
+    val (mnLon, mnLat, mxLon, mxLat) = ringBounds(col(ringCol))
+    val polyCells = polygons
+      .withColumn("__cell", explode(coverCells(mnLon, mnLat, mxLon, mxLat, z)))
+      .withColumn("__salt", explode(
+        when(array_contains(hotLit, col("__cell")),
+          sequence(lit(0), lit(saltK - 1)))
+          .otherwise(array(lit(0)))))
+
+    ptSalted.join(polyCells, Seq("__cell", "__salt"))
+      .filter(point_in_ring(col(lonCol), col(latCol), col(ringCol)))
+      .drop("__cell", "__salt")
+  }
+
   /** Broadcast-R-tree variant: build an STRtree of prepared polygons on the
     * driver, broadcast it, probe per point partition. Returns
     * (pointColumns..., polygon_id).
@@ -90,14 +129,18 @@ object SpatialJoin {
     val probe = udf { (lon: Double, lat: Double) =>
       val tree = RtreeCache.get(bc.id, bc.value)
       val hits = tree.query(new org.locationtech.jts.geom.Envelope(lon, lon, lat, lat))
-      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val pt = RtreeCache.factory.createPoint(new Coordinate(lon, lat))
+      // primitive Array result: no per-row Seq boxing in the hot path
+      var out = new Array[Long](hits.size())
+      var n = 0
       val it = hits.iterator()
       while (it.hasNext) {
-        val (id, prep) = it.next().asInstanceOf[(Long, PreparedGeometry)]
-        if (prep.covers(pt)) out += id
+        val (id, flat) = it.next().asInstanceOf[(Long, Array[Double])]
+        // flat-ring ray cast: pure function, thread-safe under 32 concurrent
+        // tasks (JTS PreparedGeometry is NOT — it lazily builds internal
+        // indexes on first query)
+        if (graft.expr.GeoMath.pointInFlatRing(lon, lat, flat)) { out(n) = id; n += 1 }
       }
-      out.toSeq
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
     }
     points
       .withColumn("polygon_id", explode(probe(col(lonCol), col(latCol))))
@@ -105,11 +148,10 @@ object SpatialJoin {
 }
 
 /** Per-executor cache: deserialize the broadcast ring array into a JTS
-  * STRtree of PreparedGeometries once per executor, not once per task.
+  * STRtree (thread-safe after build()) once per executor, not once per task.
   */
 object RtreeCache {
   val factory = new GeometryFactory()
-  private val prepFactory = new PreparedGeometryFactory()
   @volatile private var cached: (Long, STRtree) = (-1L, null)
 
   def get(bcId: Long, polys: Array[(Long, Array[Double])]): STRtree = {
@@ -120,12 +162,17 @@ object RtreeCache {
       if (c2._1 == bcId && c2._2 != null) return c2._2
       val tree = new STRtree()
       polys.foreach { case (id, flat) =>
-        val coords = new Array[Coordinate](flat.length / 2)
+        var minX = Double.MaxValue; var minY = Double.MaxValue
+        var maxX = Double.MinValue; var maxY = Double.MinValue
         var i = 0
-        while (i < coords.length) { coords(i) = new Coordinate(flat(2 * i), flat(2 * i + 1)); i += 1 }
-        val poly: JtsPolygon = factory.createPolygon(coords)
-        val prep = prepFactory.create(poly)
-        tree.insert(poly.getEnvelopeInternal, (id, prep))
+        while (i < flat.length) {
+          if (flat(i) < minX) minX = flat(i)
+          if (flat(i) > maxX) maxX = flat(i)
+          if (flat(i + 1) < minY) minY = flat(i + 1)
+          if (flat(i + 1) > maxY) maxY = flat(i + 1)
+          i += 2
+        }
+        tree.insert(new org.locationtech.jts.geom.Envelope(minX, maxX, minY, maxY), (id, flat))
       }
       tree.build()
       cached = (bcId, tree)

@@ -52,12 +52,19 @@ object Knn {
 
     val emptyBest = spark.emptyDataFrame
     var best: DataFrame = null
-    var r = 0
+    var explored = -1 // highest ring index already explored
     val hardMax = math.min(maxRings, 1 << math.min(z, 20))
 
-    while (r <= hardMax && !remaining.isEmpty) {
+    while (explored < hardMax && !remaining.isEmpty) {
+      // first iteration explores rings 0..1 together — with a well-chosen z
+      // most queries finish in one pass instead of two
+      val hi = if (explored < 0) 1 else explored + 1
+      val ringsHere: Column =
+        if (explored < 0) flatten(transform(sequence(lit(0), lit(hi)),
+          kCol => ringCells(col("__qcell"), kCol)))
+        else ringCells(col("__qcell"), lit(hi))
       val cand = remaining
-        .withColumn("__cell", explode(ringCells(col("__qcell"), lit(r))))
+        .withColumn("__cell", explode(ringsHere))
         .join(pts, "__cell")
         .select(col("query_id"), col("point_id"),
           sq_dist_deg(col("p_lon"), col("p_lat"), col("q_lon"), col("q_lat")).as("dist"))
@@ -77,17 +84,16 @@ object Knn {
       val stats = newBest.groupBy(col("query_id"))
         .agg(count(lit(1)).as("__n"), max(col("dist")).as("__kth"))
 
-      val prevBest = best
       best = newBest
+      explored = hi
       val prevRemaining = remaining
       remaining = prevRemaining
         .join(stats, Seq("query_id"), "left")
         .filter(coalesce(col("__n"), lit(0L)) < k ||
-          col("__kth") > ringMinSqDist(col("q_lon"), col("q_lat"), col("__qcell"), lit(r + 1)))
+          col("__kth") > ringMinSqDist(col("q_lon"), col("q_lat"), col("__qcell"), lit(explored + 1)))
         .select("query_id", "q_lon", "q_lat", "__qcell")
         .persist()
       prevRemaining.unpersist()
-      r += 1
     }
 
     remaining.unpersist()

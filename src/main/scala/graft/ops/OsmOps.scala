@@ -79,7 +79,40 @@ object OsmOps {
   def wayCentroids(resolved: DataFrame, maxId: Long): DataFrame = {
     val agg = resolved.groupBy(col("way_id"))
       .agg(avg(col("lon")).as("lon"), avg(col("lat")).as("lat"), count(lit(1)).as("n_refs"))
-    agg.withColumn("new_id", lit(maxId) + dense_rank().over(Window.orderBy(col("way_id"))))
+    sequentialIds(agg, "way_id", maxId, "new_id")
+  }
+
+  /** Deterministic sequential ids `offset+1, offset+2, …` in `orderCol`
+    * order. Identical output at any parallelism — the scale-correct W1
+    * (reference MarshalPlanet.go:99-118 is iteration-order-dependent; this
+    * is not). Two physical plans with the same result:
+    *
+    *  - small inputs: `row_number` over a single-partition window (two
+    *    narrow shuffles; cheapest below ~10M rows)
+    *  - large inputs: range-repartition on the key + sortWithinPartitions +
+    *    `zipWithIndex` — no single-partition stage anywhere, scales to
+    *    10^12 rows
+    */
+  def sequentialIds(df: DataFrame, orderCol: String, offset: Long,
+                    idName: String, windowThreshold: Long = 10_000_000L): DataFrame = {
+    // extreme thresholds pick a plan without paying a count() pass
+    val n = if (windowThreshold == Long.MaxValue) 0L
+            else if (windowThreshold <= 0L) Long.MaxValue
+            else df.count()
+    if (n <= windowThreshold) {
+      df.withColumn(idName,
+        lit(offset) + row_number().over(Window.orderBy(col(orderCol))).cast("long"))
+    } else {
+      val spark = df.sparkSession
+      val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
+      val schema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+
+          org.apache.spark.sql.types.StructField(idName, org.apache.spark.sql.types.LongType, false))
+      val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (offset + i + 1))
+      }
+      spark.createDataFrame(rdd, schema)
+    }
   }
 
   // ---- J2: way-node retention semi-join (UnmarshalPlanet.go:139-177):

@@ -82,6 +82,20 @@ class OsmOpsSpec extends SparkSpecBase {
     assert(cents(20L) === ((3.0, 1.0, 102L)))
   }
 
+  test("sequentialIds: window and zipWithIndex plans produce identical ids (W1)") {
+    val df = spark.range(1, 5001).toDF("k")
+      .withColumn("k", (col("k") * 7919L) % 104729L) // scrambled, unique
+    val viaWindow = OsmOps.sequentialIds(df, "k", 100L, "id", windowThreshold = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaZip = OsmOps.sequentialIds(df, "k", 100L, "id", windowThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaWindow === viaZip)
+    assert(viaWindow.size === 5000)
+    // ids are a dense sequence starting at offset+1
+    assert(viaWindow.map(_._2).min === 101L)
+    assert(viaWindow.map(_._2).max === 5100L)
+  }
+
   test("tagCardinality exact and approx (A2 TagsCache capability)") {
     val df = Seq(
       (1L, Map("a" -> "1", "b" -> "2")),

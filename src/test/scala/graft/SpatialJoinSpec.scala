@@ -46,6 +46,15 @@ class SpatialJoinSpec extends SparkSpecBase {
     assert(z8 === expected)
   }
 
+  test("salted cell join (hot-cell splitting) equals the plain plan") {
+    // threshold 50 makes the city clusters hot -> salting actually engages
+    val salted = graft.join.SpatialJoin.cellJoinSalted(
+      images, "lon", "lat", polys, "ring", z = 6, hotCellThreshold = 50L, saltK = 4)
+      .select(col("image_id"), col("polygon_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted === expected)
+  }
+
   test("polygon straddling a cell boundary still joins (regression)") {
     import spark.implicits._
     // square centered exactly on the z=6 cell corner at (0,0)
