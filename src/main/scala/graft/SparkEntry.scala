@@ -341,6 +341,34 @@ object SparkEntry {
         tauNum = 2, tauDen = 5)
         .orderBy("id_1", "id_2")),
 
+    // S4/E2/J4: multi-input union with duplicate-id fail-fast — points from
+    // lineitem unioned with a second "input file" derived from orders
+    // (disjoint id space, so the dup check passes)
+    "q31_multi_union" -> ((s, dir) => {
+      val a = pts(s, dir).select(col("point_id").as("id"), col("lon"), col("lat"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val b = o.select(
+        (col("o_orderkey") * lit(10L) + lit(9L)).as("id"), // linenumber slot 9: never used by pts
+        (pmod((col("o_orderkey") * lit(10L) + lit(9L)) * lit(GeoTables.LonMul), lit(360000L)) / lit(1000.0) - lit(180.0)).as("lon"),
+        (pmod((col("o_orderkey") * lit(10L) + lit(9L)) * lit(GeoTables.LatMul), lit(170000L)) / lit(1000.0) - lit(85.0)).as("lat"))
+      OsmOps.unionWithDupCheck(Seq(a, b), "id").orderBy("id")
+    }),
+
+    // A4: global distinct tag dictionary (TagsCache capability)
+    "q32_tag_dictionary" -> ((s, dir) =>
+      taggedPts(s, dir)
+        .select(explode(col("tags")).as(Seq("key", "value")))
+        .distinct()
+        .orderBy("key", "value")),
+
+    // X2/X4: bbox + coordinate formatting (reference Bounds.BoundingBox
+    // "%.6f" — exact here because coords have ≤3 decimal digits)
+    "q33_formats" -> ((s, dir) => {
+      val b = OsmOps.bounds(pts(s, dir), "lon", "lat")
+      b.select(format_string("%.6f,%.6f,%.6f,%.6f",
+        col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")).as("bbox"))
+    }),
+
     // S6/S7: GeoJSON feature sink projection — no SQL oracle (JSON string
     // formatting is engine-specific); golden-tested in GeoFunctionsSpec
     "q29_geojson" -> ((s, dir) =>
@@ -569,6 +597,32 @@ object SparkEntry {
           |SELECT id_1, id_2, dot FROM p
           |WHERE dot > 0 AND dot * dot * 25 >= 4 * n1 * n2b
           |ORDER BY id_1, id_2""".stripMargin,
+
+      "q31_multi_union" ->
+        s"""$withPts, b AS (
+           |  SELECT o_orderkey * 10 + 9 AS id,
+           |         ((o_orderkey * 10 + 9) * 2654435761) % 360000 / 1000.0 - 180.0 AS lon,
+           |         ((o_orderkey * 10 + 9) * 2246822519) % 170000 / 1000.0 - 85.0 AS lat
+           |  FROM orders
+           |)
+           |SELECT id, lon, lat FROM (
+           |  SELECT point_id AS id, lon, lat FROM pts
+           |  UNION ALL SELECT id, lon, lat FROM b
+           |) ORDER BY id""".stripMargin,
+
+      "q32_tag_dictionary" ->
+        s"""$withPts
+           |SELECT key, value FROM (
+           |  SELECT 'flag' AS key, tag_flag AS value FROM pts
+           |  UNION SELECT 'status', tag_status FROM pts
+           |  UNION SELECT 'bulk', 'y' FROM pts WHERE quantity > 30
+           |  UNION SELECT 'tiny', 'y' FROM pts WHERE quantity < 5
+           |) ORDER BY key, value""".stripMargin,
+
+      "q33_formats" ->
+        s"""$withPts
+           |SELECT printf('%.6f,%.6f,%.6f,%.6f', MIN(lon), MIN(lat), MAX(lon), MAX(lat)) AS bbox
+           |FROM pts""".stripMargin,
 
       "q27_ann_dot_topk" ->
         """WITH dims AS (

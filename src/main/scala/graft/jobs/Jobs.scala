@@ -1,0 +1,144 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.geo.GeoFixtures
+import graft.io.SnapshotTable
+import graft.join.SpatialJoin
+import graft.ops.OsmOps
+import graft.plans.CellPrune
+
+/** spark-submit entry points (SURVEY.md §7.1.9). Every job writes through
+  * [[graft.io.SnapshotTable]] — partitioned by a coarse cell key, with
+  * per-partition row-count manifests and lineage — so a killed run resumes
+  * from its last committed partition (`--class graft.jobs.<Job>`).
+  *
+  * Session config comes from spark-submit; these mains only `getOrCreate`.
+  */
+object Jobs {
+
+  def session(name: String): SparkSession = {
+    val b = SparkSession.builder().appName(name)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    // local fallback for ad-hoc runs outside spark-submit
+    if (!sys.props.contains("spark.master") && sys.env.get("MASTER").isEmpty)
+      b.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val s = b.getOrCreate()
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ CellPrune.CellPruneRule
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Coarse partition key for snapshot tables: cell at z=3 (64 partitions
+    * worldwide; scale z with data volume).
+    */
+  def partitionKey(df: DataFrame, z: Int = 3): DataFrame =
+    df.withColumn("part_cell",
+      graft.functions.GeoFunctions.cell_id(col("lon"), col("lat"), z).cast("string"))
+}
+
+/** Generate the synthetic geotagged image+caption table (fixture stand-in
+  * for the 10^12-row ingest): `GenerateJob <outRoot> <nImages> [nPolys]`.
+  */
+object GenerateJob {
+  def main(args: Array[String]): Unit = {
+    val Array(out, n) = args.take(2)
+    val nPolys = args.lift(2).map(_.toInt).getOrElse(500)
+    val spark = Jobs.session("graft-generate")
+    val imgs = Jobs.partitionKey(GeoFixtures.images(spark, n.toLong))
+    val r1 = SnapshotTable.commit(imgs, s"$out/images", "part_cell",
+      "generate-images", Seq("synthetic:seed=42"))
+    val polys = GeoFixtures.boundaries(spark, nPolys)
+      .withColumn("part_cell", lit("all"))
+    val r2 = SnapshotTable.commit(polys, s"$out/boundaries", "part_cell",
+      "generate-boundaries", Seq("synthetic:seed=7"))
+    println(s"""{"images": ${r1.totalRows}, "written": ${r1.written.size}, "skipped": ${r1.skipped.size}, "boundaries": ${r2.totalRows}}""")
+    spark.stop()
+  }
+}
+
+/** bbox + tag extract (the go-osm CLI equivalent):
+  * `ExtractJob <tableRoot> <outRoot> <minLon> <minLat> <maxLon> <maxLat> [dfl]`.
+  */
+object ExtractJob {
+  def main(args: Array[String]): Unit = {
+    val in = args(0); val out = args(1)
+    val Array(minLon, minLat, maxLon, maxLat) = args.slice(2, 6).map(_.toDouble)
+    val dfl = args.lift(6)
+    val spark = Jobs.session("graft-extract")
+    var df = SnapshotTable.read(spark, s"$in/images", "part_cell")
+    df = OsmOps.bboxExtract(df, "lon", "lat", minLon, minLat, maxLon, maxLat)
+    dfl.foreach { expr =>
+      df = df.filter(graft.dfl.Dfl.compile(expr, k => element_at(col("tags"), k)))
+    }
+    val rep = SnapshotTable.commit(Jobs.partitionKey(df.drop("part_cell")),
+      s"$out/extract", "part_cell", s"extract bbox=[$minLon,$minLat,$maxLon,$maxLat] dfl=${dfl.getOrElse("-")}",
+      Seq(s"$in/images@${SnapshotTable.currentSnapshotId(spark, s"$in/images").getOrElse("?")}"))
+    println(s"""{"rows": ${rep.totalRows}, "written": ${rep.written.size}, "skipped": ${rep.skipped.size}}""")
+    spark.stop()
+  }
+}
+
+/** Spatial join + tile assignment: `SpatialJoinJob <tableRoot> <outRoot> [z] [tileZ]`. */
+object SpatialJoinJob {
+  def main(args: Array[String]): Unit = {
+    val in = args(0); val out = args(1)
+    val z = args.lift(2).map(_.toInt).getOrElse(6)
+    val tileZ = args.lift(3).map(_.toInt).getOrElse(12)
+    val spark = Jobs.session("graft-spatial-join")
+    val imgs = SnapshotTable.read(spark, s"$in/images", "part_cell")
+    val polys = SnapshotTable.read(spark, s"$in/boundaries", "part_cell")
+    val joined = SpatialJoin.cellJoin(imgs.drop("part_cell"), "lon", "lat",
+      polys.drop("part_cell"), "ring", z)
+    val tiled = graft.tiles.Tiles.assignPoint(joined, "lon", "lat", tileZ)
+      .select(col("image_id"), col("polygon_id"), col("tile_z"), col("tile_x"), col("tile_y"),
+        col("lon"), col("lat"))
+    val rep = SnapshotTable.commit(Jobs.partitionKey(tiled),
+      s"$out/joined_tiles", "part_cell", s"spatial-join z=$z tiles z=$tileZ",
+      Seq(s"$in/images", s"$in/boundaries"))
+    println(s"""{"rows": ${rep.totalRows}, "written": ${rep.written.size}, "skipped": ${rep.skipped.size}}""")
+    spark.stop()
+  }
+}
+
+/** kNN per polygon centroid: `KnnJob <tableRoot> <outRoot> [k]`. */
+object KnnJob {
+  def main(args: Array[String]): Unit = {
+    val in = args(0); val out = args(1)
+    val k = args.lift(2).map(_.toInt).getOrElse(5)
+    val spark = Jobs.session("graft-knn")
+    val imgs = SnapshotTable.read(spark, s"$in/images", "part_cell")
+    val polys = SnapshotTable.read(spark, s"$in/boundaries", "part_cell")
+    val (mnLon, mnLat, mxLon, mxLat) = SpatialJoin.ringBounds(col("ring"))
+    val queries = polys.select(col("polygon_id"),
+      ((mnLon + mxLon) / 2).as("qlon"), ((mnLat + mxLat) / 2).as("qlat"))
+    val knn = graft.knn.Knn.cellRing(queries, "polygon_id", "qlon", "qlat",
+      imgs.withColumn("pid", expr("cast(substring(image_id, 4, 9) as long)")),
+      "pid", "lon", "lat", k)
+    val rep = SnapshotTable.commit(
+      knn.withColumn("part_cell", pmod(col("query_id"), lit(16L)).cast("string")),
+      s"$out/knn", "part_cell", s"knn k=$k", Seq(s"$in/images", s"$in/boundaries"))
+    println(s"""{"rows": ${rep.totalRows}, "written": ${rep.written.size}, "skipped": ${rep.skipped.size}}""")
+    spark.stop()
+  }
+}
+
+/** Dataset profile: `SummarizeJob <tableRoot>` — prints one JSON line. */
+object SummarizeJob {
+  def main(args: Array[String]): Unit = {
+    val in = args(0)
+    val spark = Jobs.session("graft-summarize")
+    val imgs = SnapshotTable.read(spark, s"$in/images", "part_cell")
+    val s = imgs.agg(
+      count(lit(1)).as("rows"),
+      min(col("lon")).as("min_lon"), min(col("lat")).as("min_lat"),
+      max(col("lon")).as("max_lon"), max(col("lat")).as("max_lat")).collect()(0)
+    val card = OsmOps.tagCardinality(imgs, "tags", approx = true).collect()(0)
+    println(f"""{"rows": ${s.getLong(0)}, "bbox": "${s.getDouble(1)}%.6f,${s.getDouble(2)}%.6f,${s.getDouble(3)}%.6f,${s.getDouble(4)}%.6f", "approx_keys": ${card.getLong(0)}, "approx_tags": ${card.getLong(1)}}""")
+    spark.stop()
+  }
+}
