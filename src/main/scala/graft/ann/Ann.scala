@@ -74,17 +74,52 @@ object Ann {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                             tauNum: Int, tauDen: Int): DataFrame = {
-    val q = df.select(col(idCol).as("vid"),
+    val spark = df.sparkSession
+    import spark.implicits._
+    // broadcast the quantized matrix (64-dim ints: ~1 KB per 100 vectors);
+    // each partition compares its rows against all higher ids in a
+    // primitive loop — no per-pair array allocation. At 10^12 scale this
+    // runs inside LSH blocks ([[lshBuckets]]); corpus-wide it needs the
+    // matrix to fit in executor memory (~10^7 vectors).
+    val quant = df.select(col(idCol).cast("long").as("vid"),
       transform(col(embCol), x => round(x.cast("double") * lit(100.0)).cast("long")).as("qe"))
-      .withColumn("n2", aggregate(transform(col("qe"), v => v * v), lit(0L), (a, v) => a + v))
-    val a = q.select(col("vid").as("id_1"), col("qe").as("e1"), col("n2").as("n1"))
-    val b = q.select(col("vid").as("id_2"), col("qe").as("e2"), col("n2").as("n2b"))
-    a.crossJoin(b).filter(col("id_1") < col("id_2"))
-      .withColumn("dot", dotFold(col("e1"), col("e2")))
-      .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * lit(tauDen.toLong * tauDen) >=
-          lit(tauNum.toLong * tauNum) * col("n1") * col("n2b"))
-      .select(col("id_1"), col("id_2"), col("dot"))
+    val all: Array[(Long, Array[Long])] = quant.as[(Long, Array[Long])]
+      .collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all)
+    val tn2 = tauNum.toLong * tauNum
+    val td2 = tauDen.toLong * tauDen
+
+    quant.as[(Long, Array[Long])].mapPartitions { it =>
+      val corpus = bc.value
+      val norms = corpus.map { case (_, v) =>
+        var s = 0L; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        s
+      }
+      it.flatMap { case (id1, e1) =>
+        var n1 = 0L
+        var i = 0
+        while (i < e1.length) { n1 += e1(i) * e1(i); i += 1 }
+        // binary search to the first id > id1 (corpus sorted by id)
+        var lo = 0; var hi = corpus.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (corpus(mid)._1 <= id1) lo = mid + 1 else hi = mid
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var j = lo
+        while (j < corpus.length) {
+          val (id2, e2) = corpus(j)
+          var dot = 0L
+          var d = 0
+          while (d < e1.length) { dot += e1(d) * e2(d); d += 1 }
+          if (dot > 0 && dot * dot * td2 >= tn2 * n1 * norms(j))
+            out += ((id1, id2, dot))
+          j += 1
+        }
+        out
+      }
+    }.toDF("id_1", "id_2", "dot")
   }
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d coefficient =
