@@ -158,10 +158,14 @@ object SparkEntry {
     // range-partition + zipWithIndex (the 10^12-row path, spec-verified)
     "q10_way_centroid" -> ((s, dir) => {
       val p = pts(s, dir)
-      val maxPid = p.agg(max(col("point_id"))).collect()(0).getLong(0)
+      // one pass over the input: max point id is derivable from the same
+      // per-way aggregation (max pos within the max way)
       val agg = p.groupBy(col("way_id")).agg(
         sum(col("lon_milli")).as("sl"), sum(col("lat_milli")).as("st"),
-        count(lit(1)).as("n_refs"))
+        count(lit(1)).as("n_refs"), max(col("pos")).as("max_pos"))
+        .persist()
+      val maxPid = agg.agg(max(col("way_id") * lit(10L) + col("max_pos")))
+        .collect()(0).getLong(0)
       OsmOps.sequentialIds(agg, "way_id", maxPid, "new_id", windowThreshold = Long.MaxValue)
         .select(
           col("way_id"),

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Text-analysis operators on hand-computable inputs. */
+class TextOpsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "Zahlen 123 und der Hund!"),
+    (3L, "aaaa")).toDF("doc_id", "text")
+
+  test("token and alpha counts") {
+    val r = df.select(col("doc_id"), TextOps.tokenCount(col("text")).as("t"),
+      TextOps.alphaCount(col("text")).as("a"))
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2))).toMap
+    assert(r(1L) === ((6, 17)))
+    assert(r(2L) === ((5, 16))) // Zahlen+und+der+Hund = 16 letters, 5 tokens
+    assert(r(3L) === ((1, 4)))
+  }
+
+  test("marker counting and language argmax (first-wins ties)") {
+    val scores = TextOps.langScores(col("text"), Seq(
+      "en" -> Seq(" the "), "de" -> Seq(" und ", " der ")))
+    val r = df.select(col("doc_id"), TextOps.langPredict(scores).as("p"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) === "en") // one " the "
+    assert(r(2L) === "de") // und + der = 2
+    assert(r(3L) === "en") // all-zero tie -> first language
+  }
+
+  test("rolling fingerprint matches a hand fold") {
+    val got = df.filter(col("doc_id") === 3L)
+      .select(TextOps.fingerprintRolling(col("text"))).collect()(0).getLong(0)
+    val expected = "aaaa".foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    assert(got === expected)
+  }
+
+  test("positional fingerprint matches a hand sum") {
+    val got = TextOps.fingerprintPositional(df.filter(col("doc_id") === 3L), "doc_id", "text")
+      .collect()(0).getLong(1)
+    val expected = (1 to 4).map(i => i.toLong * i * 'a'.toLong).sum % 1000000007L
+    assert(got === expected)
+  }
+
+  test("quality score: alpha ratio + length band") {
+    val q = df.select(col("doc_id"),
+      TextOps.qualityScore(col("text"), length(col("text"))).as("q"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // doc 3: 4/4 alpha -> 100, length 4 outside [100,400] -> no bonus
+    assert(q(3L) === 100L)
+    assert(q(1L) === (100L * 17 / 22)) // floor(77.27) = 77
+  }
+}
