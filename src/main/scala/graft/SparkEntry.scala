@@ -153,23 +153,23 @@ object SparkEntry {
     }),
 
     // A1 + W1: way centroid collapse with deterministic fresh ids.
-    // sequentialIds has two identical-output plans: window (small inputs,
-    // forced here — the aggregated way table is tiny at bench scale) and
-    // range-partition + zipWithIndex (the 10^12-row path, spec-verified)
+    // Runs the scale plan (range-partition + zipWithIndex — no global
+    // single-partition window anywhere; spec'd equal to the window plan),
+    // and folds the id offset in via a broadcast scalar join instead of a
+    // separate driver collect() action.
     "q10_way_centroid" -> ((s, dir) => {
       val p = pts(s, dir)
-      // one pass over the input: max point id is derivable from the same
-      // per-way aggregation (max pos within the max way)
+      // one pass over the input: max point id rides along the per-way agg
       val agg = p.groupBy(col("way_id")).agg(
         sum(col("lon_milli")).as("sl"), sum(col("lat_milli")).as("st"),
-        count(lit(1)).as("n_refs"), max(col("pos")).as("max_pos"))
+        count(lit(1)).as("n_refs"), max(col("point_id")).as("way_max_pid"))
         .persist()
-      val maxPid = agg.agg(max(col("way_id") * lit(10L) + col("max_pos")))
-        .collect()(0).getLong(0)
-      OsmOps.sequentialIds(agg, "way_id", maxPid, "new_id", windowThreshold = Long.MaxValue)
+      val base = agg.agg(max(col("way_max_pid")).as("base"))
+      OsmOps.sequentialIds(agg, "way_id", 0L, "seq", windowThreshold = 0L)
+        .crossJoin(broadcast(base))
         .select(
           col("way_id"),
-          col("new_id"),
+          (col("base") + col("seq")).as("new_id"),
           ((col("sl").cast("double") / col("n_refs")) / lit(1000.0) - lit(180.0)).as("clon"),
           ((col("st").cast("double") / col("n_refs")) / lit(1000.0) - lit(85.0)).as("clat"),
           col("n_refs"))
@@ -328,7 +328,8 @@ object SparkEntry {
     }),
 
     // similarity search: sign-random-projection LSH (bucket join, multi-probe)
-    // — no SQL oracle (rows-only check); recall vs brute force in AnnSpec
+    // — full DuckDB oracle (annLshSql unrolls the 12 plane projections and
+    // radius-1 probe buckets); recall vs brute force additionally in AnnSpec
     "q28_ann_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val queries = emb.filter(pmod(col("vec_id"), lit(50L)) === 0)
@@ -373,8 +374,11 @@ object SparkEntry {
         col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")).as("bbox"))
     }),
 
-    // S6/S7: GeoJSON feature sink projection — no SQL oracle (JSON string
-    // formatting is engine-specific); golden-tested in GeoFunctionsSpec
+    // S6/S7: GeoJSON feature sink projection — exact string oracle: DuckDB's
+    // shortest-roundtrip double rendering (CAST AS VARCHAR) byte-matches Java
+    // 17's Double.toString on every fixture coordinate (verified over all
+    // 91,664 sf0.01 values), and to_json emits struct fields / map keys in
+    // declaration order, so the feature string is printf-composable
     "q29_geojson" -> ((s, dir) =>
       OsmOps.bboxExtract(taggedPts(s, dir), "lon", "lat", -100.0, -40.0, 0.0, 40.0)
         .select(col("point_id"),
@@ -522,8 +526,11 @@ object SparkEntry {
           |       COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+      // CAST(SUM(..) AS BIGINT): DuckDB types SUM(BIGINT) as HUGEINT (int128)
+      // while Spark writes int64 — the driver's typed-value hash diverges
+      // without the cast even when the values are equal.
       "q18_event_props" ->
-        """SELECT event_type, SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+        """SELECT event_type, CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
           |       COUNT(*) AS n
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -548,7 +555,7 @@ object SparkEntry {
           |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents
           |)
           |SELECT e.doc_id,
-          |       SUM(ascii(substr(e.text, e.i, 1)) * e.i * e.i) % 1000000007 AS fingerprint,
+          |       CAST(SUM(ascii(substr(e.text, e.i, 1)) * e.i * e.i) % 1000000007 AS BIGINT) AS fingerprint,
           |       MIN(r.rolling) AS rolling
           |FROM e JOIN (
           |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -588,7 +595,7 @@ object SparkEntry {
 
       "q30_embedding_neardup" ->
         """WITH q AS (
-          |  SELECT vec_id, [CAST(ROUND(CAST(x AS DOUBLE) * 100) AS BIGINT) for x in embedding] AS qe
+          |  SELECT vec_id, [CAST(FLOOR(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT) for x in embedding] AS qe
           |  FROM embeddings
           |), n AS (
           |  SELECT vec_id, qe, list_reduce([v * v for v in qe], (a, b) -> a + b) AS n2 FROM q
@@ -628,14 +635,29 @@ object SparkEntry {
            |SELECT printf('%.6f,%.6f,%.6f,%.6f', MIN(lon), MIN(lat), MAX(lon), MAX(lat)) AS bbox
            |FROM pts""".stripMargin,
 
+      "q28_ann_lsh" -> annLshSql,
+
+      "q29_geojson" ->
+        s"""$withPts
+           |SELECT point_id,
+           |       '{"type":"Feature","id":' || point_id ||
+           |       ',"properties":{"flag":"' || tag_flag || '","status":"' || tag_status || '"' ||
+           |       CASE WHEN quantity > 30 THEN ',"bulk":"y"' ELSE '' END ||
+           |       CASE WHEN quantity < 5 THEN ',"tiny":"y"' ELSE '' END ||
+           |       '},"geometry":{"type":"Point","coordinates":[' ||
+           |       CAST(lon AS VARCHAR) || ',' || CAST(lat AS VARCHAR) || ']}}' AS feature
+           |FROM pts
+           |WHERE lon BETWEEN -100.0 AND 0.0 AND lat BETWEEN -40.0 AND 40.0
+           |ORDER BY point_id""".stripMargin,
+
       "q27_ann_dot_topk" ->
         """WITH dims AS (
-          |  SELECT vec_id, CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv,
+          |  SELECT vec_id, CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv,
           |         unnest(generate_series(1, len(embedding))) AS i
           |  FROM embeddings
           |), q AS (SELECT vec_id AS query_id, qv, i FROM dims WHERE vec_id % 50 = 0),
           |dots AS (
-          |  SELECT q.query_id, d.vec_id, SUM(q.qv * d.qv) AS dot
+          |  SELECT q.query_id, d.vec_id, CAST(SUM(q.qv * d.qv) AS BIGINT) AS dot
           |  FROM q JOIN dims d ON q.i = d.i GROUP BY 1, 2
           |), r AS (
           |  SELECT query_id, vec_id, dot,
@@ -645,6 +667,51 @@ object SparkEntry {
           |SELECT query_id, rank, vec_id, dot FROM r WHERE rank <= 10
           |ORDER BY query_id, rank""".stripMargin
     )
+  }
+
+  /** Sign-random-projection LSH oracle mirroring [[graft.ann.Ann.signSketch]]
+    * and [[graft.ann.Ann.lshTopK]] exactly (bits=12, dims=64, radius-1
+    * probes, k=10): per-plane integer projections with the planeCoeff
+    * formula, bucket assembly from sign bits, probe-bucket enumeration via
+    * XOR single-bit flips, candidate dedup, exact quantized-dot rescoring.
+    */
+  private def annLshSql: String = {
+    val bits = 12
+    val projs = (0 until bits).map(p =>
+      s"SUM(qv * ((($p * 12582917 + (i - 1) * 104729) % 97) - 48)) AS proj_$p")
+      .mkString(",\n       ")
+    val bucket = (0 until bits).map(p =>
+      s"CASE WHEN proj_$p > 0 THEN ${1L << p} ELSE 0 END").mkString(" + ")
+    val probeList = ("bucket" +: (0 until bits).map(p => s"xor(bucket, ${1L << p})"))
+      .mkString("[", ", ", "]")
+    s"""WITH dims AS (
+       |  SELECT vec_id, CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv,
+       |         unnest(generate_series(1, len(embedding))) AS i
+       |  FROM embeddings
+       |), proj AS (
+       |  SELECT vec_id, $projs
+       |  FROM dims GROUP BY vec_id
+       |), sk AS (
+       |  SELECT vec_id, $bucket AS bucket FROM proj
+       |), qp AS (
+       |  SELECT vec_id AS query_id, unnest($probeList) AS bucket
+       |  FROM sk WHERE vec_id % 50 = 0
+       |), cand AS (
+       |  SELECT DISTINCT qp.query_id, c.vec_id
+       |  FROM qp JOIN sk c USING (bucket)
+       |), dots AS (
+       |  SELECT cand.query_id, cand.vec_id, CAST(SUM(q.qv * d.qv) AS BIGINT) AS dot
+       |  FROM cand
+       |  JOIN dims q ON q.vec_id = cand.query_id
+       |  JOIN dims d ON d.vec_id = cand.vec_id AND d.i = q.i
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT query_id, vec_id, dot,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+       |  FROM dots
+       |)
+       |SELECT query_id, rank, vec_id, dot FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** Language-ID oracle mirroring [[LangMarkers]] scoring + first-wins argmax. */

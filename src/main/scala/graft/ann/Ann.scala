@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** int-quantized copy of an embedding: round(x · 1000). `round` of a
-    * float-sourced value can never hit an exact .5 (x·1000 = k+0.5 would
-    * need a non-dyadic float), so round is engine-exact.
+  /** int-quantized copy of an embedding: floor(x · 1000 + 0.5). Expressed
+    * as floor — not `round` — because dyadic floats CAN land on an exact .5
+    * (x = 0.0625 → 62.5) where HALF_UP semantics could differ between
+    * engines; floor(x + 0.5) is a single well-defined double op in Spark,
+    * DuckDB, and `java.lang.Math.round`, so the tie case is engine-exact.
     */
   def quantize(emb: Column): Column =
-    transform(emb, x => round(x.cast("double") * lit(1000.0)).cast("long"))
+    transform(emb, x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
 
   /** Sequential-fold dot product of two equal-length arrays (builtin). */
   def dotFold(a: Column, b: Column): Column =
@@ -82,7 +84,7 @@ object Ann {
     // runs inside LSH blocks ([[lshBuckets]]); corpus-wide it needs the
     // matrix to fit in executor memory (~10^7 vectors).
     val quant = df.select(col(idCol).cast("long").as("vid"),
-      transform(col(embCol), x => round(x.cast("double") * lit(100.0)).cast("long")).as("qe"))
+      transform(col(embCol), x => floor(x.cast("double") * lit(100.0) + lit(0.5)).cast("long")).as("qe"))
     val all: Array[(Long, Array[Long])] = quant.as[(Long, Array[Long])]
       .collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(all)
