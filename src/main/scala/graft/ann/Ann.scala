@@ -75,53 +75,158 @@ object Ann {
     * (embedding-cosine) of the training-data suite.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
-                            tauNum: Int, tauDen: Int): DataFrame = {
+                            tauNum: Int, tauDen: Int, numBlocks: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // broadcast the quantized matrix (64-dim ints: ~1 KB per 100 vectors);
-    // each partition compares its rows against all higher ids in a
-    // primitive loop — no per-pair array allocation. At 10^12 scale this
-    // runs inside LSH blocks ([[lshBuckets]]); corpus-wide it needs the
-    // matrix to fit in executor memory (~10^7 vectors).
+    // EXACT all-pairs as a distributed triangle join: vectors are hashed
+    // into B blocks; each unordered block pair (i<=j) is one task holding
+    // both blocks, and every vector pair lives in exactly one task (its
+    // blocks' pair), so no driver materialization, no dedup pass, and task
+    // memory is bounded at 2·n/B vectors. O(n²) compute is inherent to the
+    // exact mode and dominates the n·B replication shuffle; for corpora
+    // where n² is off the table use [[embeddingNearDupPairsLsh]].
     val quant = df.select(col(idCol).cast("long").as("vid"),
       transform(col(embCol), x => floor(x.cast("double") * lit(100.0) + lit(0.5)).cast("long")).as("qe"))
-    val all: Array[(Long, Array[Long])] = quant.as[(Long, Array[Long])]
-      .collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(all)
+    // default B: B(B+1)/2 pair tasks ≈ 2× the cluster's cores for even
+    // scheduling; raise numBlocks explicitly when 2·n/B vectors outgrow a
+    // task's memory (the O(n²) compute, not this shuffle, is the real cost)
+    val b = if (numBlocks > 0) numBlocks
+            else math.max(2, math.ceil(math.sqrt(
+              4.0 * spark.sparkContext.defaultParallelism)).toInt)
     val tn2 = tauNum.toLong * tauNum
     val td2 = tauDen.toLong * tauDen
 
-    quant.as[(Long, Array[Long])].mapPartitions { it =>
-      val corpus = bc.value
-      val norms = corpus.map { case (_, v) =>
-        var s = 0L; var i = 0
-        while (i < v.length) { s += v(i) * v(i); i += 1 }
-        s
-      }
-      it.flatMap { case (id1, e1) =>
-        var n1 = 0L
-        var i = 0
-        while (i < e1.length) { n1 += e1(i) * e1(i); i += 1 }
-        // binary search to the first id > id1 (corpus sorted by id)
-        var lo = 0; var hi = corpus.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (corpus(mid)._1 <= id1) lo = mid + 1 else hi = mid
+    // one row per (vector, task it participates in): task (min(blk,j), max(blk,j))
+    val tasks = sequence(lit(0), lit(b - 1))
+    val blk = pmod(col("vid"), lit(b.toLong)).cast("int")
+    val replicated = quant
+      .withColumn("blk", blk)
+      .select(col("vid"), col("qe"), col("blk"),
+        explode(transform(tasks, j =>
+          least(col("blk"), j) * lit(b) + greatest(col("blk"), j))).as("task"))
+
+    replicated.select(col("task"), col("blk"), col("vid"), col("qe"))
+      .as[(Int, Int, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (task: Int, it: Iterator[(Int, Int, Long, Array[Long])]) =>
+        val lo = task / b
+        val hi = task % b
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        it.foreach { case (_, vblk, vid, qe) =>
+          if (vblk == lo) left += ((vid, qe))
+          if (vblk == hi && lo != hi) right += ((vid, qe))
         }
+        def normOf(v: Array[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          s
+        }
+        val ln = left.map(p => normOf(p._2)).toArray
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        var j = lo
-        while (j < corpus.length) {
-          val (id2, e2) = corpus(j)
-          var dot = 0L
-          var d = 0
-          while (d < e1.length) { dot += e1(d) * e2(d); d += 1 }
-          if (dot > 0 && dot * dot * td2 >= tn2 * n1 * norms(j))
-            out += ((id1, id2, dot))
-          j += 1
+        def emit(id1: Long, e1: Array[Long], n1: Long,
+                 id2: Long, e2: Array[Long], n2: Long): Unit = {
+          val (a, ea, na, bId, eb, nb) =
+            if (id1 < id2) (id1, e1, n1, id2, e2, n2) else (id2, e2, n2, id1, e1, n1)
+          var dot = 0L; var d = 0
+          while (d < ea.length) { dot += ea(d) * eb(d); d += 1 }
+          if (dot > 0 && dot * dot * td2 >= tn2 * na * nb) out += ((a, bId, dot))
         }
-        out
+        if (lo == hi) {
+          var i = 0
+          while (i < left.length) {
+            var j = i + 1
+            while (j < left.length) {
+              emit(left(i)._1, left(i)._2, ln(i), left(j)._1, left(j)._2, ln(j))
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          val rn = right.map(p => normOf(p._2)).toArray
+          var i = 0
+          while (i < left.length) {
+            var j = 0
+            while (j < right.length) {
+              emit(left(i)._1, left(i)._2, ln(i), right(j)._1, right(j)._2, rn(j))
+              j += 1
+            }
+            i += 1
+          }
+        }
+        out.iterator
       }
-    }.toDF("id_1", "id_2", "dot")
+      .toDF("id_1", "id_2", "dot")
+  }
+
+  /** Approximate near-dup pairs via sign-LSH blocking — the path for
+    * corpora where exact O(n²) compute is off the table. Each vector is
+    * replicated into its own sketch bucket plus all radius-1 neighbor
+    * buckets; a candidate pair is scanned in exactly one task
+    * (min(bucketA, bucketB)), so no dedup pass. Pairs whose sketches differ
+    * by >1 bit are missed — recall vs the exact mode is measured on planted
+    * near-dups in DedupAnnSpec (raise `bits` for precision, lower it or add
+    * sketch repetitions for recall).
+    */
+  def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, embCol: String,
+                               tauNum: Int, tauDen: Int,
+                               bits: Int = 8, dims: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quant = df.select(col(idCol).cast("long").as("vid"),
+      transform(col(embCol), x => floor(x.cast("double") * lit(100.0) + lit(0.5)).cast("long")).as("qe"))
+      .withColumn("home", signSketch(col("qe"), bits, dims))
+    val probeKeys = array((col("home") +: (0 until bits).map(p =>
+      col("home").bitwiseXOR(lit(1L << p)))): _*)
+    val replicated = quant.select(col("vid"), col("qe"), col("home"),
+      explode(probeKeys).as("task"))
+    val tn2 = tauNum.toLong * tauNum
+    val td2 = tauDen.toLong * tauDen
+
+    replicated.select(col("task"), col("home"), col("vid"), col("qe"))
+      .as[(Long, Long, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (task: Long, it: Iterator[(Long, Long, Long, Array[Long])]) =>
+        // home vectors live here; probe vectors visit from a radius-1 bucket
+        val home = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        val probe = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        it.foreach { case (_, vHome, vid, qe) =>
+          if (vHome == task) home += ((vid, qe))
+          else if (vHome > task) probe += ((vid, qe)) // min-bucket task owns the pair
+        }
+        def normOf(v: Array[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          s
+        }
+        val hn = home.map(p => normOf(p._2)).toArray
+        val pn = probe.map(p => normOf(p._2)).toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        def emit(id1: Long, e1: Array[Long], n1: Long,
+                 id2: Long, e2: Array[Long], n2: Long): Unit = {
+          val (a, ea, na, bId, eb, nb) =
+            if (id1 < id2) (id1, e1, n1, id2, e2, n2) else (id2, e2, n2, id1, e1, n1)
+          var dot = 0L; var d = 0
+          while (d < ea.length) { dot += ea(d) * eb(d); d += 1 }
+          if (dot > 0 && dot * dot * td2 >= tn2 * na * nb) out += ((a, bId, dot))
+        }
+        var i = 0
+        while (i < home.length) {
+          var j = i + 1
+          while (j < home.length) {
+            emit(home(i)._1, home(i)._2, hn(i), home(j)._1, home(j)._2, hn(j))
+            j += 1
+          }
+          j = 0
+          while (j < probe.length) {
+            emit(home(i)._1, home(i)._2, hn(i), probe(j)._1, probe(j)._2, pn(j))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("id_1", "id_2", "dot")
   }
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d coefficient =

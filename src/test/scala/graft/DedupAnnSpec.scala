@@ -124,6 +124,51 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  /** embeddings plus 10 planted near-identical copies of vectors 0..9 */
+  private lazy val nearDupCorpus = {
+    val planted = (0 until 10).map { i =>
+      val base = embeddings.filter(col("vec_id") === i.toLong)
+        .collect()(0).getSeq[Float](1)
+      (3000L + i, base.map(x => x + 0.001f))
+    }
+    embeddings.union(planted.toDF("vec_id", "embedding")).cache()
+  }
+
+  /** test-side all-pairs oracle at cos >= tauNum/tauDen over ×100 quantized */
+  private def nearDupOracle(tauNum: Long, tauDen: Long): Set[(Long, Long, Long)] = {
+    val all = nearDupCorpus.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x * 100.0 + 0.5).toLong).toArray)
+    def n2(v: Array[Long]) = v.map(x => x * x).sum
+    (for {
+      (i1, e1) <- all; (i2, e2) <- all if i1 < i2
+      dot = e1.zip(e2).map { case (a, b) => a * b }.sum
+      if dot > 0 && dot * dot * tauDen * tauDen >= tauNum * tauNum * n2(e1) * n2(e2)
+    } yield (i1, i2, dot)).toSet
+  }
+
+  test("blocked-exact near-dup equals the all-pairs oracle; planted recall 1.0") {
+    val got = Ann.embeddingNearDupPairs(nearDupCorpus, "vec_id", "embedding",
+      tauNum = 9, tauDen = 10, numBlocks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = nearDupOracle(9, 10)
+    assert(got === expected)
+    (0 until 10).foreach { i =>
+      assert(got.exists(p => p._1 == i.toLong && p._2 == 3000L + i),
+        s"planted near-dup pair $i missing from exact mode")
+    }
+  }
+
+  test("LSH-blocked near-dup is a subset of exact with high planted recall") {
+    val exact = nearDupOracle(9, 10)
+    val lsh = Ann.embeddingNearDupPairsLsh(nearDupCorpus, "vec_id", "embedding",
+      tauNum = 9, tauDen = 10, bits = 8, dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh -- exact}")
+    val found = (0 until 10).count(i =>
+      lsh.exists(p => p._1 == i.toLong && p._2 == 3000L + i))
+    assert(found >= 8, s"LSH planted-pair recall too low: $found/10")
+  }
+
   test("hamming64 expression works over simhash columns") {
     val sims = Dedup.simhash(docs, "doc_id", "text", bits = 16)
     val d = sims.as("a").crossJoin(sims.as("b"))
