@@ -1,0 +1,105 @@
+package graft.jobs
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.jobs.Pipeline._
+
+/** JSON config codec for [[Pipeline]] — same shape as the reference's HCL
+  * config (`/root/reference/osm/Config.go:17-34`, field names per its hcl
+  * tags), loaded with json4s from Spark's classpath. A config-file run is
+  * spec'd equivalent to the programmatic run (PipelineSpec).
+  *
+  * {{{
+  * { "inputs":  [ {"uri": "in.osm", "drop_relations": true} ],
+  *   "outputs": [ {"uri": "a.osm", "keys_to_keep": ["craft"],
+  *                 "ways_to_nodes": true, "drop_version": true,
+  *                 "filter": {"dfl": "(@craft like brewery)"}} ] }
+  * }}}
+  */
+object PipelineConfigIO {
+
+  private def fields(jv: JValue): Map[String, JValue] = jv match {
+    case JObject(fs) => fs.toMap
+    case other => throw new IllegalArgumentException(s"expected object, got $other")
+  }
+
+  private def str(m: Map[String, JValue], k: String): Option[String] =
+    m.get(k).collect { case JString(s) => s }
+
+  private def bool(m: Map[String, JValue], k: String): Boolean =
+    m.get(k).collect { case JBool(b) => b }.getOrElse(false)
+
+  private def strs(m: Map[String, JValue], k: String): Seq[String] =
+    m.get(k).collect { case JArray(vs) => vs.collect { case JString(s) => s } }
+      .getOrElse(Nil)
+
+  private def num(jv: JValue): Double = jv match {
+    case JDouble(d) => d
+    case JInt(i) => i.toDouble
+    case JDecimal(d) => d.toDouble
+    case JLong(l) => l.toDouble
+    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  }
+
+  private def filterOf(m: Map[String, JValue]): Option[FilterSpec] =
+    m.get("filter").map { jv =>
+      val f = fields(jv)
+      val bbox = f.get("bbox").collect {
+        case JArray(vs) if vs.size == 4 =>
+          (num(vs(0)), num(vs(1)), num(vs(2)), num(vs(3)))
+      }
+      FilterSpec(
+        keepKeys = strs(f, "keep_keys"),
+        dropKeys = strs(f, "drop_keys"),
+        bbox = bbox,
+        dfl = str(f, "dfl"))
+    }
+
+  private def inputOf(jv: JValue): InputSpec = {
+    val m = fields(jv)
+    InputSpec(
+      uri = str(m, "uri").getOrElse(throw new IllegalArgumentException("input needs uri")),
+      filter = filterOf(m),
+      dropWays = bool(m, "drop_ways"),
+      dropRelations = bool(m, "drop_relations"),
+      dropVersion = bool(m, "drop_version"),
+      dropTimestamp = bool(m, "drop_timestamp"),
+      dropChangeset = bool(m, "drop_changeset"),
+      dropUserId = bool(m, "drop_user_id"),
+      dropUserName = bool(m, "drop_user_name"),
+      keysToKeep = strs(m, "keys_to_keep"),
+      keysToDrop = strs(m, "keys_to_drop"))
+  }
+
+  private def outputOf(jv: JValue): OutputSpec = {
+    val m = fields(jv)
+    OutputSpec(
+      uri = str(m, "uri").getOrElse(throw new IllegalArgumentException("output needs uri")),
+      format = str(m, "format"),
+      filter = filterOf(m),
+      waysToNodes = bool(m, "ways_to_nodes"),
+      dropNodes = bool(m, "drop_nodes"),
+      dropWays = bool(m, "drop_ways"),
+      dropRelations = bool(m, "drop_relations"),
+      dropVersion = bool(m, "drop_version"),
+      dropTimestamp = bool(m, "drop_timestamp"),
+      dropChangeset = bool(m, "drop_changeset"),
+      dropUserId = bool(m, "drop_user_id"),
+      dropUserName = bool(m, "drop_user_name"),
+      keysToKeep = strs(m, "keys_to_keep"),
+      keysToDrop = strs(m, "keys_to_drop"))
+  }
+
+  def parse(json: String): PipelineConfig = {
+    val m = fields(JsonMethods.parse(json))
+    val inputs = m.get("inputs").collect { case JArray(vs) => vs.map(inputOf) }.getOrElse(Nil)
+    val outputs = m.get("outputs").collect { case JArray(vs) => vs.map(outputOf) }.getOrElse(Nil)
+    PipelineConfig(inputs, outputs)
+  }
+
+  def load(path: String): PipelineConfig = {
+    val src = scala.io.Source.fromFile(path)
+    try parse(src.mkString) finally src.close()
+  }
+}
