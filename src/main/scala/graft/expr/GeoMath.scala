@@ -75,6 +75,30 @@ object GeoMath {
     inside
   }
 
+  /** Offset/length variant over one concatenated ring buffer — the probe
+    * kernel of [[graft.index.FlatRtree]] (no per-ring array objects).
+    */
+  def pointInFlatRing(lon: Double, lat: Double, data: Array[Double],
+                      off: Int, len: Int): Boolean = {
+    val n = len / 2
+    if (n < 4) return false
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = data(off + 2 * i); val yi = data(off + 2 * i + 1)
+      val xj = data(off + 2 * j); val yj = data(off + 2 * j + 1)
+      if (onSegment(lon, lat, xi, yi, xj, yj)) return true
+      if ((yi > lat) != (yj > lat)) {
+        val xCross = (xj - xi) * (lat - yi) / (yj - yi) + xi
+        if (lon < xCross) inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+
   /** Squared euclidean distance in degree space (the engine's kNN metric —
     * monotone in true distance at fixture scale; documented semantic).
     */

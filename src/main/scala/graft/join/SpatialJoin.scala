@@ -6,8 +6,6 @@ import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => t
 import org.apache.spark.sql.types._
 import graft.expr.CoverCellsExpr
 import graft.functions.GeoFunctions._
-import org.locationtech.jts.geom.GeometryFactory
-import org.locationtech.jts.index.strtree.STRtree
 
 /** Point-in-polygon spatial join — the engine's marquee operator, realizing
   * the reference's latent R-tree (`/root/reference/osm/Planet.go:36,50`:
@@ -103,12 +101,14 @@ object SpatialJoin {
       .drop("__cell", "__salt")
   }
 
-  /** Broadcast-R-tree variant: build an STRtree of prepared polygons on the
-    * driver, broadcast it, probe per point partition. Returns
-    * (pointColumns..., polygon_id).
+  /** Broadcast-R-tree variant: pack the polygon side into a primitive-array
+    * [[graft.index.FlatRtree]] on the driver, broadcast it, and probe with
+    * the codegen'd [[graft.expr.RtreeProbeExpr]] (bbox lookup + exact PIP
+    * fused, allocation-free per probe). Returns (pointColumns...,
+    * polygon_id); the point table is never shuffled.
     *
     * The polygon side must fit on the driver (~10^6 rings OK); candidate
-    * lookup is O(log m) per point and the point table is never shuffled.
+    * lookup is O(log m) per point.
     */
   def broadcastRtreeJoin(points: DataFrame, lonCol: String, latCol: String,
                          polygons: DataFrame, idCol: String, ringCol: String): DataFrame = {
@@ -124,59 +124,9 @@ object SpatialJoin {
         ring.foreach { p => flat(i) = p.getDouble(0); flat(i + 1) = p.getDouble(1); i += 2 }
         (id, flat)
       }
-    val bc = spark.sparkContext.broadcast(polyRows)
-
-    val probe = udf { (lon: Double, lat: Double) =>
-      val tree = RtreeCache.get(bc.id, bc.value)
-      val hits = tree.query(new org.locationtech.jts.geom.Envelope(lon, lon, lat, lat))
-      // primitive Array result: no per-row Seq boxing in the hot path
-      var out = new Array[Long](hits.size())
-      var n = 0
-      val it = hits.iterator()
-      while (it.hasNext) {
-        val (id, flat) = it.next().asInstanceOf[(Long, Array[Double])]
-        // flat-ring ray cast: pure function, thread-safe under 32 concurrent
-        // tasks (JTS PreparedGeometry is NOT — it lazily builds internal
-        // indexes on first query)
-        if (graft.expr.GeoMath.pointInFlatRing(lon, lat, flat)) { out(n) = id; n += 1 }
-      }
-      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
-    }
-    points
-      .withColumn("polygon_id", explode(probe(col(lonCol), col(latCol))))
-  }
-}
-
-/** Per-executor cache: deserialize the broadcast ring array into a JTS
-  * STRtree (thread-safe after build()) once per executor, not once per task.
-  */
-object RtreeCache {
-  val factory = new GeometryFactory()
-  @volatile private var cached: (Long, STRtree) = (-1L, null)
-
-  def get(bcId: Long, polys: Array[(Long, Array[Double])]): STRtree = {
-    val c = cached
-    if (c._1 == bcId && c._2 != null) return c._2
-    synchronized {
-      val c2 = cached
-      if (c2._1 == bcId && c2._2 != null) return c2._2
-      val tree = new STRtree()
-      polys.foreach { case (id, flat) =>
-        var minX = Double.MaxValue; var minY = Double.MaxValue
-        var maxX = Double.MinValue; var maxY = Double.MinValue
-        var i = 0
-        while (i < flat.length) {
-          if (flat(i) < minX) minX = flat(i)
-          if (flat(i) > maxX) maxX = flat(i)
-          if (flat(i + 1) < minY) minY = flat(i + 1)
-          if (flat(i + 1) > maxY) maxY = flat(i + 1)
-          i += 2
-        }
-        tree.insert(new org.locationtech.jts.geom.Envelope(minX, maxX, minY, maxY), (id, flat))
-      }
-      tree.build()
-      cached = (bcId, tree)
-      tree
-    }
+    val bc = spark.sparkContext.broadcast(graft.index.FlatRtree.build(polyRows))
+    val probe = toCol(graft.expr.RtreeProbeExpr(
+      toExpr(col(lonCol).cast(DoubleType)), toExpr(col(latCol).cast(DoubleType)), bc))
+    points.withColumn("polygon_id", explode(probe))
   }
 }

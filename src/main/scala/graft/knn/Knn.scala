@@ -105,25 +105,43 @@ object Knn {
   /** Scan-based exact kNN: broadcast the query set, one pass over points
     * with per-partition top-k heaps, merge by query. No shuffle of the
     * point table — the 100 TB plan when queries fit in executor memory.
-    * O(n_points · log k) with a cell-grid prefilter over queries.
+    *
+    * Queries are bucketed into a cell grid; each point offers itself only
+    * to grid cells whose bbox lower-bound distance can still beat some
+    * member query's current kth threshold (a per-cell max threshold,
+    * refreshed periodically — stale bounds are only ever too HIGH, so the
+    * skip is always safe). Once heaps warm up, far cells drop out and the
+    * inner loop shrinks from O(queries) to O(nearby queries).
     */
   def scan(queries: DataFrame, queryIdCol: String, qLonCol: String, qLatCol: String,
            points: DataFrame, pointIdCol: String, lonCol: String, latCol: String,
-           k: Int): DataFrame = {
+           k: Int, gridZ: Int = -1, refreshEvery: Int = 256): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
 
     val qs: Array[(Long, Double, Double)] = queries
       .select(col(queryIdCol).cast("long"), col(qLonCol), col(qLatCol))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
-    val bc = spark.sparkContext.broadcast(qs)
+
+    // grid zoom: coarsest level where occupied cells average <= ~8 queries
+    val g =
+      if (gridZ >= 0) gridZ
+      else (0 to 12).find { z =>
+        val occupied = qs.iterator.map(q => graft.index.CellIndex.cellId(q._2, q._3, z))
+          .toSet.size
+        occupied.toLong * 8 >= qs.length
+      }.getOrElse(12)
+    val grouped: Array[(Long, Array[Int])] = qs.indices
+      .groupBy(i => graft.index.CellIndex.cellId(qs(i)._2, qs(i)._3, g))
+      .map { case (c, is) => (c, is.toArray) }.toArray
+    val bc = spark.sparkContext.broadcast((qs, grouped))
 
     val partials = points
       .select(col(pointIdCol).cast("long").as("point_id"),
         col(lonCol).as("p_lon"), col(latCol).as("p_lat"))
       .as[(Long, Double, Double)]
       .mapPartitions { it =>
-        val queries = bc.value
+        val (queries, cells) = bc.value
         // per-query bounded max-heap ordered by (dist desc, id desc)
         val heaps = Array.fill(queries.length)(
           new java.util.PriorityQueue[(Double, Long)](k,
@@ -131,19 +149,73 @@ object Knn {
               val c = java.lang.Double.compare(b._1, a._1)
               if (c != 0) c else java.lang.Long.compare(b._2, a._2)
             }))
+        // current kth-distance per query (+inf while the heap is filling)
+        val thr = Array.fill(queries.length)(Double.MaxValue)
+        // per-cell upper bound on members' thresholds; refreshed lazily
+        val cellMax = Array.fill(cells.length)(Double.MaxValue)
+        var sinceRefresh = 0
+        // cell bboxes decoded ONCE (CellIndex.bounds does inverse-Mercator
+        // trig — far too hot for the per-point loop)
+        val cMinX = new Array[Double](cells.length)
+        val cMinY = new Array[Double](cells.length)
+        val cMaxX = new Array[Double](cells.length)
+        val cMaxY = new Array[Double](cells.length)
+        locally {
+          var c = 0
+          while (c < cells.length) {
+            val (mnLon, mnLat, mxLon, mxLat) = graft.index.CellIndex.bounds(cells(c)._1)
+            cMinX(c) = mnLon; cMinY(c) = mnLat; cMaxX(c) = mxLon; cMaxY(c) = mxLat
+            c += 1
+          }
+        }
+
         it.foreach { case (pid, plon, plat) =>
-          var i = 0
-          while (i < queries.length) {
-            val q = queries(i)
-            val dx = plon - q._2; val dy = plat - q._3
-            val d = dx * dx + dy * dy
-            val h = heaps(i)
-            if (h.size < k) h.add((d, pid))
-            else {
-              val top = h.peek()
-              if (d < top._1 || (d == top._1 && pid < top._2)) { h.poll(); h.add((d, pid)) }
+          sinceRefresh += 1
+          if (sinceRefresh >= refreshEvery) {
+            var c = 0
+            while (c < cells.length) {
+              var m = 0.0
+              val idx = cells(c)._2
+              var j = 0
+              while (j < idx.length) { if (thr(idx(j)) > m) m = thr(idx(j)); j += 1 }
+              cellMax(c) = m
+              c += 1
             }
-            i += 1
+            sinceRefresh = 0
+          }
+          var c = 0
+          while (c < cells.length) {
+            // squared distance to the cell bbox, inline (0 inside)
+            val dx = if (plon < cMinX(c)) cMinX(c) - plon
+                     else if (plon > cMaxX(c)) plon - cMaxX(c) else 0.0
+            val dy = if (plat < cMinY(c)) cMinY(c) - plat
+                     else if (plat > cMaxY(c)) plat - cMaxY(c) else 0.0
+            // a stale-high cellMax only wastes work; never skips wrongly.
+            // <=: an equal-distance smaller-id point can still enter.
+            if (dx * dx + dy * dy <= cellMax(c)) {
+              val idx = cells(c)._2
+              var j = 0
+              while (j < idx.length) {
+                val i = idx(j)
+                val q = queries(i)
+                val dx = plon - q._2; val dy = plat - q._3
+                val d = dx * dx + dy * dy
+                if (d <= thr(i)) {
+                  val h = heaps(i)
+                  if (h.size < k) {
+                    h.add((d, pid))
+                    if (h.size == k) thr(i) = h.peek()._1
+                  } else {
+                    val top = h.peek()
+                    if (d < top._1 || (d == top._1 && pid < top._2)) {
+                      h.poll(); h.add((d, pid)); thr(i) = h.peek()._1
+                    }
+                  }
+                }
+                j += 1
+              }
+            }
+            c += 1
           }
         }
         heaps.iterator.zipWithIndex.flatMap { case (h, i) =>

@@ -8,9 +8,10 @@ class EntrySpec extends SparkSpecBase {
     assert(df.count() > 0)
   }
 
-  test("every query has either an oracle or a documented omission") {
+  test("every query has a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // q28 (LSH ANN) and q29 (GeoJSON strings) are rows-only by design
-    assert(noOracle === Set("q28_ann_lsh", "q29_geojson"))
+    assert(noOracle === Set.empty[String])
+    // and no oracle is orphaned either
+    assert(SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet === Set.empty[String])
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.GeoFixtures.mix
+import graft.index.FlatRtree
+
+/** Packed R-tree probe vs a brute-force scan over every ring — seeded
+  * random rectangles (the fixture polygon shape) plus degenerate sizes,
+  * boundary-inclusive points included.
+  */
+class FlatRtreeSpec extends AnyFunSuite {
+
+  private def rectRing(minX: Double, minY: Double, maxX: Double, maxY: Double): Array[Double] =
+    Array(minX, minY, maxX, minY, maxX, maxY, minX, maxY, minX, minY)
+
+  private def randPolys(n: Int, seed: Long): Array[(Long, Array[Double])] =
+    (0 until n).map { i =>
+      val cx = (math.abs(mix(seed + i * 7L)) % 36000) / 100.0 - 180.0
+      val cy = (math.abs(mix(seed + i * 13L + 1)) % 17000) / 100.0 - 85.0
+      val hw = 0.05 + (math.abs(mix(seed + i * 17L + 2)) % 400) / 100.0
+      val hh = 0.05 + (math.abs(mix(seed + i * 19L + 3)) % 400) / 100.0
+      (i.toLong, rectRing(cx - hw, cy - hh, cx + hw, cy + hh))
+    }.toArray
+
+  private def brute(polys: Array[(Long, Array[Double])], lon: Double, lat: Double): Set[Long] =
+    polys.collect {
+      case (id, flat) if graft.expr.GeoMath.pointInFlatRing(lon, lat, flat) => id
+    }.toSet
+
+  test("probe equals brute force on 500 seeded rectangles x 2000 points") {
+    val polys = randPolys(500, 42L)
+    val tree = FlatRtree.build(polys)
+    (0 until 2000).foreach { i =>
+      val lon = (math.abs(mix(900L + i * 3L)) % 36000) / 100.0 - 180.0
+      val lat = (math.abs(mix(901L + i * 5L)) % 17000) / 100.0 - 85.0
+      assert(tree.probeIds(lon, lat).toSet === brute(polys, lon, lat), s"point $i ($lon,$lat)")
+    }
+  }
+
+  test("boundary points are inclusive, matching the flat-ring kernel") {
+    val polys = Array((7L, rectRing(-1.0, -1.0, 1.0, 1.0)))
+    val tree = FlatRtree.build(polys)
+    assert(tree.probeIds(1.0, 0.0).toSet === Set(7L))   // right edge
+    assert(tree.probeIds(-1.0, -1.0).toSet === Set(7L)) // corner
+    assert(tree.probeIds(0.0, 1.0).toSet === Set(7L))   // top edge
+    assert(tree.probeIds(1.0000001, 0.0).isEmpty)
+  }
+
+  test("degenerate sizes: empty, one entry, fanout boundary, overlap pile-up") {
+    assert(FlatRtree.build(Array.empty).probeIds(0.0, 0.0).isEmpty)
+
+    val one = FlatRtree.build(Array((1L, rectRing(0, 0, 2, 2))))
+    assert(one.probeIds(1.0, 1.0).toSet === Set(1L))
+    assert(one.probeIds(3.0, 3.0).isEmpty)
+
+    // exactly fanout and fanout+1 entries exercise the level build edges
+    Seq(16, 17, 256, 257).foreach { n =>
+      val polys = randPolys(n, n * 31L)
+      val tree = FlatRtree.build(polys)
+      (0 until 200).foreach { i =>
+        val lon = (math.abs(mix(n * 100L + i)) % 36000) / 100.0 - 180.0
+        val lat = (math.abs(mix(n * 101L + i)) % 17000) / 100.0 - 85.0
+        assert(tree.probeIds(lon, lat).toSet === brute(polys, lon, lat))
+      }
+    }
+
+    // 100 identical rings: every id comes back (result buffer growth path)
+    val pile = (0 until 100).map(i => (i.toLong, rectRing(0, 0, 1, 1))).toArray
+    val t = FlatRtree.build(pile)
+    assert(t.probeIds(0.5, 0.5).toSet === (0 until 100).map(_.toLong).toSet)
+  }
+}
