@@ -61,9 +61,21 @@ object OsmXml {
   case class Planet(nodes: DataFrame, ways: DataFrame, relations: DataFrame,
                     bounds: Option[(Double, Double, Double, Double)])
 
+  /** Open an input URI the way the reference's Input.Open does
+    * (`/root/reference/osm/Input.go:36-60`): `stdin`/`-`, `http(s)://`,
+    * or a local file path, with `.gz` transparently decompressed. Bulk
+    * scale data rides Hadoop FS schemes via `spark.read` instead (file/
+    * hdfs out of the box; s3a with hadoop-aws + SDK jars deployed — not
+    * bundled in this sandbox, see COVERAGE.md §S3).
+    */
   private def openIn(path: String) = {
-    val raw = new BufferedInputStream(new FileInputStream(path))
-    if (path.endsWith(".gz")) new GZIPInputStream(raw) else raw
+    val raw: java.io.InputStream =
+      if (path == "stdin" || path == "-") System.in
+      else if (path.startsWith("http://") || path.startsWith("https://"))
+        new java.net.URL(path).openStream()
+      else new FileInputStream(path)
+    val buf = new BufferedInputStream(raw)
+    if (path.endsWith(".gz")) new GZIPInputStream(buf) else buf
   }
 
   private val tsFmt = java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME
