@@ -301,7 +301,10 @@ object SparkEntry {
         .orderBy("id_1", "id_2")
     }),
 
-    // MinHash + LSH banding near-dup pipeline, candidates verified exactly
+    // MinHash + LSH banding near-dup pipeline, candidates verified exactly.
+    // The shingle frame feeds signatures AND both sides of the exact
+    // verifier; recomputing the codegen'd explode is cheaper than caching
+    // the 1.5M-row string frame (measured: persist cost +1.9 s at sf0.1)
     "q25_minhash_lsh" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("source").isin("src6", "src7"))
       val sh = Dedup.shingles(d, "doc_id", "text", 5)

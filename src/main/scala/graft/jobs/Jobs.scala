@@ -127,6 +127,44 @@ object KnnJob {
   }
 }
 
+/** Continuous ingestion of the event firehose (§2.8):
+  * `StreamJob <eventsParquetDir> <outRoot> [windowLen] [--continuous]`.
+  *
+  * File-arrival stream → 2h watermark → tumbling window aggregation →
+  * parquet sink with checkpointing (crash-resume via the checkpoint, the
+  * streaming analogue of SnapshotTable). Default trigger AvailableNow:
+  * drain everything present, commit, exit — rerunnable and incremental;
+  * `--continuous` keeps a 10s micro-batch cadence. Append mode emits a
+  * window once the watermark passes it, so the trailing 2h of event time
+  * stays pending until more data arrives (documented watermark semantics).
+  */
+object StreamJob {
+  def main(args: Array[String]): Unit = {
+    val in = args(0); val out = args(1)
+    val windowLen = args.lift(2).filterNot(_.startsWith("--")).getOrElse("1 hour")
+    val continuous = args.contains("--continuous")
+    val spark = Jobs.session("graft-stream")
+    val events = graft.streaming.Streams.readEventStream(spark, in)
+      // driver tables carry TIMESTAMP_NTZ; watermarks need TIMESTAMP
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+    val agg = graft.streaming.Streams.windowedCounts(events, "ts", "event_type", windowLen)
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/event_windows")
+      .option("checkpointLocation", s"$out/_checkpoints/event_windows")
+      .trigger(
+        if (continuous) org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds")
+        else org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(s"$out/event_windows").count()
+    println(s"""{"rows": $rows, "sink": "$out/event_windows"}""")
+    spark.stop()
+  }
+}
+
 /** Dataset profile: `SummarizeJob <tableRoot>` — prints one JSON line. */
 object SummarizeJob {
   def main(args: Array[String]): Unit = {
