@@ -19,8 +19,16 @@ import org.apache.spark.sql.functions._
   *   not    := 'not' not | primary
   *   primary:= '(' expr ')' | cmp
   *   cmp    := operand ('like'|'in'|'=='|'!='|'<'|'<='|'>'|'>=') operand
-  *   operand:= '@'ident | number | quoted | bareword | '[' list ']'
+  *            | boolfunc                      (prefix/suffix used standalone)
+  *   operand:= func '(' operand (',' operand)* ')'
+  *            | '@'ident | number | quoted | bareword | '[' list ']'
   * }}}
+  *
+  * Function map (the reference plugs `dfl.NewFuntionMapWithDefaults()` at
+  * `cmd/osm/main.go:252`; go-dfl is an external dependency not vendored in
+  * the reference checkout, so this is the engine's default map providing
+  * the same capability class): `len`, `lower`, `upper`, `trim`, `prefix`,
+  * `suffix`, `abs`. `prefix`/`suffix` are boolean and may stand alone.
   *
   * `@x` resolves through the caller-supplied attribute resolver (e.g.
   * `element_at(tags, "x")` for tag maps, or a direct column). `like` with a
@@ -34,6 +42,7 @@ object Dfl {
   case class Attr(name: String) extends Node
   case class Lit(value: Any) extends Node
   case class ListLit(values: Seq[Any]) extends Node
+  case class Func(name: String, args: Seq[Node]) extends Node
   case class Cmp(op: String, l: Node, r: Node) extends Node
   case class And(l: Node, r: Node) extends Node
   case class Or(l: Node, r: Node) extends Node
@@ -49,6 +58,7 @@ object Dfl {
   def attributes(dfl: String): Seq[String] = {
     def walk(n: Node): Seq[String] = n match {
       case Attr(a) => Seq(a)
+      case Func(_, args) => args.flatMap(walk)
       case Cmp(_, l, r) => walk(l) ++ walk(r)
       case And(l, r) => walk(l) ++ walk(r)
       case Or(l, r) => walk(l) ++ walk(r)
@@ -66,12 +76,32 @@ object Dfl {
       // two-valued logic like the reference interpreter: a comparison on a
       // missing attribute is FALSE (so `not` of it is TRUE), not SQL NULL
       coalesce(cmpColumn(op, l, r, resolve), lit(false))
+    case f @ Func(name, _) if BoolFuncs(name.toLowerCase) =>
+      coalesce(operand(f, resolve), lit(false))
     case _ => throw new IllegalArgumentException(s"not a boolean expression: $n")
   }
+
+  /** Functions returning booleans — usable as standalone predicates. */
+  private val BoolFuncs = Set("prefix", "suffix")
 
   private def operand(n: Node, resolve: String => Column): Column = n match {
     case Attr(a) => resolve(a)
     case Lit(v) => lit(v)
+    case Func(name, args) =>
+      def a(i: Int) = operand(args(i), resolve)
+      def arity(n0: Int): Unit = require(args.length == n0,
+        s"$name takes $n0 argument(s), got " + args.length)
+      name.toLowerCase match {
+        case "len" | "length" => arity(1); length(a(0).cast("string"))
+        case "lower" => arity(1); lower(a(0).cast("string"))
+        case "upper" => arity(1); upper(a(0).cast("string"))
+        case "trim" => arity(1); trim(a(0).cast("string"))
+        case "prefix" => arity(2); a(0).cast("string").startsWith(a(1).cast("string"))
+        case "suffix" => arity(2); a(0).cast("string").endsWith(a(1).cast("string"))
+        case "abs" => arity(1); abs(a(0).cast("double"))
+        case other => throw new IllegalArgumentException(
+          s"unknown DFL function: $other (have len, lower, upper, trim, prefix, suffix, abs)")
+      }
     case other => throw new IllegalArgumentException(s"unexpected operand: $other")
   }
 
@@ -152,11 +182,22 @@ object Dfl {
       p.next(); val n = parseOr(p); p.expect(")"); n
     } else {
       val l = parseOperand(p)
-      val op = p.next().toLowerCase
-      val r = parseOperand(p)
-      Cmp(op, l, r)
+      p.peek match {
+        case Some(t) if CmpOps(t.toLowerCase) =>
+          val op = p.next().toLowerCase
+          Cmp(op, l, parseOperand(p))
+        case _ =>
+          l match {
+            case f @ Func(name, _) if BoolFuncs(name.toLowerCase) => f
+            case o => throw new IllegalArgumentException(
+              s"expected a comparison operator after $o")
+          }
+      }
     }
   }
+
+  private val CmpOps =
+    Set("like", "ilike", "in", "==", "=", "!=", "<", "<=", ">", ">=")
 
   private def parseOperand(p: P): Node = p.next() match {
     case "[" =>
@@ -172,6 +213,20 @@ object Dfl {
       }
       ListLit(vs.toSeq)
     case t if t.startsWith("@") => Attr(t.drop(1))
+    case t if p.peek.contains("(") && t.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+      p.next() // consume '('
+      val args = scala.collection.mutable.ArrayBuffer.empty[Node]
+      var done = p.peek.contains(")")
+      if (done) p.next()
+      while (!done) {
+        args += parseOperand(p)
+        p.next() match {
+          case ")" => done = true
+          case "," =>
+          case o => throw new IllegalArgumentException(s"expected ',' or ')', got $o")
+        }
+      }
+      Func(t, args.toSeq)
     case t => Lit(litValue(t))
   }
 

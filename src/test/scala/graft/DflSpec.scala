@@ -32,6 +32,34 @@ class DflSpec extends SparkSpecBase {
     assert(run("@craft like '%ery'") === Set(1L, 2L, 4L))
   }
 
+  test("function map: len/lower/upper/trim/abs as operands") {
+    assert(run("len(@craft) > 7") === Set(2L))              // distillery only
+    assert(run("len(@craft) >= 7") === Set(1L, 2L, 4L))     // missing tag -> false
+    assert(run("upper(@craft) like BREWERY") === Set(1L, 4L))
+    assert(run("lower(@craft) == trim(' brewery ')") === Set(1L, 4L))
+    assert(run("@craft == trim('brewery')") === Set(1L, 4L))
+    assert(run("abs(@qty) >= 50") === Set(3L, 4L, 5L))
+  }
+
+  test("boolean functions prefix/suffix stand alone and negate two-valued") {
+    assert(run("prefix(@craft, brew)") === Set(1L, 4L))
+    assert(run("suffix(@craft, ery)") === Set(1L, 2L, 4L))
+    // missing attribute: prefix() is FALSE, not(prefix()) is TRUE
+    assert(run("not prefix(@craft, brew)") === Set(2L, 3L, 5L))
+    assert(run("prefix(@craft, brew) and @qty > 50") === Set(4L))
+  }
+
+  test("function attributes feed projection pushdown") {
+    assert(Dfl.attributes("prefix(@craft, x) and len(@name) > 1")
+      === Seq("craft", "name"))
+  }
+
+  test("unknown functions and bad arity fail fast") {
+    intercept[IllegalArgumentException](run("frob(@craft) == 1"))
+    intercept[IllegalArgumentException](run("len(@craft, @name) > 1"))
+    intercept[IllegalArgumentException](run("len(@craft)")) // non-boolean alone
+  }
+
   test("and / or / not / parens") {
     assert(run("(@craft like brewery) and (@qty > 50)") === Set(4L))
     assert(run("(@craft like brewery) or (@shop like bakery)") === Set(1L, 3L, 4L))
