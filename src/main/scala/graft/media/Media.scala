@@ -236,14 +236,32 @@ object Media {
     * Input df must have (image_id string, bytes binary). At scale this is
     * the only stage that touches pixels; everything downstream works on the
     * extracted features.
+    *
+    * Runs on the InternalRow plane (`queryExecution.toRdd` in,
+    * `internalCreateDataFrame` out): the payload bytes come straight off
+    * the Tungsten row and results go back through one per-task
+    * UnsafeProjection — no external-Row boxing or CatalystTypeConverters
+    * in either direction. At the 3 KB fixture payloads the stage is
+    * inflate-bound so this measures as parity (min-of-8: 2.79 s vs 2.75 s
+    * for 3M images at 32 threads); the conversion savings grow with row
+    * width, and the path is the template for other byte-plane stages.
     */
   def imageFeatures(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
+    import org.apache.spark.unsafe.types.UTF8String
+
     val spark = df.sparkSession
-    val rdd = df.select(col("image_id"), col("bytes")).rdd.mapPartitions { it =>
+    val outSchema = featureSchema
+    val in = df.select(col("image_id"), col("bytes"))
+    val rdd = Bridge.internalRdd(in).mapPartitions { it =>
       val scratch = new PngScratch // one per task: zero-garbage decode loop
-      it.map { r =>
-        val id = r.getString(0)
-        val bytes = r.getAs[Array[Byte]](1)
+      val proj = UnsafeProjection.create(outSchema)
+      val out = new GenericInternalRow(5)
+      it.map { r: InternalRow =>
+        val id: UTF8String = r.getUTF8String(0)
+        val bytes = r.getBinary(1)
         val (px, w, h) = decodePngGrayInto(bytes, scratch) match {
           case Some((w0, h0)) => (scratch.px, w0, h0)
           case None => decodePngImageIO(bytes)
@@ -251,10 +269,15 @@ object Media {
         var s = 0L; var i = 0
         val len = w * h
         while (i < len) { s += (px(i) & 0xff); i += 1 }
-        Row(id, w, h, aHash(px, w, h), s.toDouble / len)
+        out.update(0, id.copy()) // id references the reused scan buffer
+        out.setInt(1, w)
+        out.setInt(2, h)
+        out.setLong(3, aHash(px, w, h))
+        out.setDouble(4, s.toDouble / len)
+        proj(out).copy(): InternalRow
       }
     }
-    spark.createDataFrame(rdd, featureSchema)
+    Bridge.internalDf(spark, rdd, outSchema)
   }
 
   /** Box-filter downsample to (tw, th) — the `resize` step of the

@@ -1,15 +1,30 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
 
 /** Access bridge for `private[sql]` surface the engine legitimately needs:
-  * wrapping custom Catalyst Expressions as public `Column`s. This is the
-  * standard pattern used by public Spark ecosystem libraries (Sedona, Delta)
-  * on Spark 4's ColumnNode API.
+  * wrapping custom Catalyst Expressions as public `Column`s, and building a
+  * DataFrame from an `RDD[InternalRow]` without the external-Row conversion
+  * layer. This is the standard pattern used by public Spark ecosystem
+  * libraries (Sedona, Delta) on Spark 4's ColumnNode API.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `spark.internalCreateDataFrame` — InternalRow in, no
+    * CatalystTypeConverters on the way back (the rows must already match
+    * `schema`'s internal representation, e.g. UTF8String for strings).
+    */
+  def internalDf(spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
+  /** The physical `RDD[InternalRow]` of a DataFrame (no Row conversion). */
+  def internalRdd(df: DataFrame): RDD[InternalRow] = df.queryExecution.toRdd
 }
