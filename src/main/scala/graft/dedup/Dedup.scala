@@ -88,7 +88,9 @@ object Dedup {
       ascii(substring(shingle, j, 1)).cast("long") * lit(math.pow(81, n - j).toLong)
     }.reduce(_ + _)
 
-  /** MinHash signature columns mh_0..mh_{numHashes-1} per id:
+  /** MinHash signature columns mh_0..mh_{numHashes-1} per id, plus the
+    * document's distinct-shingle count `n_sh` (free in the same pass; the
+    * size input of [[lshCandidatesSizeBucketed]]):
     * mh_j = MIN((a_j·h + b_j) mod P) over the document's shingle hashes.
     */
   def minhashSignatures(sh: DataFrame, idCol: String, shingleN: Int,
@@ -97,7 +99,7 @@ object Dedup {
     val h = shingleHash(col("shingle"), shingleN)
     val aggs = (0 until numHashes).map { j =>
       min(pmod(lit(HashA(j)) * h + lit(HashB(j)), lit(P))).as(s"mh_$j")
-    }
+    } :+ count(lit(1)).as("n_sh")
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -115,6 +117,43 @@ object Dedup {
       sigs.select(col(idCol), key.as("band_key"))
     }.reduce(_.unionByName(_))
     banded.as("x").join(banded.as("y"), Seq("band_key"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_1"), col(s"y.$idCol").as("id_2"))
+      .distinct()
+  }
+
+  /** LSH banding with size-bucketed band keys — the full-corpus scale
+    * variant. On heterogeneous corpora plain banding explodes with false
+    * candidates between wildly different-size documents that happen to
+    * share a min-hash; here every band key also carries a log-scale size
+    * bucket, and each document emits its bands for its own bucket AND the
+    * next one up, so no candidate is lost among pairs that could still
+    * clear the Jaccard bar:
+    *
+    * J(A,B) ≥ t forces |A|/|B| ∈ [t, 1/t] (|A∩B| ≤ min ≤ max ≤ |A∪B|).
+    * With bucket base 1/t, any pair within that ratio lands in the same or
+    * adjacent buckets, and own+next-bucket emission covers both cases
+    * exactly once after `distinct`. Pairs further apart than 1/t are
+    * dropped by construction — they cannot reach J ≥ t.
+    *
+    * @param sizeCol   per-doc set size (the `n_sh` of [[minhashSignatures]])
+    * @param threshold the Jaccard bar t the caller verifies at (bucket base
+    *                  = 1/t); candidates are complete for pairs with J ≥ t
+    */
+  def lshCandidatesSizeBucketed(sigs: DataFrame, idCol: String,
+                                numHashes: Int, rowsPerBand: Int,
+                                sizeCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
+    val base = 1.0 / threshold
+    val bucket = floor(log(col(sizeCol).cast("double")) / math.log(base)).cast("long")
+    val numBands = numHashes / rowsPerBand
+    val banded = (0 until numBands).map { b =>
+      val key = concat_ws("_",
+        lit(b) +: (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
+      sigs.select(col(idCol), key.as("band_key"),
+        explode(array(bucket, bucket + 1)).as("size_bucket"))
+    }.reduce(_.unionByName(_))
+    banded.as("x").join(banded.as("y"), Seq("band_key", "size_bucket"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_1"), col(s"y.$idCol").as("id_2"))
       .distinct()

@@ -62,6 +62,47 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(found >= 32, s"LSH recall too low: $found/40")
   }
 
+  test("size-bucketed LSH: completeness on real docs, subset of plain banding") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", 5, 8)
+    val plain = Dedup.lshCandidates(sigs, "doc_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Dedup.lshCandidatesSizeBucketed(sigs, "doc_id", 8, 2,
+      sizeCol = "n_sh", threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucketing only ever REMOVES candidates…
+    assert(bucketed.subsetOf(plain), s"bucketing invented pairs: ${bucketed -- plain}")
+    // …and loses nothing within the feasible size ratio: here every doc has
+    // the same shape, so the candidate sets must be identical
+    assert(bucketed === plain)
+    (0 until 40).foreach { i =>
+      assert(bucketed.contains((i.toLong, i + 1000L)), s"planted pair $i lost")
+    }
+  }
+
+  test("size-bucketed LSH drops only size-infeasible pairs (hand-built sigs)") {
+    // signatures made by hand: three docs share every band key; sizes 100
+    // and 300 are within ratio 4 (J >= 0.25 still possible), size 10000 is
+    // not — J <= min/max = 0.01 < 0.25, so dropping that pair is lossless
+    val sigs = Seq(
+      (1L, 11L, 22L, 33L, 44L, 55L, 66L, 77L, 88L, 100L),
+      (2L, 11L, 22L, 33L, 44L, 55L, 66L, 77L, 88L, 300L),
+      (3L, 11L, 22L, 33L, 44L, 55L, 66L, 77L, 88L, 10000L))
+      .toDF("doc_id", "mh_0", "mh_1", "mh_2", "mh_3", "mh_4", "mh_5", "mh_6", "mh_7", "n_sh")
+    val plain = Dedup.lshCandidates(sigs, "doc_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val bucketed = Dedup.lshCandidatesSizeBucketed(sigs, "doc_id", 8, 2,
+      sizeCol = "n_sh", threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed === Set((1L, 2L)))
+    // at a looser bar the ratio window widens and 300 vs 10000 stays gone
+    val loose = Dedup.lshCandidatesSizeBucketed(sigs, "doc_id", 8, 2,
+      sizeCol = "n_sh", threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === Set((1L, 2L)))
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sims = Dedup.simhash(docs, "doc_id", "text", bits = 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
