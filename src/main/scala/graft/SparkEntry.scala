@@ -341,6 +341,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // similarity search: IVF coarse-quantizer path — deterministic
+    // centroids, inverted-list assignment by integer L2, nprobe probing
+    "q34_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(pmod(col("vec_id"), lit(50L)) === 0)
+      Ann.ivfTopK(queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k = 10, centroidEvery = 25L, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // embedding-cosine near-dup pairs (dedup mode 5) — integer-exact
     // cross-multiplied cosine threshold on quantized vectors
     "q30_embedding_neardup" -> ((s, dir) =>
@@ -639,6 +649,44 @@ object SparkEntry {
            |FROM pts""".stripMargin,
 
       "q28_ann_lsh" -> annLshSql,
+
+      "q34_ann_ivf" ->
+        """WITH dims AS (
+          |  SELECT vec_id, CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv,
+          |         unnest(generate_series(1, len(embedding))) AS i
+          |  FROM embeddings
+          |), cent AS (
+          |  SELECT vec_id AS cid, qv, i FROM dims WHERE vec_id % 25 = 0
+          |), assign AS (
+          |  SELECT d.vec_id, c.cid, CAST(SUM((d.qv - c.qv) * (d.qv - c.qv)) AS BIGINT) AS dist
+          |  FROM dims d JOIN cent c ON d.i = c.i GROUP BY 1, 2
+          |), lists AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          |    FROM assign
+          |  ) WHERE rn = 1
+          |), probes AS (
+          |  SELECT vec_id AS query_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          |    FROM assign WHERE vec_id % 50 = 0
+          |  ) WHERE rn <= 4
+          |), cand AS (
+          |  SELECT p.query_id, l.vec_id FROM probes p JOIN lists l ON l.cid = p.cid
+          |), dots AS (
+          |  SELECT cand.query_id, cand.vec_id, CAST(SUM(q.qv * d.qv) AS BIGINT) AS dot
+          |  FROM cand
+          |  JOIN dims q ON q.vec_id = cand.query_id
+          |  JOIN dims d ON d.vec_id = cand.vec_id AND d.i = q.i
+          |  GROUP BY 1, 2
+          |), r AS (
+          |  SELECT query_id, vec_id, dot,
+          |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+          |  FROM dots
+          |)
+          |SELECT query_id, rank, vec_id, dot FROM r WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin,
 
       "q29_geojson" ->
         s"""$withPts

@@ -254,6 +254,45 @@ object Ann {
     corpus.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("c_emb"))
       .withColumn("bucket", signSketch(col("c_emb"), bits, dims))
 
+  /** Integer squared L2 distance between two quantized vectors. */
+  def sqDistFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** IVF-style ANN — the second scale path next to sign-LSH: a coarse
+    * quantizer of deterministic centroids (every `centroidEvery`-th corpus
+    * vector) partitions the corpus into inverted lists once (broadcast
+    * centroids, one argmin pass; at 10^12 scale persist the lists with
+    * `write.bucketBy(list_id)`), and each query exact-scores only the
+    * `nprobe` nearest lists. Assignment metric is integer squared L2 on
+    * the quantized vectors; final scoring is the same quantized dot as
+    * [[bruteTopK]] — everything integer-exact and oracle-expressible.
+    * Output: query_id, rank, vec_id, dot.
+    */
+  def ivfTopK(queries: DataFrame, qIdCol: String, qEmbCol: String,
+              corpus: DataFrame, idCol: String, embCol: String,
+              k: Int, centroidEvery: Long, nprobe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("c_emb"))
+    val cent = c.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
+      .select(col("vec_id").as("cid"), col("c_emb").as("cent_emb"))
+    val wVec = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val lists = c.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), sqDistFold(col("c_emb"), col("cent_emb")).as("dist"))
+      .withColumn("rn", row_number().over(wVec)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val q = queries.select(col(qIdCol).as("query_id"), quantize(col(qEmbCol)).as("q_emb"))
+    val wQ = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("q_emb"), col("cid"),
+        sqDistFold(col("q_emb"), col("cent_emb")).as("dist"))
+      .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cid"))
+    val cand = probes.join(lists, "cid").join(c, "vec_id")
+      .select(col("query_id"), col("vec_id"), dotFold(col("q_emb"), col("c_emb")).as("dot"))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot"))
+  }
+
   /** Approximate top-k: probe buckets within Hamming radius `probeRadius`
     * of each query's sketch (radius 0/1 = classic multi-probe LSH), then
     * exact-score only those candidates. Recall measured against

@@ -210,6 +210,23 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(found >= 8, s"LSH planted-pair recall too low: $found/10")
   }
 
+  test("IVF top-k: recall vs brute force, exact scores on shared hits") {
+    val q = embeddings.filter(col("vec_id") % 50 === 0)
+    val brute = Ann.bruteTopK(q, "vec_id", "embedding", embeddings, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val ivf = Ann.ivfTopK(q, "vec_id", "embedding", embeddings, "vec_id", "embedding",
+      k = 10, centroidEvery = 25L, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val recall = brute.keySet.intersect(ivf.keySet).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+    // scores agree exactly wherever both plans returned the pair
+    brute.keySet.intersect(ivf.keySet).foreach { key =>
+      assert(brute(key) === ivf(key), s"dot mismatch for $key")
+    }
+    // every query answered with a full k (probing never starves a query)
+    assert(ivf.keySet.groupBy(_._1).forall(_._2.size == 10))
+  }
+
   test("hamming64 expression works over simhash columns") {
     val sims = Dedup.simhash(docs, "doc_id", "text", bits = 16)
     val d = sims.as("a").crossJoin(sims.as("b"))
