@@ -59,6 +59,55 @@ class PlanSpec extends SparkSpecBase {
     assert(line.contains("*(") || plan.startsWith("*("), s"cell_id not in WSCG: $line")
   }
 
+  test("broadcast R-tree probe is a codegen expression, not a ScalaUDF") {
+    val imgs = spark.read.parquet(s"$dir/imgs")
+    val polys = spark.read.parquet(s"$dir/polys")
+    val joined = SpatialJoin.broadcastRtreeJoin(imgs, "lon", "lat", polys, "polygon_id", "ring")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("rtree_probe"), plan.take(2000))
+    assert(!plan.contains("ScalaUDF"), "probe must not fall back to a ScalaUDF")
+    // zero shuffle: the point side flows scan -> generate with no Exchange
+    assert(!plan.contains("Exchange"), s"broadcast plan must not shuffle points:\n${plan.take(2000)}")
+  }
+
+  test("exact embedding near-dup plan has no cartesian/broadcast-nested-loop join") {
+    import spark.implicits._
+    val emb = (0 until 200).map(i =>
+      (i.toLong, (0 until 8).map(d => (i % 7 + d).toFloat / 10f))).toDF("vec_id", "embedding")
+    val pairs = graft.ann.Ann.embeddingNearDupPairs(emb, "vec_id", "embedding", 9, 10)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the all-pairs work happens inside the task loops after ONE hash
+    // exchange on the block-pair task key
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(3000))
+  }
+
+  test("pipeline username rejoin broadcasts the dimension") {
+    import graft.jobs.Pipeline
+    val planet = graft.geo.OsmFixtures.planet(spark, 100, 10, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("planspec_pq").toString
+    planet.nodes.write.mode("overwrite").parquet(s"$tmp/nodes")
+    planet.ways.write.mode("overwrite").parquet(s"$tmp/ways")
+    planet.relations.write.mode("overwrite").parquet(s"$tmp/relations")
+    val c = Pipeline.PipelineConfig(
+      Seq(Pipeline.InputSpec(uri = tmp)),
+      Seq(Pipeline.OutputSpec(uri = s"$tmp/out", format = Some("parquet"))))
+    val shared = Pipeline.ingest(spark, c, Pipeline.plan(c))
+    try {
+      Pipeline.runOutput(shared, c.outputs.head, None)
+      val written = spark.read.parquet(s"$tmp/out/nodes")
+      assert(written.filter(col("user").isNull).count() === 0)
+      // plan shape: the rejoin inside runOutput must be a broadcast hash
+      // join — verify on an equivalent join over the shared frames
+      val plan = shared.nodes
+        .join(org.apache.spark.sql.functions.broadcast(shared.users), Seq("uid"), "left")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    } finally shared.unpersist()
+  }
+
   test("tag key-existence filter is partial-pushdown safe and prunes columns") {
     val tagged = spark.read.parquet(s"$dir/imgs")
       .withColumn("tags", map(lit("craft"), col("craft")))
