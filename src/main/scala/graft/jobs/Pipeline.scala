@@ -375,9 +375,16 @@ object Pipeline {
     val rels = shaped(baseRels, hasCoords = false, OsmXml.relationSchema)
 
     val fmt = formatOf(o)
+    val singleFile = o.uri.stripSuffix(".gz").matches(".*\\.(osm|geojson|geojsonl)")
     fmt match {
       case "osm" =>
         OsmXml.writePlanet(OsmXml.Planet(nodes, ways, rels, shared.bounds), o.uri)
+      case "geojsonl" if !singleFile =>
+        // directory URI: distributed text write; orderBy range-partitions,
+        // so part files concatenate to the same globally-ordered stream
+        // the single-file sink produces
+        featureFrame(nodes, ways).orderBy(col("id")).select(col("f"))
+          .write.mode("overwrite").text(o.uri)
       case "geojson" | "geojsonl" =>
         writeGeoJson(nodes, ways, o.uri, featureCollection = fmt == "geojson")
       case "parquet" =>
@@ -388,19 +395,17 @@ object Pipeline {
     OutputReport(o.uri, fmt, nodes.count(), ways.count(), rels.count())
   }
 
-  /** GeoJSON sinks: nodes as Point features, ways as LineString/Polygon
-    * features with geometry resolved through the shared node frame
-    * (reference GetFeatureCollection / GetFeatures). Single-file driver
-    * write at fixture scale — the distributed path is the parquet sink or
-    * `df.write.text` over the same feature column.
+  /** GeoJSON features: nodes as Points, ways as LineString/Polygon with
+    * geometry resolved through the node frame (reference
+    * GetFeatureCollection / GetFeatures). Returns (id, f) — the shared
+    * plan of both geojson sinks.
     */
-  private def writeGeoJson(nodes: DataFrame, ways: DataFrame, path: String,
-                           featureCollection: Boolean): Unit = {
+  def featureFrame(nodes: DataFrame, ways: DataFrame): DataFrame = {
     import graft.functions.GeoFunctions
     val nodeFeatures = nodes.select(col("id"),
       GeoFunctions.geojson_feature(col("id"), col("lon"), col("lat"), col("tags")).as("f"))
     val resolved = OsmOps.resolveWayRefs(
-      ways.select(col("id").as("way_id"), col("refs"), col("tags")), "way_id", "refs",
+      ways.select(col("id").as("way_id"), col("refs")), "way_id", "refs",
       nodes.select(col("id").as("node_id"), col("lon"), col("lat")), "node_id")
     val wayFeatures = OsmOps.assembleWays(resolved)
       .join(ways.select(col("id").as("way_id"), col("tags")), Seq("way_id"))
@@ -409,7 +414,16 @@ object Pipeline {
           lit(""","properties":"""), to_json(col("tags")),
           lit(""","geometry":"""), GeoFunctions.geojson_way_geometry(col("ring")),
           lit("}")).as("f"))
-    val features = nodeFeatures.unionByName(wayFeatures).orderBy(col("id"))
+    nodeFeatures.unionByName(wayFeatures)
+  }
+
+  /** Single-file GeoJSON sinks (reference parity: one FeatureCollection /
+    * one feature-per-line file) — driver write at fixture scale; dir URIs
+    * take the distributed `write.text` path in [[runOutput]].
+    */
+  private def writeGeoJson(nodes: DataFrame, ways: DataFrame, path: String,
+                           featureCollection: Boolean): Unit = {
+    val features = featureFrame(nodes, ways).orderBy(col("id"))
       .select(col("f")).collect().map(_.getString(0))
     val out = new java.io.PrintWriter(new java.io.BufferedWriter(new java.io.FileWriter(path)))
     try {

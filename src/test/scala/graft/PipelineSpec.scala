@@ -174,6 +174,22 @@ class PipelineSpec extends SparkSpecBase {
     assert(Files.readAllBytes(Paths.get(cb)).sameElements(Files.readAllBytes(Paths.get(pb))))
   }
 
+  test("distributed geojsonl dir sink emits the same ordered stream as the file sink") {
+    val fileOut = s"$tmp/stream_file.geojsonl"
+    val dirOut = s"$tmp/stream_dir"
+    def out(uri: String) = OutputSpec(uri = uri, format = Some("geojsonl"),
+      keysToKeep = K, waysToNodes = true, dropRelations = true)
+    Pipeline.run(spark, PipelineConfig(Seq(InputSpec(uri = inOsm)),
+      Seq(out(fileOut), out(dirOut))))
+    val fromFile = scala.io.Source.fromFile(fileOut).getLines().toSeq
+    // part files concatenate in name order = range-partition order
+    val parts = new java.io.File(dirOut).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val fromDir = parts.flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+    assert(fromDir === fromFile)
+    assert(fromFile.nonEmpty)
+  }
+
   test("J3: normalized-username pipeline round-trips byte-identical to inline") {
     val out = s"$tmp/roundtrip.osm"
     val r = Pipeline.run(spark,
