@@ -113,8 +113,11 @@ final class FlatRtree private (
 
 object FlatRtree {
 
-  /** Interleave two 16-bit ints (Morton) for center-order packing. */
-  private def morton16(x: Int, y: Int): Int = {
+  /** Interleave two 16-bit ints (Morton) for center-order packing. Long
+    * result — truncating to Int would wrap the upper half of the y range
+    * negative and scramble the packing order.
+    */
+  private def morton16(x: Int, y: Int): Long = {
     def spread(v0: Int): Long = {
       var v = v0.toLong & 0xffffL
       v = (v | (v << 8)) & 0x00ff00ffL
@@ -123,7 +126,7 @@ object FlatRtree {
       v = (v | (v << 1)) & 0x55555555L
       v
     }
-    (spread(x) | (spread(y) << 1)).toInt
+    spread(x) | (spread(y) << 1)
   }
 
   /** Build from (id, flat closed ring [x0,y0,x1,y1,…]) pairs. */
