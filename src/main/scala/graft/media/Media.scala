@@ -317,6 +317,29 @@ object Media {
       (i, px, w, h)
     }
 
+  /** Frame sampling as a DataFrame operator over the video model
+    * (videoId, frames: array<binary>): posexplode indexes the frames,
+    * every k-th survives (the filter lands before any byte is decoded),
+    * and the kept payloads ride the same fused InternalRow decode as
+    * still images. Only the codec at the bottom is the stub — a real
+    * deployment swaps the PNG kernel for a video codec behind identical
+    * columns and batch shape.
+    * Output: video_id, frame_idx, w, h, phash, mean_lum.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, framesCol: String, everyK: Int): DataFrame = {
+    require(everyK >= 1, s"everyK >= 1: $everyK")
+    val exploded = df
+      .select(col(idCol).cast("string").as("video_id"),
+        posexplode(col(framesCol)).as(Seq("frame_idx", "bytes")))
+      .filter(pmod(col("frame_idx"), lit(everyK)) === 0)
+    val keyed = exploded.select(
+      concat_ws("#", col("video_id"), col("frame_idx")).as("image_id"), col("bytes"))
+    imageFeatures(keyed).select(
+      substring_index(col("image_id"), "#", 1).as("video_id"),
+      substring_index(col("image_id"), "#", -1).cast("int").as("frame_idx"),
+      col("w"), col("h"), col("phash"), col("mean_lum"))
+  }
+
   /** Batched resize over a DataFrame of payloads — one fused decode+resize
     * pass per partition (the mapInPandas analogue in Scala; Python/pandas
     * is not available to engine code in this environment).

@@ -20,6 +20,31 @@ class MediaSpec extends SparkSpecBase {
     }
   }
 
+  test("sampleFrames keeps every k-th frame with still-image-exact features") {
+    import spark.implicits._
+    // three 8-frame "videos"; frame payloads are the deterministic PNGs
+    val videos = (0 until 3).map { v =>
+      val frames = (0 until 8).map { f =>
+        Media.encodePng(Media.synthPixels(v * 100L + f, 16, 16), 16, 16)
+      }
+      (s"vid$v", frames)
+    }
+    val df = videos.toDF("video_id", "frames")
+    val sampled = Media.sampleFrames(df, "video_id", "frames", everyK = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(4)).toMap
+    assert(sampled.keySet ===
+      (for (v <- 0 until 3; f <- Seq(0, 3, 6)) yield (s"vid$v", f)).toSet)
+    // phash of each sampled frame equals the still-image path's phash
+    val stills = Media.imageFeatures(
+      videos.flatMap { case (vid, frames) =>
+        Seq(0, 3, 6).map(f => (s"$vid/$f", frames(f)))
+      }.toDF("image_id", "bytes"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    sampled.foreach { case ((vid, f), ph) =>
+      assert(ph === stills(s"$vid/$f"), s"phash mismatch for $vid frame $f")
+    }
+  }
+
   test("quantized payload PSNR >= 40 dB and < infinity") {
     val px = Media.synthPixels(99L, 64, 64)
     val q = Media.quantize(px)
