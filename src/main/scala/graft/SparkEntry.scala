@@ -317,6 +317,18 @@ object SparkEntry {
         .orderBy("id_1", "id_2")
     }),
 
+    // near-dup cluster assignment: connected components over the verified
+    // jaccard pairs via 3 rounds of min-label propagation (keep-one-per-
+    // cluster dedup decision); oracle unrolls the rounds join-for-join
+    "q35_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("source").isin("src6", "src7"))
+      val sh = Dedup.shingles(d, "doc_id", "text", 5, carry = Seq("lang"))
+      val pairs = Dedup.jaccardPairs(sh, "doc_id", Seq("lang"))
+        .filter(col("jaccard") >= 0.25)
+      Dedup.clusterLabels(pairs, "id_1", "id_2", d, "doc_id", rounds = 3)
+        .orderBy("id")
+    }),
+
     // SimHash document fingerprint (16-bit, token sign votes)
     "q26_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text", bits = 16)
@@ -604,6 +616,8 @@ object SparkEntry {
 
       "q25_minhash_lsh" -> minhashLshSql,
 
+      "q35_dedup_clusters" -> dedupClustersSql,
+
       "q26_simhash" -> simhashSql,
 
       "q30_embedding_neardup" ->
@@ -817,6 +831,45 @@ object SparkEntry {
        |FROM ver v JOIN sz x ON v.id_1 = x.doc_id JOIN sz y ON v.id_2 = y.doc_id
        |WHERE CAST(v.n_inter AS DOUBLE) / (x.n + y.n - v.n_inter) >= 0.25
        |ORDER BY id_1, id_2""".stripMargin
+  }
+
+  /** Cluster-assignment oracle mirroring [[graft.dedup.Dedup.clusterLabels]]
+    * over the q24 verified-pair graph: 3 unrolled rounds of min-label
+    * propagation, LEFT JOIN + LEAST exactly like the DataFrame loop.
+    */
+  private def dedupClustersSql: String = {
+    val rounds = (0 until 3).map { r =>
+      s"""l${r + 1} AS (
+         |  SELECT l.id, LEAST(l.cluster, COALESCE(m.n_min, l.cluster)) AS cluster
+         |  FROM l$r l LEFT JOIN (
+         |    SELECT e.src AS id, MIN(x.cluster) AS n_min
+         |    FROM e JOIN l$r x ON x.id = e.dst GROUP BY 1
+         |  ) m USING (id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sh AS (
+       |  SELECT doc_id, lang, substr(text, i, 5) AS shingle
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-4)) AS i) g
+       |  WHERE source IN ('src6', 'src7')
+       |  GROUP BY ALL
+       |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |p0 AS (
+       |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), p AS (
+       |  SELECT p0.id_1, p0.id_2
+       |  FROM p0 JOIN sz x ON p0.id_1 = x.doc_id JOIN sz y ON p0.id_2 = y.doc_id
+       |  WHERE CAST(p0.n_inter AS DOUBLE) / (x.n + y.n - p0.n_inter) >= 0.25
+       |), e AS (
+       |  SELECT id_1 AS src, id_2 AS dst FROM p
+       |  UNION ALL SELECT id_2, id_1 FROM p
+       |), l0 AS (
+       |  SELECT doc_id AS id, doc_id AS cluster FROM documents
+       |  WHERE source IN ('src6', 'src7')
+       |),
+       |$rounds
+       |SELECT id, cluster FROM l3 ORDER BY id""".stripMargin
   }
 
   /** SimHash oracle mirroring [[graft.dedup.Dedup.simhash]] (16 bits). */

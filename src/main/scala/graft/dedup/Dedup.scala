@@ -159,6 +159,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup CLUSTER assignment: connected components over a pair list by
+    * `rounds` iterations of min-label propagation — the step that turns
+    * pairwise near-dup evidence into keep-one-per-cluster decisions.
+    *
+    * Each round every id adopts the minimum label in its closed
+    * neighborhood; after r rounds labels are exact for components of
+    * diameter < 2^r is NOT guaranteed by plain propagation (it halves
+    * eccentricity linearly, not doubly), so: exact for components whose
+    * every vertex is within `rounds` hops of the component minimum —
+    * choose rounds ≥ the expected cluster diameter (near-dup clusters are
+    * shallow: dup groups are near-cliques). Deterministic and unrollable
+    * to SQL, so the driver oracle can mirror it join-for-join.
+    * Output: id, cluster (the component-minimum id after `rounds`).
+    */
+  def clusterLabels(pairs: DataFrame, idCol1: String, idCol2: String,
+                    ids: DataFrame, idCol: String, rounds: Int): DataFrame = {
+    val edges = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
+      .unionByName(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    (0 until rounds).foreach { _ =>
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("n_min"))
+      labels = labels.join(fromNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"))
+    }
+    labels
+  }
+
   // ---- SimHash ----------------------------------------------------------------
 
   /** Token hash mirroring [[shingleHash]] on the (right-padded) first 5

@@ -202,7 +202,11 @@ object Pipeline {
                       bodyCols: Seq[String], skip: Boolean): DataFrame = {
           if (skip) return emptyOf(spark, schema)
           val path = s"${in.uri}/$name"
-          if (!new java.io.File(path).exists()) return emptyOf(spark, schema)
+          // existence via Hadoop FS, not java.io — parquet planets can live
+          // on any supported scheme (hdfs, s3a with its jars), not just file:
+          val hPath = new org.apache.hadoop.fs.Path(path)
+          val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(hPath)) return emptyOf(spark, schema)
           val scan = spark.read.parquet(path)
           // prune: id + body + tags + only the attrs some output still needs
           val needed = Seq("id") ++ p.neededAttrCols.filterNot(_ == "uid") ++

@@ -62,6 +62,24 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(found >= 32, s"LSH recall too low: $found/40")
   }
 
+  test("cluster labels collapse planted near-dup groups to the minimum id") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val pairs = Dedup.jaccardPairs(sh, "doc_id", Nil).filter(col("jaccard") >= 0.6)
+    val labels = Dedup.clusterLabels(pairs, "id_1", "id_2", docs, "doc_id", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 40).foreach { i =>
+      assert(labels(i + 1000L) === labels(i.toLong), s"pair $i split across clusters")
+    }
+    // exact dups chain through their base docs (0-1000-2000 triangle)
+    assert(labels(2000L) === labels(0L) && labels(0L) === 0L)
+    assert(labels(2001L) === labels(1L) && labels(1L) === 1L)
+    // untouched docs keep their own label
+    val clustered = (0 until 40).flatMap(i => Seq(i.toLong, i + 1000L)).toSet ++ Set(2000L, 2001L)
+    labels.filterNot(kv => clustered(kv._1)).foreach { case (id, c) =>
+      assert(c === id, s"singleton $id relabeled to $c")
+    }
+  }
+
   test("size-bucketed LSH: completeness on real docs, subset of plain banding") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 5)
     val sigs = Dedup.minhashSignatures(sh, "doc_id", 5, 8)
