@@ -274,11 +274,14 @@ object Ann {
     val c = corpus.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("c_emb"))
     val cent = c.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
       .select(col("vec_id").as("cid"), col("c_emb").as("cent_emb"))
-    val wVec = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    // corpus-side argmin as a hash aggregation over a (dist, cid) struct
+    // (lexicographic min = min dist, ties to min cid) — partial aggregation
+    // and no sort shuffle, unlike a row_number window
     val lists = c.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"), sqDistFold(col("c_emb"), col("cent_emb")).as("dist"))
-      .withColumn("rn", row_number().over(wVec)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
+      .select(col("vec_id"),
+        struct(sqDistFold(col("c_emb"), col("cent_emb")).as("dist"), col("cid").as("cid")).as("dc"))
+      .groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
     val q = queries.select(col(qIdCol).as("query_id"), quantize(col(qEmbCol)).as("q_emb"))
     val wQ = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cid"))
     val probes = q.crossJoin(broadcast(cent))
