@@ -44,6 +44,9 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Stopword list for the quality-signal suite (pluggable). */
+  val StopWords: Seq[String] = Seq("the", "a", "and", "of", "is")
+
   /** Pluggable language-ID marker sets (order = tie-break priority). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq(" the ", " a "),
@@ -249,14 +252,20 @@ object SparkEntry {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
         .orderBy("event_type")),
 
-    // text analysis: token counting + character-class quality signals
+    // text analysis: token counting + character-class, punctuation, and
+    // stopword quality signals
     "q19_text_stats" -> ((s, dir) => {
       val d = docs(s, dir)
       d.select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.alphaCount(col("text")).as("n_alpha"),
         length(col("text")).as("n_len"),
-        (TextOps.alphaCount(col("text")) / length(col("text"))).as("alpha_ratio"))
+        (TextOps.alphaCount(col("text")) / length(col("text"))).as("alpha_ratio"),
+        TextOps.punctCount(col("text")).as("n_punct"),
+        (TextOps.punctCount(col("text")) / length(col("text"))).as("punct_ratio"),
+        TextOps.stopwordCount(col("text"), StopWords).as("n_stop"),
+        (TextOps.stopwordCount(col("text"), StopWords) / TextOps.tokenCount(col("text")))
+          .as("stop_ratio"))
         .orderBy("doc_id")
     }),
 
@@ -559,13 +568,7 @@ object SparkEntry {
           |       COUNT(*) AS n
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
-      "q19_text_stats" ->
-        """SELECT doc_id,
-          |       len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
-          |       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-          |       length(text) AS n_len,
-          |       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) AS alpha_ratio
-          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q19_text_stats" -> textStatsSql,
 
       "q20_lang_id" -> langIdSql,
 
@@ -777,6 +780,26 @@ object SparkEntry {
        |)
        |SELECT query_id, rank, vec_id, dot FROM r WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Text-stats oracle mirroring [[graft.text.TextOps]]: the stopword
+    * count is the same length-difference arithmetic as markerCount, so the
+    * double results are bit-identical across engines.
+    */
+  private def textStatsSql: String = {
+    val stopExpr = StopWords
+      .map(w => s"((length(text) - length(replace(text, ' $w ', ''))) / ${w.length + 2})")
+      .mkString("(", " + ", ")")
+    s"""SELECT doc_id,
+       |       len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+       |       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       |       length(text) AS n_len,
+       |       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) AS alpha_ratio,
+       |       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+       |       (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / length(text) AS punct_ratio,
+       |       $stopExpr AS n_stop,
+       |       $stopExpr / len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS stop_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
   /** Language-ID oracle mirroring [[LangMarkers]] scoring + first-wins argmax. */

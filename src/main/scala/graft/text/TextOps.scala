@@ -25,6 +25,18 @@ object TextOps {
   def markerCount(text: Column, marker: String): Column =
     (length(text) - length(replace(text, lit(marker), lit("")))) / lit(marker.length)
 
+  /** Count of sentence-punctuation characters. Explicit character class —
+    * identical semantics in Java regex and DuckDB's RE2.
+    */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** Summed occurrence count of space-delimited stopwords (the stopword-
+    * ratio numerator of the quality suite; list is pluggable).
+    */
+  def stopwordCount(text: Column, stops: Seq[String]): Column =
+    stops.map(w => markerCount(text, s" $w ")).reduce(_ + _)
+
   /** Language-ID by marker scoring: per language, the summed occurrence
     * count of its marker strings; prediction = argmax with deterministic
     * first-wins tie-break (languages in the given order). The marker sets

@@ -32,6 +32,20 @@ class TextOpsSpec extends SparkSpecBase {
     assert(r(3L) === "en") // all-zero tie -> first language
   }
 
+  test("punctuation and stopword counts match hand counts") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat, the hat! is a of and: the end."))
+      .toDF("doc_id", "text")
+    val r = df.select(
+      TextOps.punctCount(col("text")).as("p"),
+      TextOps.stopwordCount(col("text"), Seq("the", "a", "of", "is")).as("st"))
+      .collect()(0)
+    assert(r.getInt(0) === 4) // , ! : .
+    // space-delimited markers: " the " x2 (", the hat", ": the end"),
+    // " a " x1, " of " x1, " is " x1; the leading bare "the" doesn't count
+    assert(r.getDouble(1) === 5.0)
+  }
+
   test("rolling fingerprint matches a hand fold") {
     val got = df.filter(col("doc_id") === 3L)
       .select(TextOps.fingerprintRolling(col("text"))).collect()(0).getLong(0)
