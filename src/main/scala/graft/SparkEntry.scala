@@ -314,6 +314,10 @@ object SparkEntry {
     // The shingle frame feeds signatures AND both sides of the exact
     // verifier; recomputing the codegen'd explode is cheaper than caching
     // the 1.5M-row string frame (measured: persist cost +1.9 s at sf0.1)
+    // Plain banding here: the fixture corpus is homogeneous-size, so the
+    // size-bucketed variant (lshCandidatesSizeBucketed — provably lossless
+    // above the verification bar, and interchangeable under this oracle)
+    // would double band rows without cutting candidates (measured +15%)
     "q25_minhash_lsh" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("source").isin("src6", "src7"))
       val sh = Dedup.shingles(d, "doc_id", "text", 5)
