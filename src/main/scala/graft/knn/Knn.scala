@@ -57,12 +57,19 @@ object Knn {
 
     while (explored < hardMax && !remaining.isEmpty) {
       // first iteration explores rings 0..1 together — with a well-chosen z
-      // most queries finish in one pass instead of two
-      val hi = if (explored < 0) 1 else explored + 1
+      // most queries finish in one pass; afterwards the explored radius
+      // DOUBLES each round, so sparse stragglers converge in O(log r)
+      // shuffles instead of one per ring (each iteration is a shuffle + a
+      // localCheckpoint — the per-round cost dwarfs the extra cells). The
+      // termination bound is unchanged: a query stops when its kth distance
+      // beats the lower bound of ring explored+1.
+      val hi = math.min(hardMax,
+        if (explored < 0) 1 else math.max(explored + 1, explored * 2))
       val ringsHere: Column =
         if (explored < 0) flatten(transform(sequence(lit(0), lit(hi)),
           kCol => ringCells(col("__qcell"), kCol)))
-        else ringCells(col("__qcell"), lit(hi))
+        else flatten(transform(sequence(lit(explored + 1), lit(hi)),
+          kCol => ringCells(col("__qcell"), kCol)))
       val cand = remaining
         .withColumn("__cell", explode(ringsHere))
         .join(pts, "__cell")
