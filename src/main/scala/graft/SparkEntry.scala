@@ -243,6 +243,24 @@ object SparkEntry {
           col("n"), col("min_value"), col("max_value"))
         .orderBy("event_type", "window_start")),
 
+    // event-time gap sessionization through the custom-state operator
+    // (flatMapGroupsWithState, batch form) — epoch-millis outputs so the
+    // cross-engine compare is pure integer; oracle = lag + cumulative-sum
+    // session ids. Double `value` sums are order-dependent, so the query
+    // emits only order-independent session columns
+    "q36_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+        .as[graft.streaming.Streams.Event]
+      graft.streaming.Streams.sessionize(ev, gapMs = 1800000L, streaming = false)
+        .toDF()
+        .select(col("user_id"), unix_millis(col("start")).as("start_ms"),
+          unix_millis(col("end")).as("end_ms"), col("n_events"))
+        .orderBy("user_id", "start_ms")
+    }),
+
     // semi-structured props extraction + aggregation
     "q18_event_props" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
@@ -571,6 +589,25 @@ object SparkEntry {
         """SELECT event_type, CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
           |       COUNT(*) AS n
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q36_sessionize" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_ms(ts) AS t FROM events
+          |), m AS (
+          |  SELECT user_id, t,
+          |         CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+          |              OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000
+          |              THEN 1 ELSE 0 END AS brk
+          |  FROM e
+          |), sid AS (
+          |  SELECT user_id, t,
+          |         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+          |                        ROWS UNBOUNDED PRECEDING) AS s
+          |  FROM m
+          |)
+          |SELECT user_id, MIN(t) AS start_ms, MAX(t) AS end_ms, COUNT(*) AS n_events
+          |FROM sid GROUP BY user_id, s
+          |ORDER BY user_id, start_ms""".stripMargin,
 
       "q19_text_stats" -> textStatsSql,
 
