@@ -63,10 +63,12 @@ object OsmXml {
 
   /** Open an input URI the way the reference's Input.Open does
     * (`/root/reference/osm/Input.go:36-60`): `stdin`/`-`, `http(s)://`,
-    * or a local file path, with `.gz` transparently decompressed. Bulk
-    * scale data rides Hadoop FS schemes via `spark.read` instead (file/
-    * hdfs out of the box; s3a with hadoop-aws + SDK jars deployed — not
-    * bundled in this sandbox, see COVERAGE.md §S3).
+    * or a local file path, with `.gz` and `.bz2` transparently
+    * decompressed (the reference's two codecs, Input.go:47-75; bzip2 via
+    * commons-compress off Spark's classpath). Bulk scale data rides
+    * Hadoop FS schemes via `spark.read` instead (file/hdfs out of the
+    * box; s3a with hadoop-aws + SDK jars deployed — not bundled in this
+    * sandbox, see COVERAGE.md §S3).
     */
   private def openIn(path: String) = {
     val raw: java.io.InputStream =
@@ -75,7 +77,10 @@ object OsmXml {
         new java.net.URL(path).openStream()
       else new FileInputStream(path)
     val buf = new BufferedInputStream(raw)
-    if (path.endsWith(".gz")) new GZIPInputStream(buf) else buf
+    if (path.endsWith(".gz")) new GZIPInputStream(buf)
+    else if (path.endsWith(".bz2"))
+      new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(buf)
+    else buf
   }
 
   private val tsFmt = java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME
@@ -165,7 +170,11 @@ object OsmXml {
     */
   def writePlanet(p: Planet, path: String): Unit = {
     val rawOut = new BufferedOutputStream(new FileOutputStream(path))
-    val out = if (path.endsWith(".gz")) new GZIPOutputStream(rawOut) else rawOut
+    val out =
+      if (path.endsWith(".gz")) new GZIPOutputStream(rawOut)
+      else if (path.endsWith(".bz2"))
+        new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(rawOut)
+      else rawOut
     val w = XMLOutputFactory.newInstance().createXMLStreamWriter(out, "UTF-8")
     w.writeStartDocument("UTF-8", "1.0")
     w.writeStartElement("osm")

@@ -55,6 +55,18 @@ class SchemesSpec extends SparkSpecBase {
     } finally System.setIn(orig)
   }
 
+  test(".osm.bz2 round-trips like .osm.gz (the reference's second codec)") {
+    val bz = s"$tmp/fixture.osm.bz2"
+    OsmXml.writePlanet(planet, bz)
+    // really bzip2 on disk: magic bytes BZh
+    val head = java.nio.file.Files.readAllBytes(Paths.get(bz)).take(3)
+    assert(head.sameElements(Array[Byte]('B', 'Z', 'h')))
+    val back = OsmXml.readPlanet(spark, bz)
+    assert(back.nodes.collect().toSet === planet.nodes.collect().toSet)
+    assert(back.ways.collect().toSet === planet.ways.collect().toSet)
+    assert(back.relations.collect().toSet === planet.relations.collect().toSet)
+  }
+
   test("file:// URIs and globs flow through spark.read") {
     val dir = s"$tmp/pq"
     planet.nodes.write.mode("overwrite").parquet(dir)
