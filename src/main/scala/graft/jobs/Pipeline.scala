@@ -194,7 +194,8 @@ object Pipeline {
     * conjoined plan needs — Catalyst prunes the rest out of the ReadSchema.
     */
   def loadInput(spark: SparkSession, in: InputSpec, idx: Int, p: IngestPlan): OsmXml.Planet = {
-    val osmLike = in.uri.endsWith(".osm") || in.uri.endsWith(".osm.gz")
+    val osmLike = in.uri.endsWith(".osm") || in.uri.endsWith(".osm.gz") ||
+      in.uri.endsWith(".osm.bz2")
     val raw: OsmXml.Planet =
       if (osmLike) OsmXml.readPlanet(spark, in.uri)
       else {
@@ -323,7 +324,7 @@ object Pipeline {
     * engine's canonical scale sink.
     */
   def formatOf(o: OutputSpec): String = o.format.getOrElse {
-    val u = o.uri.stripSuffix(".gz")
+    val u = o.uri.stripSuffix(".gz").stripSuffix(".bz2")
     if (u.endsWith(".geojson")) "geojson"
     else if (u.endsWith(".geojsonl")) "geojsonl"
     else if (u.endsWith(".osm")) "osm"
@@ -379,7 +380,8 @@ object Pipeline {
     val rels = shaped(baseRels, hasCoords = false, OsmXml.relationSchema)
 
     val fmt = formatOf(o)
-    val singleFile = o.uri.stripSuffix(".gz").matches(".*\\.(osm|geojson|geojsonl)")
+    val singleFile = o.uri.stripSuffix(".gz").stripSuffix(".bz2")
+      .matches(".*\\.(osm|geojson|geojsonl)")
     fmt match {
       case "osm" =>
         OsmXml.writePlanet(OsmXml.Planet(nodes, ways, rels, shared.bounds), o.uri)
