@@ -430,6 +430,22 @@ object SparkEntry {
         col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")).as("bbox"))
     }),
 
+    // X8/S6 way geometry: assembled ways → LineString/Polygon GeoJSON
+    // (closure first==last picks Polygon); exact string oracle via ordered
+    // STRING_AGG of the same double renderings
+    "q37_geojson_ways" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val ways = p.groupBy(col("way_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("point_id")))),
+          v => v.getField("point_id")).as("refs"))
+      val nodes = p.select(col("point_id").as("node_id"), col("lon"), col("lat"))
+      val assembled = OsmOps.assembleWays(
+        OsmOps.resolveWayRefs(ways, "way_id", "refs", nodes, "node_id"))
+      assembled.select(col("way_id"),
+        graft.functions.GeoFunctions.geojson_way_geometry(col("ring")).as("geometry"))
+        .orderBy("way_id")
+    }),
+
     // S6/S7: GeoJSON feature sink projection — exact string oracle: DuckDB's
     // shortest-roundtrip double rendering (CAST AS VARCHAR) byte-matches Java
     // 17's Double.toString on every fixture coordinate (verified over all
@@ -589,6 +605,22 @@ object SparkEntry {
         """SELECT event_type, CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
           |       COUNT(*) AS n
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q37_geojson_ways" ->
+        s"""$withPts, coords AS (
+           |  SELECT way_id,
+           |         STRING_AGG('[' || CAST(lon AS VARCHAR) || ',' || CAST(lat AS VARCHAR) || ']',
+           |                    ',' ORDER BY pos) AS cs,
+           |         FIRST(lon ORDER BY pos) = LAST(lon ORDER BY pos)
+           |           AND FIRST(lat ORDER BY pos) = LAST(lat ORDER BY pos) AS closed
+           |  FROM pts GROUP BY way_id
+           |)
+           |SELECT way_id,
+           |       CASE WHEN closed
+           |            THEN '{"type":"Polygon","coordinates":[[' || cs || ']]}'
+           |            ELSE '{"type":"LineString","coordinates":[' || cs || ']}'
+           |       END AS geometry
+           |FROM coords ORDER BY way_id""".stripMargin,
 
       "q36_sessionize" ->
         """WITH e AS (
