@@ -126,6 +126,7 @@ object Ann {
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
         def emit(id1: Long, e1: Array[Long], n1: Long,
                  id2: Long, e2: Array[Long], n2: Long): Unit = {
+          if (id1 == id2) return // duplicate input ids: never emit a self-pair
           val (a, ea, na, bId, eb, nb) =
             if (id1 < id2) (id1, e1, n1, id2, e2, n2) else (id2, e2, n2, id1, e1, n1)
           var dot = 0L; var d = 0
@@ -204,6 +205,7 @@ object Ann {
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
         def emit(id1: Long, e1: Array[Long], n1: Long,
                  id2: Long, e2: Array[Long], n2: Long): Unit = {
+          if (id1 == id2) return // duplicate input ids: never emit a self-pair
           val (a, ea, na, bId, eb, nb) =
             if (id1 < id2) (id1, e1, n1, id2, e2, n2) else (id2, e2, n2, id1, e1, n1)
           var dot = 0L; var d = 0

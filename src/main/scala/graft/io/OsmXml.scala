@@ -166,9 +166,10 @@ object OsmXml {
 
   /** Write DataFrames back to .osm / .osm.gz in the reference's order:
     * bounds, nodes by id, ways by id (MarshalPlanet.go:130-162). Collects
-    * to the driver — fixture-scale only.
+    * to the driver — fixture-scale only. Returns (nodes, ways, relations)
+    * written, counted from the collected arrays (no extra actions).
     */
-  def writePlanet(p: Planet, path: String): Unit = {
+  def writePlanet(p: Planet, path: String): (Long, Long, Long) = {
     val rawOut = new BufferedOutputStream(new FileOutputStream(path))
     val out =
       if (path.endsWith(".gz")) new GZIPOutputStream(rawOut)
@@ -201,7 +202,8 @@ object OsmXml {
         w.writeEmptyElement("tag"); w.writeAttribute("k", k); w.writeAttribute("v", v)
       }
 
-    p.nodes.orderBy(col("id")).collect().foreach { r =>
+    val nodeRows = p.nodes.orderBy(col("id")).collect()
+    nodeRows.foreach { r =>
       w.writeStartElement("node")
       writeCommon(r)
       w.writeAttribute("lon", f"${r.getDouble(6)}%.7f")
@@ -209,7 +211,8 @@ object OsmXml {
       writeTags(r.getMap[String, String](8).toMap)
       w.writeEndElement()
     }
-    p.ways.orderBy(col("id")).collect().foreach { r =>
+    val wayRows = p.ways.orderBy(col("id")).collect()
+    wayRows.foreach { r =>
       w.writeStartElement("way")
       writeCommon(r)
       r.getSeq[Long](6).foreach { ref =>
@@ -218,7 +221,8 @@ object OsmXml {
       writeTags(r.getMap[String, String](7).toMap)
       w.writeEndElement()
     }
-    p.relations.orderBy(col("id")).collect().foreach { r =>
+    val relRows = p.relations.orderBy(col("id")).collect()
+    relRows.foreach { r =>
       w.writeStartElement("relation")
       writeCommon(r)
       r.getSeq[Row](6).foreach { m =>
@@ -234,5 +238,6 @@ object OsmXml {
     w.writeEndDocument()
     w.close()
     out.close()
+    (nodeRows.length.toLong, wayRows.length.toLong, relRows.length.toLong)
   }
 }

@@ -57,7 +57,7 @@ object UriTemplate {
     if (tok.startsWith("\"") && tok.endsWith("\"") && tok.length >= 2)
       tok.substring(1, tok.length - 1)
     else if (tok.startsWith(".")) lookup(tok, ctx)
-    else tok.toDoubleOption.map(d => if (d.isWhole && !tok.contains('.')) tok.toLong else d)
+    else tok.toDoubleOption.map(d => if (tok.matches("-?\\d+")) d.toLong else d)
       .getOrElse(throw new IllegalArgumentException(s"bad template token: $tok"))
 
   private def lookup(path: String, ctx: Map[String, Any]): Any =

@@ -73,9 +73,30 @@ object Pipeline {
       dropUserId: Boolean = false,
       dropUserName: Boolean = false,
       keysToKeep: Seq[String] = Nil,
-      keysToDrop: Seq[String] = Nil)
+      keysToDrop: Seq[String] = Nil,
+      /** >0 routes a parquet output through [[graft.io.SnapshotTable]] with
+        * `snapshotParts` id-hash partitions: a killed run resumes skipping
+        * already-committed partitions (manifest protocol).
+        */
+      snapshotParts: Int = 0)
 
   case class PipelineConfig(inputs: Seq[InputSpec], outputs: Seq[OutputSpec])
+
+  /** Fail-fast on contradictory configs — reference Config.Validate parity
+    * (`/root/reference/osm/Config.go:313-334`): ways_to_nodes+drop_ways is
+    * an error, and dropping all three element classes is an error.
+    */
+  def validate(c: PipelineConfig): Unit = {
+    require(c.inputs.nonEmpty, "pipeline needs at least one input")
+    require(c.outputs.nonEmpty, "pipeline needs at least one output")
+    c.inputs.foreach(in => require(in.uri.nonEmpty, "input uri is missing"))
+    c.outputs.foreach { o =>
+      require(!(o.waysToNodes && o.dropWays),
+        s"output ${o.uri}: cannot enable ways_to_nodes and drop_ways at the same time")
+      require(!(o.dropNodes && o.dropWays && o.dropRelations),
+        s"output ${o.uri}: cannot drop nodes, ways, and relations — output would be empty")
+    }
+  }
 
   /** What the shared scan may skip, conjoined across outputs (Config.Init). */
   case class IngestPlan(
@@ -112,8 +133,18 @@ object Pipeline {
         c.outputs.map(_.keysToDrop.toSet).reduce(_ intersect _).toSeq.sorted
       else Nil
 
+    // an output can spare nodes at ingest only when NOTHING it emits needs
+    // node coordinates: it must drop nodes, not convert ways (centroids
+    // resolve through nodes), and not keep ways (geojson way geometry
+    // resolves through nodes — reference Planet.go:60-64 — and the planet
+    // sinks retain way-referenced nodes even under drop_nodes —
+    // MarshalPlanet.go:130-141). Without this, a drop_nodes output that
+    // still emits ways would silently lose geometry.
+    def sparesNodes(o: OutputSpec): Boolean =
+      o.dropNodes && !o.waysToNodes && o.dropWays
+
     IngestPlan(
-      dropNodes = allOut(_.dropNodes),
+      dropNodes = allOut(sparesNodes),
       dropWays = allIn(_.dropWays) || allOut(_.dropWays),
       dropRelations = allIn(_.dropRelations) || allOut(_.dropRelations),
       dropVersion = allOut(_.dropVersion),
@@ -256,7 +287,8 @@ object Pipeline {
 
   case class Shared(nodes: DataFrame, ways: DataFrame, relations: DataFrame,
                     users: DataFrame, maxId: Long,
-                    bounds: Option[(Double, Double, Double, Double)]) {
+                    bounds: Option[(Double, Double, Double, Double)],
+                    inputUris: Seq[String] = Nil) {
     def unpersist(): Unit = {
       nodes.unpersist(); ways.unpersist(); relations.unpersist(); users.unpersist()
     }
@@ -292,7 +324,8 @@ object Pipeline {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    Shared(nodes, ways, rels, users, maxId, planets.headOption.flatMap(_.bounds))
+    Shared(nodes, ways, rels, users, maxId, planets.headOption.flatMap(_.bounds),
+      inputUris = c.inputs.map(_.uri))
   }
 
   /** Ways→nodes: centroid over the way's node references — including the
@@ -333,89 +366,162 @@ object Pipeline {
 
   case class OutputReport(uri: String, format: String, nodes: Long, ways: Long, relations: Long)
 
-  private def applyOutputShape(df: DataFrame, o: OutputSpec, users: DataFrame,
-                               hasCoords: Boolean): DataFrame = {
-    // J3 rejoin first: the username dimension is broadcast back on uid
-    // (MarshalNode.go:33), so output filters can resolve `@user` too
-    var d =
-      if (o.dropUserName) df.withColumn("user", lit(null).cast("string"))
-      else df.join(broadcast(users), Seq("uid"), "left")
-    o.filter.foreach(f => d = d.filter(filterPredicate(f, hasCoords)))
-    d = projectTags(d, o.keysToKeep, o.keysToDrop)
+  /** J3 rejoin: the username dimension is broadcast back on uid
+    * (MarshalNode.go:33) BEFORE the output filter, so `@user` resolves.
+    */
+  private def withUser(df: DataFrame, o: OutputSpec, users: DataFrame): DataFrame = {
+    val base = df.drop("user")
+    if (o.dropUserName) base.withColumn("user", lit(null).cast("string"))
+    else base.join(broadcast(users), Seq("uid"), "left")
+  }
+
+  /** Output-time shaping (the reference does this in MarshalNode/MarshalWay,
+    * AFTER filtering): tag projection + attribute nulls, schema order.
+    */
+  private def shapeCols(df: DataFrame, o: OutputSpec,
+                        schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    var d = projectTags(df, o.keysToKeep, o.keysToDrop)
     if (o.dropVersion) d = d.withColumn("version", lit(null).cast("int"))
     if (o.dropTimestamp) d = d.withColumn("ts", lit(null).cast("timestamp"))
     if (o.dropChangeset) d = d.withColumn("changeset", lit(null).cast("long"))
     if (o.dropUserId) d = d.withColumn("uid", lit(null).cast("long"))
-    d
+    d.select(schema.fieldNames.map(col): _*)
   }
 
   def runOutput(shared: Shared, o: OutputSpec, sharedConverted: Option[DataFrame]): OutputReport = {
     val spark = shared.nodes.sparkSession
-    val convert = o.waysToNodes
-    val baseNodes =
-      if (!convert) shared.nodes.withColumn("user", lit(null).cast("string"))
-        .select(OsmXml.nodeSchema.fieldNames.map(col): _*)
-      else {
-        val extra = sharedConverted.getOrElse(waysToNodes(shared))
-        shared.nodes.withColumn("user", lit(null).cast("string"))
-          .select(OsmXml.nodeSchema.fieldNames.map(col): _*)
-          .unionByName(extra)
-      }
-    val baseWays =
-      if (convert || o.dropWays) emptyOf(spark, OsmXml.waySchema)
-      else shared.ways.withColumn("user", lit(null).cast("string"))
-        .select(OsmXml.waySchema.fieldNames.map(col): _*)
-    val baseRels =
-      if (o.dropRelations) emptyOf(spark, OsmXml.relationSchema)
-      else shared.relations.withColumn("user", lit(null).cast("string"))
-        .select(OsmXml.relationSchema.fieldNames.map(col): _*)
-
-    def shaped(df: DataFrame, hasCoords: Boolean, schema: org.apache.spark.sql.types.StructType) =
-      if (o.dropNodes && hasCoords) emptyOf(spark, schema)
-      else applyOutputShape(df.drop("user"), o, shared.users, hasCoords)
-        .select(schema.fieldNames.map(col): _*)
-
-    val nodes = shaped(baseNodes, hasCoords = true, OsmXml.nodeSchema)
-    val ways = shaped(baseWays, hasCoords = false, OsmXml.waySchema)
-    val rels = shaped(baseRels, hasCoords = false, OsmXml.relationSchema)
-
     val fmt = formatOf(o)
+    val convert = o.waysToNodes
+    // planet-shaped sinks get MarshalPlanet's node-retention semantics;
+    // feature sinks get GetFeatures' (no retention, geometry via all nodes)
+    val planetSink = fmt == "osm" || fmt == "parquet"
+
+    // ways this output keeps: KeepWay filter semantics — tags + attributes,
+    // never bbox (KeepWay.go:7-50; ways carry no coordinates)
+    val keptWays =
+      if (convert || o.dropWays) emptyOf(spark, OsmXml.waySchema)
+      else {
+        var w = withUser(shared.ways, o, shared.users)
+        o.filter.foreach(f => w = w.filter(filterPredicate(f, hasCoords = false)))
+        w
+      }
+
+    // converted way-nodes: the WAY filter applies pre-conversion
+    // (MarshalPlanet.go:104-118) and the result bypasses drop_nodes and the
+    // node filter — tags/attrs carry over from the way, so filtering the
+    // converted node WITHOUT bbox is exactly filtering the way
+    val converted: Option[DataFrame] =
+      if (!convert) None
+      else {
+        var d = withUser(sharedConverted.getOrElse(waysToNodes(shared)), o, shared.users)
+        o.filter.foreach(f => d = d.filter(filterPredicate(f, hasCoords = false)))
+        Some(d)
+      }
+
+    // original nodes: planet sinks keep nodes referenced by kept ways even
+    // under drop_nodes or a failing filter (MarshalPlanet.go:130-148);
+    // feature sinks emit no node features at all under drop_nodes
+    // (Planet.go:88) but still resolve way geometry through every node
+    val nodesWithUser = withUser(shared.nodes, o, shared.users)
+    val keepPred: Column =
+      if (o.dropNodes) lit(false)
+      else o.filter.map(f => filterPredicate(f, hasCoords = true)).getOrElse(lit(true))
+    val keptNodes0 =
+      if (!o.dropNodes && o.filter.isEmpty) nodesWithUser
+      else if (planetSink && !convert && !o.dropWays)
+        OsmOps.retention(nodesWithUser, "id", keepPred,
+          keptWays.select(explode(col("refs")).as("ref")), "ref")
+      else nodesWithUser.filter(keepPred)
+    val nodeCols = OsmXml.nodeSchema.fieldNames.map(col)
+    val allKeptNodes = converted match {
+      case Some(c) => keptNodes0.select(nodeCols: _*).unionByName(c.select(nodeCols: _*))
+      case None => keptNodes0.select(nodeCols: _*)
+    }
+
+    val nodes = shapeCols(allKeptNodes, o, OsmXml.nodeSchema)
+    val ways = shapeCols(keptWays, o, OsmXml.waySchema)
+    val rels =
+      if (o.dropRelations) emptyOf(spark, OsmXml.relationSchema)
+      else {
+        var r = withUser(shared.relations, o, shared.users)
+        o.filter.foreach(f => r = r.filter(filterPredicate(f, hasCoords = false)))
+        shapeCols(r, o, OsmXml.relationSchema)
+      }
+
+    // row accounting rides the write action itself: collected arrays for the
+    // driver-side OSM sink, CollectMetrics (df.observe) for distributed
+    // sinks, manifest metrics for snapshot commits — never a post-write
+    // count() re-run of the shaped plan. The metrics node sits DIRECTLY
+    // under the sink: any deeper and PropagateEmptyRelation can fold it
+    // away with an empty join side, losing the observation.
+    def metric(obs: org.apache.spark.sql.Observation, key: String): Long =
+      obs.get.get(key).map(_.asInstanceOf[Long]).getOrElse(0L)
+
     val singleFile = o.uri.stripSuffix(".gz").stripSuffix(".bz2")
       .matches(".*\\.(osm|geojson|geojsonl)")
     fmt match {
       case "osm" =>
-        OsmXml.writePlanet(OsmXml.Planet(nodes, ways, rels, shared.bounds), o.uri)
-      case "geojsonl" if !singleFile =>
-        // directory URI: distributed text write; orderBy range-partitions,
-        // so part files concatenate to the same globally-ordered stream
-        // the single-file sink produces
-        featureFrame(nodes, ways).orderBy(col("id")).select(col("f"))
-          .write.mode("overwrite").text(o.uri)
+        val (nN, nW, nR) =
+          OsmXml.writePlanet(OsmXml.Planet(nodes, ways, rels, shared.bounds), o.uri)
+        OutputReport(o.uri, fmt, nN, nW, nR)
       case "geojson" | "geojsonl" =>
-        writeGeoJson(nodes, ways, o.uri, featureCollection = fmt == "geojson")
+        val obs = new org.apache.spark.sql.Observation
+        // observe ABOVE the global sort: the range partitioner's sampling
+        // pass re-executes everything below the sort, which would double
+        // every metric observed underneath it
+        val ff = featureFrame(nodes, ways, shared.nodes).orderBy(col("id")).observe(obs,
+          count(when(col("kind") === "node", 1)).as("n_nodes"),
+          count(when(col("kind") === "way", 1)).as("n_ways"))
+        if (fmt == "geojsonl" && !singleFile)
+          // directory URI: distributed text write; orderBy range-partitions,
+          // so part files concatenate to the same globally-ordered stream
+          // the single-file sink produces
+          ff.select(col("f")).write.mode("overwrite").text(o.uri)
+        else
+          writeGeoJson(ff, o.uri, featureCollection = fmt == "geojson")
+        OutputReport(o.uri, fmt, metric(obs, "n_nodes"), metric(obs, "n_ways"), 0L)
+      case "parquet" if o.snapshotParts > 0 =>
+        // snapshot protocol: manifest-committed partitions survive a crash;
+        // a rerun rewrites only the missing ones (SnapshotTable semantics)
+        def commitClass(df: DataFrame, name: String): Long =
+          graft.io.SnapshotTable.commit(
+            df.withColumn("part", pmod(col("id"), lit(o.snapshotParts.toLong))),
+            s"${o.uri}/$name", "part", operator = s"pipeline:$name",
+            upstream = shared.inputUris).totalRows
+        val nN = commitClass(nodes, "nodes")
+        val nW = commitClass(ways, "ways")
+        val nR = commitClass(rels, "relations")
+        OutputReport(o.uri, fmt, nN, nW, nR)
       case "parquet" =>
-        nodes.write.mode("overwrite").parquet(s"${o.uri}/nodes")
-        ways.write.mode("overwrite").parquet(s"${o.uri}/ways")
-        rels.write.mode("overwrite").parquet(s"${o.uri}/relations")
+        def writeCounted(df: DataFrame, path: String): Long = {
+          val obs = new org.apache.spark.sql.Observation
+          df.observe(obs, count(lit(1)).as("n")).write.mode("overwrite").parquet(path)
+          metric(obs, "n")
+        }
+        val nN = writeCounted(nodes, s"${o.uri}/nodes")
+        val nW = writeCounted(ways, s"${o.uri}/ways")
+        val nR = writeCounted(rels, s"${o.uri}/relations")
+        OutputReport(o.uri, fmt, nN, nW, nR)
     }
-    OutputReport(o.uri, fmt, nodes.count(), ways.count(), rels.count())
   }
 
   /** GeoJSON features: nodes as Points, ways as LineString/Polygon with
-    * geometry resolved through the node frame (reference
-    * GetFeatureCollection / GetFeatures). Returns (id, f) — the shared
-    * plan of both geojson sinks.
+    * geometry resolved through `geomNodes` — the FULL node frame, not the
+    * output-filtered one, because the reference resolves way coordinates
+    * through the in-RAM planet regardless of output drops/filters
+    * (Planet.go:60-64). Returns (id, f) — the shared plan of both geojson
+    * sinks.
     */
-  def featureFrame(nodes: DataFrame, ways: DataFrame): DataFrame = {
+  def featureFrame(nodes: DataFrame, ways: DataFrame, geomNodes: DataFrame): DataFrame = {
     import graft.functions.GeoFunctions
-    val nodeFeatures = nodes.select(col("id"),
+    val nodeFeatures = nodes.select(col("id"), lit("node").as("kind"),
       GeoFunctions.geojson_feature(col("id"), col("lon"), col("lat"), col("tags")).as("f"))
     val resolved = OsmOps.resolveWayRefs(
       ways.select(col("id").as("way_id"), col("refs")), "way_id", "refs",
-      nodes.select(col("id").as("node_id"), col("lon"), col("lat")), "node_id")
+      geomNodes.select(col("id").as("node_id"), col("lon"), col("lat")), "node_id")
     val wayFeatures = OsmOps.assembleWays(resolved)
       .join(ways.select(col("id").as("way_id"), col("tags")), Seq("way_id"))
-      .select(col("way_id").as("id"),
+      .select(col("way_id").as("id"), lit("way").as("kind"),
         concat(lit("""{"type":"Feature","id":"""), col("way_id"),
           lit(""","properties":"""), to_json(col("tags")),
           lit(""","geometry":"""), GeoFunctions.geojson_way_geometry(col("ring")),
@@ -427,10 +533,12 @@ object Pipeline {
     * one feature-per-line file) — driver write at fixture scale; dir URIs
     * take the distributed `write.text` path in [[runOutput]].
     */
-  private def writeGeoJson(nodes: DataFrame, ways: DataFrame, path: String,
+  /** `featureFrame` must already be id-ordered (the caller sorts below its
+    * observation node).
+    */
+  private def writeGeoJson(featureFrame: DataFrame, path: String,
                            featureCollection: Boolean): Unit = {
-    val features = featureFrame(nodes, ways).orderBy(col("id"))
-      .select(col("f")).collect().map(_.getString(0))
+    val features = featureFrame.select(col("f")).collect().map(_.getString(0))
     val out = new java.io.PrintWriter(new java.io.BufferedWriter(new java.io.FileWriter(path)))
     try {
       if (featureCollection) {
@@ -445,8 +553,7 @@ object Pipeline {
     * output writes (reference main.go:716-890's writer goroutines).
     */
   def run(spark: SparkSession, c: PipelineConfig): Seq[OutputReport] = {
-    require(c.inputs.nonEmpty, "pipeline needs at least one input")
-    require(c.outputs.nonEmpty, "pipeline needs at least one output")
+    validate(c)
     val p = plan(c)
     val shared = ingest(spark, c, p)
     try {

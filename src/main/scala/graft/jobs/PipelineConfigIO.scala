@@ -88,7 +88,8 @@ object PipelineConfigIO {
       dropUserId = bool(m, "drop_user_id"),
       dropUserName = bool(m, "drop_user_name"),
       keysToKeep = strs(m, "keys_to_keep"),
-      keysToDrop = strs(m, "keys_to_drop"))
+      keysToDrop = strs(m, "keys_to_drop"),
+      snapshotParts = m.get("snapshot_parts").map(jv => num(jv).toInt).getOrElse(0))
   }
 
   def parse(json: String): PipelineConfig = {

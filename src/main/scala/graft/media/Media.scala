@@ -246,22 +246,31 @@ object Media {
     * for 3M images at 32 threads); the conversion savings grow with row
     * width, and the path is the template for other byte-plane stages.
     */
-  def imageFeatures(df: DataFrame): DataFrame = {
+  def imageFeatures(df: DataFrame): DataFrame =
+    decodeFeatures(df.select(col("image_id"), col("bytes")))
+
+  /** General fused decode pass: every column but the LAST (the binary
+    * payload) is passed through untouched, so callers with composite
+    * identity (video_id + frame_idx) keep real typed columns instead of
+    * packing them into a delimited string. Output: passthrough columns ++
+    * (w, h, phash, mean_lum).
+    */
+  def decodeFeatures(in: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
-    import org.apache.spark.unsafe.types.UTF8String
 
-    val spark = df.sparkSession
-    val outSchema = featureSchema
-    val in = df.select(col("image_id"), col("bytes"))
+    val spark = in.sparkSession
+    val keyFields = in.schema.fields.dropRight(1)
+    val nKeys = keyFields.length
+    val outSchema = StructType(keyFields ++ featureSchema.fields.drop(1))
+    val keyTypes = keyFields.map(_.dataType)
     val rdd = Bridge.internalRdd(in).mapPartitions { it =>
       val scratch = new PngScratch // one per task: zero-garbage decode loop
       val proj = UnsafeProjection.create(outSchema)
-      val out = new GenericInternalRow(5)
+      val out = new GenericInternalRow(nKeys + 4)
       it.map { r: InternalRow =>
-        val id: UTF8String = r.getUTF8String(0)
-        val bytes = r.getBinary(1)
+        val bytes = r.getBinary(nKeys)
         val (px, w, h) = decodePngGrayInto(bytes, scratch) match {
           case Some((w0, h0)) => (scratch.px, w0, h0)
           case None => decodePngImageIO(bytes)
@@ -269,11 +278,16 @@ object Media {
         var s = 0L; var i = 0
         val len = w * h
         while (i < len) { s += (px(i) & 0xff); i += 1 }
-        out.update(0, id.copy()) // id references the reused scan buffer
-        out.setInt(1, w)
-        out.setInt(2, h)
-        out.setLong(3, aHash(px, w, h))
-        out.setDouble(4, s.toDouble / len)
+        var ki = 0
+        while (ki < nKeys) {
+          // copyValue: key values may reference the reused scan buffer
+          out.update(ki, InternalRow.copyValue(r.get(ki, keyTypes(ki))))
+          ki += 1
+        }
+        out.setInt(nKeys, w)
+        out.setInt(nKeys + 1, h)
+        out.setLong(nKeys + 2, aHash(px, w, h))
+        out.setDouble(nKeys + 3, s.toDouble / len)
         proj(out).copy(): InternalRow
       }
     }
@@ -332,12 +346,7 @@ object Media {
       .select(col(idCol).cast("string").as("video_id"),
         posexplode(col(framesCol)).as(Seq("frame_idx", "bytes")))
       .filter(pmod(col("frame_idx"), lit(everyK)) === 0)
-    val keyed = exploded.select(
-      concat_ws("#", col("video_id"), col("frame_idx")).as("image_id"), col("bytes"))
-    imageFeatures(keyed).select(
-      substring_index(col("image_id"), "#", 1).as("video_id"),
-      substring_index(col("image_id"), "#", -1).cast("int").as("frame_idx"),
-      col("w"), col("h"), col("phash"), col("mean_lum"))
+    decodeFeatures(exploded) // video_id/frame_idx ride as typed passthrough
   }
 
   /** Batched resize over a DataFrame of payloads — one fused decode+resize

@@ -190,6 +190,132 @@ class PipelineSpec extends SparkSpecBase {
     assert(fromFile.nonEmpty)
   }
 
+  test("validate fails fast on contradictory configs (reference Config.Validate)") {
+    val in = Seq(InputSpec(uri = "x.osm"))
+    intercept[IllegalArgumentException] {
+      Pipeline.validate(PipelineConfig(in,
+        Seq(OutputSpec(uri = "a.osm", waysToNodes = true, dropWays = true))))
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.validate(PipelineConfig(in, Seq(
+        OutputSpec(uri = "a.osm", dropNodes = true, dropWays = true, dropRelations = true))))
+    }
+  }
+
+  test("drop_nodes output that still emits ways keeps node coords end to end") {
+    // the ingest plan must NOT starve the node scan: way geometry (geojson)
+    // and way-referenced retention (osm) both need node coordinates
+    val cDrop = PipelineConfig(Seq(InputSpec(uri = inOsm)),
+      Seq(OutputSpec(uri = "a.geojsonl", dropNodes = true, dropRelations = true)))
+    assert(!Pipeline.plan(cDrop).dropNodes)
+    // only a relations-only output spares the node scan
+    val cRelOnly = PipelineConfig(Seq(InputSpec(uri = inOsm)),
+      Seq(OutputSpec(uri = "a.osm", dropNodes = true, dropWays = true)))
+    assert(Pipeline.plan(cRelOnly).dropNodes)
+
+    // geojsonl: zero node features, but every way feature has real geometry
+    val gj = s"$tmp/dropnodes.geojsonl"
+    val r = Pipeline.run(spark, PipelineConfig(Seq(InputSpec(uri = inOsm)),
+      Seq(OutputSpec(uri = gj, dropNodes = true, dropRelations = true))))
+    assert(r.head.nodes === 0L)
+    assert(r.head.ways === 60L)
+    val lines = scala.io.Source.fromFile(gj).getLines().toSeq
+    assert(lines.size === 60)
+    assert(lines.forall(_.contains(""""coordinates":[""")), "way geometry must resolve")
+
+    // osm: way-referenced nodes survive drop_nodes (MarshalPlanet.go:130-141)
+    val osmOut = s"$tmp/dropnodes.osm"
+    val r2 = Pipeline.run(spark, PipelineConfig(Seq(InputSpec(uri = inOsm)),
+      Seq(OutputSpec(uri = osmOut, dropNodes = true, dropRelations = true))))
+    val refIds = planet.ways.select(explode(col("refs"))).distinct().count()
+    assert(r2.head.nodes === refIds)
+    val back = OsmXml.readPlanet(spark, osmOut)
+    assert(back.nodes.count() === refIds)
+    assert(back.ways.count() === 60L)
+  }
+
+  test("osm output filter: nodes referenced by kept ways bypass the node filter") {
+    val out = s"$tmp/retention.osm"
+    val r = Pipeline.run(spark, PipelineConfig(Seq(InputSpec(uri = inOsm)),
+      Seq(OutputSpec(uri = out, filter = Some(FilterSpec(keepKeys = K)),
+        dropRelations = true))))
+    // expectation straight from the fixture rows: filter-passing nodes ∪
+    // refs of filter-passing ways (KeepWay has no bbox, tags only)
+    val keptWayIds = wayTags.filter(_._2.keySet.intersect(K.toSet).nonEmpty).map(_._1).toSet
+    val refs = planet.ways.select(col("id"), explode(col("refs")).as("ref"))
+      .collect().filter(r0 => keptWayIds.contains(r0.getLong(0))).map(_.getLong(1)).toSet
+    val passing = nodeTags.filter(_._2.keySet.intersect(K.toSet).nonEmpty).map(_._1).toSet
+    assert(r.head.nodes === (passing ++ refs).size.toLong)
+    assert(r.head.ways === keptWayIds.size.toLong)
+    assert((refs -- passing).nonEmpty, "fixture must exercise the bypass")
+  }
+
+  test("output accounting rides the write: no post-write count() re-runs") {
+    val c = PipelineConfig(Seq(InputSpec(uri = inOsm)),
+      Seq(OutputSpec(uri = s"$tmp/acct_pq", format = Some("parquet"))))
+    Pipeline.validate(c)
+    val p = Pipeline.plan(c)
+    val shared = Pipeline.ingest(spark, c, p)
+    try {
+      Pipeline.runOutput(shared, c.outputs.head, None) // warm the persisted frames
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val rep = Pipeline.runOutput(shared, c.outputs.head.copy(uri = s"$tmp/acct_pq2"), None)
+        Thread.sleep(1000) // async listener bus drain
+        assert(rep.nodes === 300L && rep.ways === 60L && rep.relations === 10L)
+        // 3 class writes + up to 3 broadcast-build jobs for the user dim;
+        // the old post-write count() path needed 3 more full re-runs
+        assert(jobs.get() <= 6, s"parquet output ran ${jobs.get()} jobs")
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // counts match what actually landed on disk
+      assert(spark.read.parquet(s"$tmp/acct_pq2/nodes").count() === 300L)
+      assert(spark.read.parquet(s"$tmp/acct_pq2/ways").count() === 60L)
+    } finally shared.unpersist()
+  }
+
+  test("snapshot parquet outputs resume after a kill: committed partitions skipped") {
+    val s1 = s"$tmp/snap_out1"
+    val s2 = s"$tmp/snap_out2"
+    def cfg = PipelineConfig(Seq(InputSpec(uri = inOsm)), Seq(
+      OutputSpec(uri = s1, format = Some("parquet"), snapshotParts = 4, dropRelations = true),
+      OutputSpec(uri = s2, format = Some("parquet"), snapshotParts = 4,
+        dropWays = true, dropRelations = true)))
+    val r1 = Pipeline.run(spark, cfg)
+    assert(r1.find(_.uri == s1).get.nodes === 300L)
+    assert(r1.find(_.uri == s2).get.nodes === 300L)
+
+    // simulate a kill: two of snap_out1's node partitions lose their commit
+    // markers (and one data dir is half-written garbage)
+    val manDir = java.nio.file.Paths.get(s"$s1/nodes/manifests")
+    Seq("0", "1").foreach(k => Files.delete(manDir.resolve(s"$k.json")))
+    val survivor = manDir.resolve("2.json")
+    val survivorStamp = Files.getLastModifiedTime(survivor)
+    Thread.sleep(1100) // FS mtime granularity
+
+    val r2 = Pipeline.run(spark, cfg)
+    assert(r2.find(_.uri == s1).get.nodes === 300L)
+    // committed partitions were skipped, not rewritten
+    assert(Files.getLastModifiedTime(survivor) === survivorStamp)
+    assert(Files.exists(manDir.resolve("0.json")) && Files.exists(manDir.resolve("1.json")))
+
+    // resumed table content equals a plain parquet output of the same shape
+    val plain = s"$tmp/snap_plain"
+    Pipeline.run(spark, PipelineConfig(Seq(InputSpec(uri = inOsm)),
+      Seq(OutputSpec(uri = plain, format = Some("parquet"), dropRelations = true))))
+    def comparable(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("tags", to_json(col("tags"))) // map type bars set ops
+    val snapNodes = comparable(
+      graft.io.SnapshotTable.read(spark, s"$s1/nodes", "part").drop("part"))
+    val plainNodes = comparable(spark.read.parquet(s"$plain/nodes"))
+    assert(snapNodes.count() === 300L)
+    assert(snapNodes.except(plainNodes).isEmpty && plainNodes.except(snapNodes).isEmpty)
+  }
+
   test("J3: normalized-username pipeline round-trips byte-identical to inline") {
     val out = s"$tmp/roundtrip.osm"
     val r = Pipeline.run(spark,
