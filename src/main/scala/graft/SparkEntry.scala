@@ -348,15 +348,16 @@ object SparkEntry {
         .orderBy("id_1", "id_2")
     }),
 
-    // near-dup cluster assignment: connected components over the verified
-    // jaccard pairs via 3 rounds of min-label propagation (keep-one-per-
-    // cluster dedup decision); oracle unrolls the rounds join-for-join
+    // near-dup cluster assignment: CONVERGENT connected components over the
+    // verified jaccard pairs (min-label propagation + pointer jumping to a
+    // fixpoint — exact for any component diameter, the keep-one-per-cluster
+    // dedup decision); oracle computes true CC via a recursive CTE
     "q35_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("source").isin("src6", "src7"))
       val sh = Dedup.shingles(d, "doc_id", "text", 5, carry = Seq("lang"))
       val pairs = Dedup.jaccardPairs(sh, "doc_id", Seq("lang"))
         .filter(col("jaccard") >= 0.25)
-      Dedup.clusterLabels(pairs, "id_1", "id_2", d, "doc_id", rounds = 3)
+      Dedup.clusterLabelsConverged(pairs, "id_1", "id_2", d, "doc_id")
         .orderBy("id")
     }),
 
@@ -929,21 +930,14 @@ object SparkEntry {
        |ORDER BY id_1, id_2""".stripMargin
   }
 
-  /** Cluster-assignment oracle mirroring [[graft.dedup.Dedup.clusterLabels]]
-    * over the q24 verified-pair graph: 3 unrolled rounds of min-label
-    * propagation, LEFT JOIN + LEAST exactly like the DataFrame loop.
+  /** Cluster-assignment oracle for [[graft.dedup.Dedup.clusterLabelsConverged]]
+    * over the q24 verified-pair graph: TRUE connected components via a
+    * recursive reachability CTE (min reachable id = component minimum) —
+    * independent of the engine's round count, valid because the Spark side
+    * iterates to a fixpoint.
     */
   private def dedupClustersSql: String = {
-    val rounds = (0 until 3).map { r =>
-      s"""l${r + 1} AS (
-         |  SELECT l.id, LEAST(l.cluster, COALESCE(m.n_min, l.cluster)) AS cluster
-         |  FROM l$r l LEFT JOIN (
-         |    SELECT e.src AS id, MIN(x.cluster) AS n_min
-         |    FROM e JOIN l$r x ON x.id = e.dst GROUP BY 1
-         |  ) m USING (id)
-         |)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH sh AS (
+    s"""WITH RECURSIVE sh AS (
        |  SELECT doc_id, lang, substr(text, i, 5) AS shingle
        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-4)) AS i) g
        |  WHERE source IN ('src6', 'src7')
@@ -960,12 +954,13 @@ object SparkEntry {
        |), e AS (
        |  SELECT id_1 AS src, id_2 AS dst FROM p
        |  UNION ALL SELECT id_2, id_1 FROM p
-       |), l0 AS (
-       |  SELECT doc_id AS id, doc_id AS cluster FROM documents
+       |), reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
        |  WHERE source IN ('src6', 'src7')
-       |),
-       |$rounds
-       |SELECT id, cluster FROM l3 ORDER BY id""".stripMargin
+       |  UNION
+       |  SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id
+       |)
+       |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
   }
 
   /** SimHash oracle mirroring [[graft.dedup.Dedup.simhash]] (16 bits). */

@@ -106,20 +106,75 @@ object Dedup {
   /** LSH banding: bands of `rowsPerBand` signature components; docs sharing
     * any band key become candidate pairs. Sub-quadratic: one shuffle on the
     * band key, join within buckets only.
+    *
+    * `bucketCap` > 0 arms the mega-bucket guard: a degenerate corpus
+    * (thousands of identical or near-empty docs) puts every member in one
+    * band bucket, and the plain self-join then generates O(|bucket|²) pairs
+    * inside ONE join group — AQE skew-join splits the shuffle block but not
+    * the pair generation. With the guard, buckets larger than the cap are
+    * triangle-blocked ([[triangleBlockedReplica]]): every pair still lives
+    * in exactly one (block_lo, block_hi) task, but per-group pair
+    * generation is bounded by ~bucketCap². Output is IDENTICAL to the
+    * unguarded join (same pair set, verified in DedupAnnSpec).
     * Output: id_1, id_2 (id_1 < id_2), distinct.
     */
   def lshCandidates(sigs: DataFrame, idCol: String,
-                    numHashes: Int, rowsPerBand: Int): DataFrame = {
+                    numHashes: Int, rowsPerBand: Int,
+                    bucketCap: Int = 0): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val banded = (0 until numBands).map { b =>
       val key = concat_ws("_",
         lit(b) +: (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
       sigs.select(col(idCol), key.as("band_key"))
     }.reduce(_.unionByName(_))
-    banded.as("x").join(banded.as("y"), Seq("band_key"))
-      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+    bandedPairs(banded, idCol, Seq("band_key"), bucketCap)
+  }
+
+  /** Self-join of a banded frame into candidate pairs, with the optional
+    * mega-bucket triangle guard (see [[lshCandidates]]).
+    */
+  private def bandedPairs(banded: DataFrame, idCol: String,
+                          keyCols: Seq[String], bucketCap: Int): DataFrame = {
+    def plainPairs(df: DataFrame): DataFrame =
+      df.as("x").join(df.as("y"), keyCols)
+        .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+        .select(col(s"x.$idCol").as("id_1"), col(s"y.$idCol").as("id_2"))
+    if (bucketCap <= 0) return plainPairs(banded).distinct()
+
+    val freq = banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__cnt"))
+    val tagged = banded.join(freq, keyCols)
+    val small = tagged.filter(col("__cnt") <= bucketCap).drop("__cnt")
+    val repl = triangleBlockedReplica(tagged.filter(col("__cnt") > bucketCap),
+      idCol, bucketCap)
+    val blockKeys = keyCols ++ Seq("__lo", "__hi")
+    val largePairs = repl.as("x").join(repl.as("y"), blockKeys)
+      // a pair whose blocks are (p, q) co-occurs in several tasks when
+      // p == q; the ownership rule keeps exactly the (min, max) task
+      .filter(col(s"x.$idCol") < col(s"y.$idCol") &&
+        least(col("x.__blk"), col("y.__blk")) === col("__lo") &&
+        greatest(col("x.__blk"), col("y.__blk")) === col("__hi"))
       .select(col(s"x.$idCol").as("id_1"), col(s"y.$idCol").as("id_2"))
-      .distinct()
+    plainPairs(small).unionByName(largePairs).distinct()
+  }
+
+  /** Replicate each member of an oversized bucket into its triangle tasks:
+    * the bucket's rows are hashed into `nblk = ceil(cnt / bucketCap)`
+    * blocks, and a row in block p joins task (min(p,t), max(p,t)) for every
+    * t — so an unordered block pair is one join group holding ≤ 2·bucketCap
+    * rows, and every candidate pair lives in exactly one group. Input must
+    * carry `__cnt` (bucket size); output adds `__blk`, `__lo`, `__hi`.
+    */
+  private[graft] def triangleBlockedReplica(oversized: DataFrame, idCol: String,
+                                            bucketCap: Int): DataFrame = {
+    require(bucketCap > 0, "bucketCap must be positive")
+    val nblk = ceil(col("__cnt").cast("double") / bucketCap).cast("int")
+    oversized
+      .withColumn("__nblk", nblk)
+      .withColumn("__blk", pmod(xxhash64(col(idCol)), col("__nblk").cast("long")).cast("int"))
+      .withColumn("__t", explode(sequence(lit(0), col("__nblk") - 1)))
+      .withColumn("__lo", least(col("__blk"), col("__t")))
+      .withColumn("__hi", greatest(col("__blk"), col("__t")))
+      .drop("__t", "__nblk", "__cnt")
   }
 
   /** LSH banding with size-bucketed band keys — the full-corpus scale
@@ -142,7 +197,8 @@ object Dedup {
     */
   def lshCandidatesSizeBucketed(sigs: DataFrame, idCol: String,
                                 numHashes: Int, rowsPerBand: Int,
-                                sizeCol: String, threshold: Double): DataFrame = {
+                                sizeCol: String, threshold: Double,
+                                bucketCap: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
     val base = 1.0 / threshold
     val bucket = floor(log(col(sizeCol).cast("double")) / math.log(base)).cast("long")
@@ -153,10 +209,7 @@ object Dedup {
       sigs.select(col(idCol), key.as("band_key"),
         explode(array(bucket, bucket + 1)).as("size_bucket"))
     }.reduce(_.unionByName(_))
-    banded.as("x").join(banded.as("y"), Seq("band_key", "size_bucket"))
-      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_1"), col(s"y.$idCol").as("id_2"))
-      .distinct()
+    bandedPairs(banded, idCol, Seq("band_key", "size_bucket"), bucketCap)
   }
 
   /** Near-dup CLUSTER assignment: connected components over a pair list by
@@ -186,6 +239,59 @@ object Dedup {
       labels = labels.join(fromNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"))
     }
+    labels
+  }
+
+  /** CONVERGENT connected components: min-label propagation accelerated by
+    * pointer jumping, iterated to a fixpoint — exact for ANY component
+    * diameter, unlike the bounded [[clusterLabels]] whose labels are only
+    * exact within `rounds` hops of the component minimum.
+    *
+    * Each round is (1) propagate: every id takes the minimum label in its
+    * closed neighborhood; (2) jump: every id re-labels through its label's
+    * label (path compression — this is what turns O(diameter) rounds into
+    * O(log diameter)). Both steps only ever move labels DOWN within the
+    * same component, and at a propagation fixpoint all labels in a
+    * component are equal (for every edge (u,v), stable means
+    * label(u) ≤ label(v) and label(v) ≤ label(u)), hence equal to the
+    * component minimum (the minimum id keeps its own label). Convergence is
+    * checked with one cheap count over the localCheckpoint'd round result,
+    * which also keeps lineage flat across iterations.
+    * Output: id, cluster (exact component minimum).
+    */
+  def clusterLabelsConverged(pairs: DataFrame, idCol1: String, idCol2: String,
+                             ids: DataFrame, idCol: String,
+                             maxRounds: Int = 64): DataFrame = {
+    val edges = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
+      .unionByName(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
+      .localCheckpoint()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      // (1) propagate: min label over the closed neighborhood
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("n_min"))
+      val propagated = labels.join(fromNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"))
+      // (2) jump: cluster := label(cluster) — labels are ids, so one
+      // self-join compresses label chains (pointer doubling)
+      val jumped = propagated.as("l")
+        .join(propagated.select(col("id").as("cluster"), col("cluster").as("jc")).as("j"),
+          Seq("cluster"), "left")
+        .select(col("id"), coalesce(col("jc"), col("cluster")).as("cluster"))
+      val next = jumped
+        .join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .localCheckpoint()
+      changed = next.filter(col("cluster") =!= col("prev")).count()
+      labels = next.select(col("id"), col("cluster"))
+      round += 1
+    }
+    require(changed == 0L, s"clusterLabelsConverged: no fixpoint after $maxRounds rounds")
     labels
   }
 

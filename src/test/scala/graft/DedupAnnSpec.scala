@@ -253,4 +253,71 @@ class DedupAnnSpec extends SparkSpecBase {
       .collect()(0).getInt(0)
     assert(d === 0)
   }
+
+  test("convergent cluster labels: chains deeper than a fixed round count") {
+    // graph-level chain 1-2-…-8: node 8 is 7 hops from the component min
+    val ids = (1L to 8L).toDF("doc_id")
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_1", "id_2")
+    val bounded = Dedup.clusterLabels(chain, "id_1", "id_2", ids, "doc_id", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded(8L) !== 1L, "3 fixed rounds must provably mislabel the deep end")
+    val conv = Dedup.clusterLabelsConverged(chain, "id_1", "id_2", ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 8L).foreach(i => assert(conv(i) === 1L, s"node $i not at component min"))
+  }
+
+  test("convergent cluster labels on a planted 6-doc near-dup text chain") {
+    // sliding 20-word windows with 10-word overlap: consecutive docs clear
+    // the jaccard bar, two-apart docs share nothing
+    val words = (0 until 70).map(j => s"tok${j}q")
+    val chainDocs = (0 until 6).map { i =>
+      (3000L + i, words.slice(10 * i, 10 * i + 20).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingles(chainDocs, "doc_id", "text", 5)
+    val pairs = Dedup.jaccardPairs(sh, "doc_id", Nil).filter(col("jaccard") >= 0.25)
+    val pairSet = pairs.select("id_1", "id_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet === (0 until 5).map(i => (3000L + i, 3001L + i)).toSet,
+      s"fixture must be exactly the consecutive chain, got $pairSet")
+    // diameter 5 > 3 rounds: bounded propagation splits the component …
+    val bounded = Dedup.clusterLabels(pairs, "id_1", "id_2", chainDocs, "doc_id", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded(3005L) !== 3000L)
+    // … the convergent version does not
+    val conv = Dedup.clusterLabelsConverged(pairs, "id_1", "id_2", chainDocs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 6).foreach(i => assert(conv(3000L + i) === 3000L))
+  }
+
+  test("LSH mega-bucket guard: identical pair set, bounded join groups") {
+    // degenerate corpus: 300 docs with IDENTICAL signatures (one band
+    // bucket of 300 → 44k pairs in one join group unguarded) + 50 distinct
+    val degenerate = (0 until 300).map(i => (5000L + i) +: Seq.fill(8)(7L))
+    val distinct0 = (0 until 50).map(i => (6000L + i) +: (0 until 8).map(j => 100L + i * 17 + j))
+    val sigs = (degenerate ++ distinct0)
+      .map { case Seq(id, m0, m1, m2, m3, m4, m5, m6, m7) => (id, m0, m1, m2, m3, m4, m5, m6, m7) }
+      .toDF("doc_id", "mh_0", "mh_1", "mh_2", "mh_3", "mh_4", "mh_5", "mh_6", "mh_7")
+    val plain = Dedup.lshCandidates(sigs, "doc_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.lshCandidates(sigs, "doc_id", 8, 2, bucketCap = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === plain, "guard must not change the candidate set")
+    assert(plain.size === 300 * 299 / 2, "degenerate bucket pairs all present")
+
+    val sizeBucketed = Dedup.lshCandidatesSizeBucketed(
+      sigs.withColumn("n_sh", lit(40L)), "doc_id", 8, 2,
+      sizeCol = "n_sh", threshold = 0.25, bucketCap = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sizeBucketed === plain)
+
+    // plan-level bound: a triangle group holds members of only two blocks,
+    // so per-group pair generation is O(bucketCap²) no matter the bucket
+    val oversized = (0 until 300).map(i => (5000L + i, "b0"))
+      .toDF("doc_id", "band_key").withColumn("__cnt", lit(300L))
+    val groups = Dedup.triangleBlockedReplica(oversized, "doc_id", 32)
+      .groupBy(col("band_key"), col("__lo"), col("__hi"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getAs[Long]("n"))
+    assert(groups.max <= 4 * 32, s"join group too large: ${groups.max}")
+    assert(groups.length > 10, "oversized bucket must split into many groups")
+  }
 }
