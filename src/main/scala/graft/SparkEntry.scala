@@ -447,6 +447,24 @@ object SparkEntry {
         .orderBy("way_id")
     }),
 
+    // A2: per-key {node, way, relation} counts (reference Summary
+    // CountsByKey, Planet.go:497-520) — one pass over the unioned tag maps
+    // of three derived element classes, conditional aggregate per class
+    "q38_summarize_by_key" -> ((s, dir) => {
+      val nodes = taggedPts(s, dir)
+      val ways = pts(s, dir).groupBy(col("way_id"))
+        .agg(count(lit(1)).as("n_refs"), sum(col("quantity")).as("q"))
+        .withColumn("tags", map_concat(
+          map(lit("status"), when(col("n_refs") > 2, lit("big")).otherwise(lit("small"))),
+          when(col("q") > 100, map(lit("bulk"), lit("y"))).otherwise(map())))
+      val rels = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("tags", map_concat(
+          map(lit("flag"), col("o_orderstatus")),
+          when(col("o_totalprice") < 10000.0, map(lit("tiny"), lit("y"))).otherwise(map())))
+      OsmOps.summarizeByKey(nodes, ways, rels, Seq("flag", "status", "bulk", "tiny"))
+        .orderBy("key")
+    }),
+
     // S6/S7: GeoJSON feature sink projection — exact string oracle: DuckDB's
     // shortest-roundtrip double rendering (CAST AS VARCHAR) byte-matches Java
     // 17's Double.toString on every fixture coordinate (verified over all
@@ -622,6 +640,31 @@ object SparkEntry {
            |            ELSE '{"type":"LineString","coordinates":[' || cs || ']}'
            |       END AS geometry
            |FROM coords ORDER BY way_id""".stripMargin,
+
+      "q38_summarize_by_key" ->
+        s"""$withPts, nk AS (
+           |  SELECT 'flag' AS key FROM pts
+           |  UNION ALL SELECT 'status' FROM pts
+           |  UNION ALL SELECT 'bulk' FROM pts WHERE quantity > 30
+           |  UNION ALL SELECT 'tiny' FROM pts WHERE quantity < 5
+           |), w AS (
+           |  SELECT way_id, COUNT(*) AS n_refs, SUM(quantity) AS q FROM pts GROUP BY way_id
+           |), wk AS (
+           |  SELECT 'status' AS key FROM w
+           |  UNION ALL SELECT 'bulk' FROM w WHERE q > 100
+           |), rk AS (
+           |  SELECT 'flag' AS key FROM orders
+           |  UNION ALL SELECT 'tiny' FROM orders WHERE o_totalprice < 10000.0
+           |), u AS (
+           |  SELECT key, 'node' AS et FROM nk
+           |  UNION ALL SELECT key, 'way' FROM wk
+           |  UNION ALL SELECT key, 'relation' FROM rk
+           |)
+           |SELECT key,
+           |       COUNT(CASE WHEN et = 'node' THEN 1 END) AS n_nodes,
+           |       COUNT(CASE WHEN et = 'way' THEN 1 END) AS n_ways,
+           |       COUNT(CASE WHEN et = 'relation' THEN 1 END) AS n_relations
+           |FROM u GROUP BY key ORDER BY key""".stripMargin,
 
       "q36_sessionize" ->
         """WITH e AS (

@@ -158,6 +158,29 @@ object OsmOps {
     df.select(explode(col(tagsCol)).as(Seq("key", "value")))
       .groupBy(col("key"), col("value")).agg(count(lit(1)).as("n"))
 
+  /** Per-key {node, way, relation} counts — the reference's Summary
+    * CountsByKey shape (Planet.Summarize, Planet.go:497-520 /
+    * Summary.go:25-39, where CountNodes/CountWays/CountRelations each
+    * re-scan the planet per key): ONE pass over the unioned tag maps with
+    * an element_type discriminator and a conditional aggregate per class —
+    * map-side partial aggregation, no per-class or per-key re-scan.
+    *
+    * @param keys keys to profile (reference passes an explicit list);
+    *             empty = every key in the planet
+    */
+  def summarizeByKey(nodes: DataFrame, ways: DataFrame, relations: DataFrame,
+                     keys: Seq[String] = Nil, tagsCol: String = "tags"): DataFrame = {
+    val u = nodes.select(lit("node").as("et"), col(tagsCol).as("tags"))
+      .unionByName(ways.select(lit("way").as("et"), col(tagsCol).as("tags")))
+      .unionByName(relations.select(lit("relation").as("et"), col(tagsCol).as("tags")))
+    val k = u.select(col("et"), explode(map_keys(col("tags"))).as("key"))
+    val kf = if (keys.isEmpty) k else k.filter(col("key").isin(keys: _*))
+    kf.groupBy(col("key")).agg(
+      count(when(col("et") === "node", 1)).as("n_nodes"),
+      count(when(col("et") === "way", 1)).as("n_ways"),
+      count(when(col("et") === "relation", 1)).as("n_relations"))
+  }
+
   /** Distinct key and key=value cardinalities (TagsCache capability,
     * TagsCache.go:10-33; `approx_count_distinct` is the 10^12-scale variant).
     */

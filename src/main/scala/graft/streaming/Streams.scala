@@ -40,6 +40,18 @@ object Streams {
     * the gap between consecutive events exceeds `gapMs`. Works in batch
     * (whole group at once) and streaming (state carries across triggers,
     * processing-time timeout flushes idle sessions).
+    *
+    * Hot-key hardening (batch): the input is hash-repartitioned on user_id
+    * and sorted (user_id, ts) WITHIN partitions up front, which already
+    * satisfies the state operator's required distribution and key ordering
+    * — EnsureRequirements inserts no further exchange or sort (asserted in
+    * StreamsSpec), so the group iterator arrives time-ordered and the
+    * function streams it with O(1) memory per group. A user with 10^8
+    * events costs the sort's spillable shuffle, never a task-memory
+    * materialization. The streaming path keeps the per-trigger sort: a
+    * micro-batch group is bounded by the trigger, and GroupState updates
+    * must happen before the function returns, which rules out a fully lazy
+    * iterator there.
     */
   def sessionize(ds: Dataset[Event], gapMs: Long, streaming: Boolean,
                  idleFlush: Boolean = false): Dataset[Session] = {
@@ -49,43 +61,75 @@ object Streams {
       Session(uid, new java.sql.Timestamp(st.startMs), new java.sql.Timestamp(st.lastMs),
         st.n, st.total)
 
+    def step(cur: Option[SessionState], e: Event): (Option[Session], SessionState) = {
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.lastMs <= gapMs =>
+          (None, SessionState(s.startMs, t, s.n + 1, s.total + e.value))
+        case Some(s) => (Some(finish(e.user_id, s)), SessionState(t, t, 1, e.value))
+        case None => (None, SessionState(t, t, 1, e.value))
+      }
+    }
+
     val fn: (Long, Iterator[Event], GroupState[SessionState]) => Iterator[Session] =
       (uid, events, state) => {
         if (state.hasTimedOut) {
           val out = state.getOption.map(finish(uid, _)).iterator
           state.remove()
           out
+        } else if (!streaming) {
+          // batch: events arrive (user_id, ts)-sorted from the pre-sort —
+          // stream the group lazily, never materializing it
+          new Iterator[Session] {
+            private var cur: Option[SessionState] = None
+            private var pending: Option[Session] = None
+            private var done = false
+            private def advance(): Unit = {
+              while (pending.isEmpty && events.hasNext) {
+                val (closed, next) = step(cur, events.next())
+                pending = closed
+                cur = Some(next)
+              }
+              if (pending.isEmpty && !events.hasNext && !done) {
+                pending = cur.map(finish(uid, _)) // group complete: flush open
+                cur = None
+                done = true
+              }
+            }
+            def hasNext: Boolean = { advance(); pending.isDefined }
+            def next(): Session = {
+              advance()
+              val p = pending.getOrElse(throw new NoSuchElementException)
+              pending = None
+              p
+            }
+          }
         } else {
           val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
           var cur = state.getOption
           val closed = Seq.newBuilder[Session]
           sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastMs <= gapMs =>
-                cur = Some(SessionState(s.startMs, t, s.n + 1, s.total + e.value))
-              case Some(s) =>
-                closed += finish(uid, s)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
-            }
+            val (c, next) = step(cur, e)
+            c.foreach(closed += _)
+            cur = Some(next)
           }
-          if (streaming) {
-            cur.foreach(state.update)
-            if (idleFlush) state.setTimeoutDuration(gapMs)
-            closed.result().iterator
-          } else {
-            // batch: the group is complete — flush the open session too
-            (closed.result() ++ cur.map(finish(uid, _))).iterator
-          }
+          cur.foreach(state.update)
+          if (idleFlush) state.setTimeoutDuration(gapMs)
+          closed.result().iterator
         }
       }
 
     val timeout =
       if (streaming && idleFlush) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    ds.groupByKey(_.user_id)
+    val pre =
+      if (streaming) ds
+      else ds.repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"), col("event_type"))
+    // column-keyed grouping (NOT groupByKey(_.user_id), which appends a
+    // fresh key attribute the pre-partitioning could never satisfy and
+    // would force a second exchange + order-destroying sort)
+    pre.groupBy(col("user_id")).as[Long, Event]
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 }

@@ -121,4 +121,30 @@ class OsmOpsSpec extends SparkSpecBase {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("summarizeByKey: per-key node/way/relation counts in one pass (A2)") {
+    // the reference's Summarize golden-profile shape (Summary.go:25-39):
+    // CountsByKey[key] = {nodes, ways, relations}
+    val planet = graft.geo.OsmFixtures.planet(spark, 120, 30, 8)
+    def expect(df: org.apache.spark.sql.DataFrame, tagsIdx: Int, key: String): Long =
+      df.collect().count(_.getMap[String, String](tagsIdx).contains(key)).toLong
+    val keys = Seq("amenity", "craft", "building")
+    val res = OsmOps.summarizeByKey(planet.nodes, planet.ways, planet.relations, keys)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    keys.filter(res.contains).foreach { k =>
+      assert(res(k)._1 === expect(planet.nodes, 8, k), s"nodes[$k]")
+      assert(res(k)._2 === expect(planet.ways, 7, k), s"ways[$k]")
+      assert(res(k)._3 === expect(planet.relations, 7, k), s"relations[$k]")
+    }
+    assert(res.nonEmpty && res.values.exists(v => v._1 > 0 && v._2 > 0))
+    // keys = Nil profiles every key
+    val all = OsmOps.summarizeByKey(planet.nodes, planet.ways, planet.relations)
+    val allKeys = all.select("key").collect().map(_.getString(0)).toSet
+    val everyKey = (planet.nodes.select(explode(map_keys(col("tags")))).collect() ++
+      planet.ways.select(explode(map_keys(col("tags")))).collect() ++
+      planet.relations.select(explode(map_keys(col("tags")))).collect())
+      .map(_.getString(0)).toSet
+    assert(allKeys === everyKey)
+  }
 }

@@ -69,4 +69,40 @@ class StreamsSpec extends SparkSpecBase {
         "first session spans both triggers before closing")
     } finally q.stop()
   }
+
+  test("batch sessionize streams a hot key: one pre-sort, no group materialization") {
+    // two users, one with 500k events, in scrambled input order: sessions
+    // of 3 events (0s, 10s, 20s apart), one-hour gaps between sessions
+    val n = 500000
+    val j = floor(col("id") / 2).cast("long")
+    val hot = spark.range(2L * n).select(
+      (pmod(col("id"), lit(2L)) + 1L).as("user_id"),
+      concat(lit("e"), pmod(j, lit(3L))).as("event_type"),
+      timestamp_millis(lit(1700000000000L) +
+        floor(j / 3).cast("long") * 3600000L + pmod(j, lit(3L)) * 10000L).as("ts"),
+      lit(1.0).as("value"))
+      .orderBy(xxhash64(col("id"))) // scrambled input order
+      .as[Event]
+    val ds = Streams.sessionize(hot, gapMs = 30 * 60 * 1000, streaming = false)
+
+    // plan shape: exactly the ONE (user_id, ts) sort we planted below the
+    // batch state operator (MapGroups) — EnsureRequirements added no second
+    // exchange or sort, so the group iterator arrives time-ordered and the
+    // function never materializes the group
+    val plan = ds.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val belowState = plan.split("MapGroups", 2)
+    assert(belowState.length === 2, s"no MapGroups in plan:\n$plan")
+    assert(" Sort ".r.findAllIn(belowState(1)).size === 1,
+      s"expected exactly the planted sort below the state operator:\n$plan")
+    assert("Exchange".r.findAllIn(belowState(1)).size === 1,
+      s"expected exactly the planted exchange below the state operator:\n$plan")
+
+    val sessions = ds.collect()
+    assert(sessions.length === 2 * ((n + 2) / 3)) // last session gets n%3 events
+    val full = sessions.filter(_.n_events === 3)
+    assert(full.length === 2 * (n / 3))
+    assert(full.forall(s => s.sum_value === 3.0 &&
+      s.end.getTime - s.start.getTime === 20000L))
+    assert(sessions.filter(_.n_events === n % 3).length === (if (n % 3 == 0) 0 else 2))
+  }
 }
