@@ -60,26 +60,80 @@ object BenchScaling {
 
   def decodeJob(s: SparkSession): Long = {
     val imgs = s.read.parquet(s"$dataDir/images_full")
-    // decode runs in an opaque mapPartitions stage, so count() executes it
+    // decode runs in an opaque mapPartitions stage, so count() executes it;
+    // columnar path: decode straight off the parquet ColumnarBatch vectors
+    graft.media.Media.imageFeaturesColumnar(imgs).count()
+  }
+
+  def decodeRowJob(s: SparkSession): Long = {
+    val imgs = s.read.parquet(s"$dataDir/images_full")
     graft.media.Media.imageFeatures(imgs).count()
+  }
+
+  /** Scan-only leg: payload bytes through the vectorized parquet reader,
+    * no decode — isolates the storage/memory-bandwidth floor of the decode
+    * stage (sums lengths so the column can't be pruned away).
+    */
+  def decodeScanJob(s: SparkSession): Long = {
+    val imgs = s.read.parquet(s"$dataDir/images_full")
+    imgs.agg(sum(length(col("bytes")))).collect()(0).getLong(0)
+  }
+
+  /** Kernel-only leg: columnar scan + PNG inflate/unfilter, no feature
+    * extraction and no output rows — isolates the decode kernel's scaling.
+    */
+  def decodeKernelJob(s: SparkSession): Long = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val in = s.read.parquet(s"$dataDir/images_full").select(col("image_id"), col("bytes"))
+    val (batches, names) = Bridge.columnarScan(in)
+      .getOrElse(throw new IllegalStateException("expected a columnar scan"))
+    val byIdx = names.indexOf("bytes")
+    batches.mapPartitions { it =>
+      val scratch = new graft.media.Media.PngScratch
+      var n = 0L
+      it.foreach { b =>
+        var r = 0
+        while (r < b.numRows()) {
+          val arr = b.column(byIdx).getArray(r)
+          val plen = arr.numElements()
+          val buf = scratch.ensurePayload(plen)
+          var i = 0
+          while (i < plen) { buf(i) = arr.getByte(i); i += 1 }
+          require(graft.media.Media.decodePngGrayInto(buf, plen, scratch).isDefined)
+          n += 1; r += 1
+        }
+      }
+      Iterator.single(n)
+    }.sum().toLong
   }
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("prep") =>
       val nImages = args(1).toLong; val nPolys = args(2).toInt; val nPayload = args(3).toLong
-      val marker = new java.io.File(s"$dataDir/_READY_${nImages}_${nPolys}_$nPayload")
-      if (!marker.exists()) {
-        val prep = session(32)
+      def once(marker: String)(build: SparkSession => Unit): Unit = {
+        val m = new java.io.File(s"$dataDir/$marker")
+        if (!m.exists()) {
+          val prep = session(32)
+          build(prep)
+          prep.stop()
+          m.getParentFile.mkdirs(); m.createNewFile()
+        }
+      }
+      once(s"_READY_LITE_${nImages}_$nPolys") { prep =>
         graft.geo.GeoFixtures.imagesLite(prep, nImages)
           .repartition(256) // fine-grained splits: straggler-free balance
           .write.mode("overwrite").parquet(s"$dataDir/images_lite")
         graft.geo.GeoFixtures.boundaries(prep, nPolys)
           .write.mode("overwrite").parquet(s"$dataDir/boundaries")
+      }
+      once(s"_READY_FULL_$nPayload") { prep =>
+        // NOTE: container-level compression=uncompressed was measured
+        // SLOWER at 32 cores (3.64 s vs 2.8-2.9 s) despite skipping the
+        // snappy pass — the larger on-disk/page-cache footprint costs more
+        // than the decompress saves on this host; default snappy kept
         graft.geo.GeoFixtures.images(prep, nPayload)
           .repartition(256)
           .write.mode("overwrite").parquet(s"$dataDir/images_full")
-        prep.stop()
-        marker.getParentFile.mkdirs(); marker.createNewFile()
       }
       println("""{"prep": "ready"}""")
 
@@ -90,6 +144,9 @@ object BenchScaling {
         case "join_cells" => joinCellsJob
         case "join_rtree" => joinRtreeJob
         case "decode" => decodeJob
+        case "decode_row" => decodeRowJob
+        case "decode_scan" => decodeScanJob
+        case "decode_kernel" => decodeKernelJob
         case other => throw new IllegalArgumentException(s"unknown job $other")
       }
       val s = session(cpus)

@@ -80,10 +80,16 @@ object Media {
   final class PngScratch {
     var raw: Array[Byte] = new Array[Byte](0)
     var px: Array[Byte] = new Array[Byte](0)
+    var payload: Array[Byte] = new Array[Byte](0) // reusable input staging
     val inflater = new java.util.zip.Inflater()
     def ensure(rawLen: Int, pxLen: Int): Unit = {
       if (raw.length < rawLen) raw = new Array[Byte](rawLen)
       if (px.length < pxLen) px = new Array[Byte](pxLen)
+    }
+    def ensurePayload(len: Int): Array[Byte] = {
+      if (payload.length < len)
+        payload = new Array[Byte](math.max(len, payload.length * 2))
+      payload
     }
   }
 
@@ -96,8 +102,14 @@ object Media {
   }
 
   /** Zero-allocation variant: pixels land in `scratch.px` (length >= w·h). */
-  def decodePngGrayInto(bytes: Array[Byte], scratch: PngScratch): Option[(Int, Int)] = {
-    if (bytes.length < 8 || bytes(0) != 0x89.toByte || bytes(1) != 'P') return None
+  def decodePngGrayInto(bytes: Array[Byte], scratch: PngScratch): Option[(Int, Int)] =
+    decodePngGrayInto(bytes, bytes.length, scratch)
+
+  /** As above with an explicit payload length — `bytes` may be a reused
+    * staging buffer larger than the payload it currently holds.
+    */
+  def decodePngGrayInto(bytes: Array[Byte], limit: Int, scratch: PngScratch): Option[(Int, Int)] = {
+    if (limit < 8 || bytes(0) != 0x89.toByte || bytes(1) != 'P') return None
     def be32(o: Int): Int =
       ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
         ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
@@ -105,7 +117,7 @@ object Media {
     var off = 8
     var w = 0; var h = 0
     var ok = true
-    while (ok && off + 8 <= bytes.length) {
+    while (ok && off + 8 <= limit) {
       val len = be32(off)
       if (bytes(off + 4) == 'I' && bytes(off + 5) == 'H' && bytes(off + 6) == 'D' && bytes(off + 7) == 'R') {
         w = be32(off + 8); h = be32(off + 12)
@@ -123,7 +135,7 @@ object Media {
     inflater.reset()
     var n = 0
     off = 8
-    while (off + 8 <= bytes.length && n < rawLen) {
+    while (off + 8 <= limit && n < rawLen) {
       val len = be32(off)
       if (bytes(off + 4) == 'I' && bytes(off + 5) == 'D' && bytes(off + 6) == 'A' && bytes(off + 7) == 'T') {
         inflater.setInput(bytes, off + 8, len)
@@ -292,6 +304,70 @@ object Media {
       }
     }
     Bridge.internalDf(spark, rdd, outSchema)
+  }
+
+  /** Columnar variant of [[imageFeatures]]: when the input is a pure
+    * column-pruned scan of a columnar source (parquet), decode straight off
+    * the `ColumnarBatch` vectors. The row path pays parquet→vector→
+    * UnsafeRow→byte[] — TWO full copies of every payload; this path pays
+    * vector→byte[] — one. At 32 decode threads the stage is memory-
+    * bandwidth-bound, so halving payload traffic is the scaling lever
+    * (BENCH_SCALING.md decode). Falls back to [[imageFeatures]] whenever
+    * the input isn't a plain scan (filters, computed columns, non-columnar
+    * source) — output is identical either way (MediaSpec).
+    */
+  def imageFeaturesColumnar(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
+
+    val spark = df.sparkSession
+    val in = df.select(col("image_id"), col("bytes"))
+    Bridge.columnarScan(in) match {
+      case Some((batches, names)) if names.contains("image_id") && names.contains("bytes") =>
+        val idIdx = names.indexOf("image_id")
+        val byIdx = names.indexOf("bytes")
+        val outSchema = featureSchema
+        val rdd = batches.mapPartitions { it =>
+          val scratch = new PngScratch
+          val proj = UnsafeProjection.create(outSchema)
+          val out = new GenericInternalRow(5)
+          it.flatMap { batch =>
+            val idCol = batch.column(idIdx)
+            val byCol = batch.column(byIdx)
+            (0 until batch.numRows()).iterator.map { r =>
+              // stage the payload into a REUSED buffer straight off the
+              // column vector (getBinary would allocate a fresh array per
+              // image — at 1M img/s that alone is GB/s of garbage)
+              val arr = byCol.getArray(r)
+              val plen = arr.numElements()
+              val buf = scratch.ensurePayload(plen)
+              var bi = 0
+              while (bi < plen) { buf(bi) = arr.getByte(bi); bi += 1 }
+              val (px, w, h) = decodePngGrayInto(buf, plen, scratch) match {
+                case Some((w0, h0)) => (scratch.px, w0, h0)
+                case None => decodePngImageIO(java.util.Arrays.copyOf(buf, plen))
+              }
+              var s = 0L; var i = 0
+              val len = w * h
+              while (i < len) { s += (px(i) & 0xff); i += 1 }
+              // the projection serializes the id bytes into its own row
+              // buffer, so no defensive UTF8String copy; and the produced
+              // row follows the physical-operator reuse contract (buffering
+              // consumers copy), so no per-row UnsafeRow allocation either —
+              // this stage's output path is allocation-free
+              out.update(0, idCol.getUTF8String(r))
+              out.setInt(1, w)
+              out.setInt(2, h)
+              out.setLong(3, aHash(px, w, h))
+              out.setDouble(4, s.toDouble / len)
+              proj(out): InternalRow
+            }
+          }
+        }
+        Bridge.internalDf(spark, rdd, outSchema)
+      case _ => imageFeatures(df)
+    }
   }
 
   /** Box-filter downsample to (tw, th) — the `resize` step of the

@@ -27,4 +27,33 @@ object Bridge {
 
   /** The physical `RDD[InternalRow]` of a DataFrame (no Row conversion). */
   def internalRdd(df: DataFrame): RDD[InternalRow] = df.queryExecution.toRdd
+
+  /** Columnar fast path: the `ColumnarBatch` RDD of a plan that is a pure
+    * column-pruned scan — one columnar leaf, no filters, and only
+    * attribute(-rename) projections above it, so executing the leaf alone
+    * is semantics-preserving. Callers read values straight off the column
+    * vectors, skipping the ColumnarToRow UnsafeRow materialization (one
+    * full copy of every payload byte). Returns the batch RDD plus the
+    * leaf's column names for ordinal lookup; None = take the row path.
+    */
+  def columnarScan(df: DataFrame)
+      : Option[(RDD[org.apache.spark.sql.vectorized.ColumnarBatch], Seq[String])] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.execution.{FilterExec, ProjectExec}
+    val plan = df.queryExecution.executedPlan
+    val safe = plan.collect {
+      case pr: ProjectExec => pr.projectList.forall {
+        case _: Attribute => true
+        case a: Alias => a.child.isInstanceOf[Attribute]
+        case _ => false
+      }
+      case _: FilterExec => false
+    }.forall(identity)
+    plan.collectLeaves() match {
+      case Seq(leaf) if leaf.supportsColumnar && safe &&
+          df.columns.forall(c => leaf.output.exists(_.name == c)) =>
+        Some((leaf.executeColumnar(), leaf.output.map(_.name)))
+      case _ => None
+    }
+  }
 }

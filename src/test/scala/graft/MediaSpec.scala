@@ -102,4 +102,23 @@ class MediaSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("columnar decode path equals the row path and engages on parquet scans") {
+    val dir = java.nio.file.Files.createTempDirectory("media_columnar").toString
+    GeoFixtures.images(spark, 250).write.mode("overwrite").parquet(s"$dir/imgs")
+    val scan = spark.read.parquet(s"$dir/imgs")
+    // the pure pruned scan must actually take the columnar fast path
+    assert(org.apache.spark.sql.graftbridge.Bridge
+      .columnarScan(scan.select("image_id", "bytes")).isDefined)
+    val rowPath = Media.imageFeatures(scan).collect().map(_.toSeq).toSet
+    val colPath = Media.imageFeaturesColumnar(scan).collect().map(_.toSeq).toSet
+    assert(colPath === rowPath)
+    assert(colPath.size === 250)
+    // a filtered frame must NOT take the leaf-only shortcut (falls back)
+    val filtered = scan.filter(org.apache.spark.sql.functions.length(
+      org.apache.spark.sql.functions.col("caption")) > 0)
+    assert(org.apache.spark.sql.graftbridge.Bridge
+      .columnarScan(filtered.select("image_id", "bytes")).isEmpty)
+    assert(Media.imageFeaturesColumnar(filtered).count() === 250)
+  }
 }
