@@ -27,8 +27,11 @@ import org.apache.spark.sql.functions._
   * Function map (the reference plugs `dfl.NewFuntionMapWithDefaults()` at
   * `cmd/osm/main.go:252`; go-dfl is an external dependency not vendored in
   * the reference checkout, so this is the engine's default map providing
-  * the same capability class): `len`, `lower`, `upper`, `trim`, `prefix`,
-  * `suffix`, `abs`. `prefix`/`suffix` are boolean and may stand alone.
+  * the same capability class): `len`, `lower`, `upper`, `trim`, `ltrim`,
+  * `rtrim`, `prefix`, `suffix`, `abs`, `ceil`, `floor`, `round`, `min`,
+  * `max`, `replace`, `split`. `prefix`/`suffix` are boolean and may stand
+  * alone; `in` also accepts an array-valued right side (`x in split(@a, ';')`
+  * — multi-value tags).
   *
   * `@x` resolves through the caller-supplied attribute resolver (e.g.
   * `element_at(tags, "x")` for tag maps, or a direct column). `like` with a
@@ -96,11 +99,36 @@ object Dfl {
         case "lower" => arity(1); lower(a(0).cast("string"))
         case "upper" => arity(1); upper(a(0).cast("string"))
         case "trim" => arity(1); trim(a(0).cast("string"))
+        case "ltrim" => arity(1); ltrim(a(0).cast("string"))
+        case "rtrim" => arity(1); rtrim(a(0).cast("string"))
         case "prefix" => arity(2); a(0).cast("string").startsWith(a(1).cast("string"))
         case "suffix" => arity(2); a(0).cast("string").endsWith(a(1).cast("string"))
         case "abs" => arity(1); abs(a(0).cast("double"))
+        case "ceil" => arity(1); ceil(a(0).cast("double")).cast("double")
+        case "floor" => arity(1); floor(a(0).cast("double")).cast("double")
+        case "round" => arity(1); round(a(0).cast("double"), 0)
+        case "min" =>
+          require(args.nonEmpty, "min takes at least one argument")
+          if (args.length == 1) a(0).cast("double")
+          else least(args.indices.map(i => a(i).cast("double")): _*)
+        case "max" =>
+          require(args.nonEmpty, "max takes at least one argument")
+          if (args.length == 1) a(0).cast("double")
+          else greatest(args.indices.map(i => a(i).cast("double")): _*)
+        case "replace" => arity(3)
+          regexp_replace(a(0).cast("string"),
+            args(1) match {
+              case Lit(v) => lit(java.util.regex.Pattern.quote(String.valueOf(v)))
+              case _ => throw new IllegalArgumentException("replace: literal search string required")
+            }, a(2).cast("string"))
+        case "split" => arity(2); split(a(0).cast("string"),
+            args(1) match {
+              case Lit(v) => java.util.regex.Pattern.quote(String.valueOf(v))
+              case _ => throw new IllegalArgumentException("split: literal separator required")
+            })
         case other => throw new IllegalArgumentException(
-          s"unknown DFL function: $other (have len, lower, upper, trim, prefix, suffix, abs)")
+          s"unknown DFL function: $other (have len, lower, upper, trim, ltrim, rtrim, " +
+            "prefix, suffix, abs, ceil, floor, round, min, max, replace, split)")
       }
     case other => throw new IllegalArgumentException(s"unexpected operand: $other")
   }
@@ -108,12 +136,12 @@ object Dfl {
   private def cmpColumn(op: String, l: Node, r: Node, resolve: String => Column): Column = {
     op match {
       case "in" =>
-        val vals = r match {
-          case ListLit(vs) => vs
-          case Lit(v) => Seq(v)
-          case o => throw new IllegalArgumentException(s"IN needs a list, got $o")
+        r match {
+          case ListLit(vs) => operand(l, resolve).isin(vs: _*)
+          case Lit(v) => operand(l, resolve).isin(v)
+          // array-valued right side, e.g. `brewery in split(@craft, ';')`
+          case o => array_contains(operand(o, resolve), operand(l, resolve).cast("string"))
         }
-        operand(l, resolve).isin(vals: _*)
       case "like" =>
         (r: @unchecked) match {
           case Lit(s: String) if s.contains("%") => operand(l, resolve).like(s)

@@ -91,4 +91,34 @@ class DflSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Dfl.parse("(@a like b"))
     intercept[IllegalArgumentException](Dfl.parse("@a like b extra tokens"))
   }
+
+  test("extended function map: trim variants, numeric funcs, min/max") {
+    assert(run("ltrim('  brewery') == @craft") === Set(1L, 4L))
+    assert(run("rtrim('brewery  ') == @craft") === Set(1L, 4L))
+    assert(run("ceil(@qty) == 10") === Set(1L))
+    assert(run("floor(@qty) == 90") === Set(5L))
+    assert(run("round(@qty) >= 70") === Set(4L, 5L))
+    assert(run("min(@qty, 50) == 50") === Set(3L, 4L, 5L))   // qty >= 50
+    assert(run("max(@qty, 30) == 30") === Set(1L, 2L))       // qty <= 30
+    assert(run("min(@qty) == 10") === Set(1L))
+  }
+
+  test("replace and split; in over array-valued right side") {
+    assert(run("replace(@craft, 'distillery', 'brewery') like brewery") === Set(1L, 2L, 4L))
+    // multi-value tag semantics: `x in split(@tag, ';')`
+    val multi = Seq(
+      (1L, Map("cuisine" -> "pizza;kebab"), 0.0),
+      (2L, Map("cuisine" -> "sushi"), 0.0),
+      (3L, Map[String, String](), 0.0)
+    ).toDF("id", "tags", "qty")
+    val got = multi.filter(Dfl.compile("kebab in split(@cuisine, ';')",
+      k => element_at(col("tags"), k))).select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L))
+    // separator is treated literally, not as a regex
+    val dotted = Seq((1L, Map("a" -> "x.y"), 0.0), (2L, Map("a" -> "xzy"), 0.0))
+      .toDF("id", "tags", "qty")
+    val gotDot = dotted.filter(Dfl.compile("x in split(@a, '.')",
+      k => element_at(col("tags"), k))).select("id").collect().map(_.getLong(0)).toSet
+    assert(gotDot === Set(1L))
+  }
 }
