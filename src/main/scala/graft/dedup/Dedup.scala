@@ -265,7 +265,12 @@ object Dedup {
     val edges = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
       .unionByName(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
       .localCheckpoint()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // iterate ONLY over vertices that appear in a pair: a singleton can
+    // never change its label, and on a real corpus near-dup vertices are a
+    // tiny fraction of the ids — the loop's joins and convergence counts
+    // run on that fraction, not the whole table
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
     var round = 0
     var changed = 1L
@@ -292,7 +297,10 @@ object Dedup {
       round += 1
     }
     require(changed == 0L, s"clusterLabelsConverged: no fixpoint after $maxRounds rounds")
-    labels
+    // singletons rejoin with their own id as the cluster
+    ids.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("cluster", "__c"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
   }
 
   // ---- SimHash ----------------------------------------------------------------
