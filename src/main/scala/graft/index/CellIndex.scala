@@ -183,6 +183,77 @@ object CellIndex {
     out
   }
 
+  /** Inclusive cellId RANGES at zoom z covering the bbox — the quadtree
+    * decomposition of the tile rectangle into maximal aligned squares. A
+    * square at level l contains exactly the zoom-z cells whose Morton codes
+    * form one contiguous block (`[m << 2(z-l), (m+1) << 2(z-l))`), and with
+    * the zoom fixed per column the packed cellIds of that block form one
+    * contiguous BETWEEN — so a bbox over a fine-zoom cell column becomes a
+    * handful of range predicates where the flat [[cover]] enumeration would
+    * explode (2^2z cells).
+    *
+    * `budget` bounds explored quadtree nodes: on exhaustion a partially
+    * covered square emits its FULL range — an over-approximation, so the
+    * result is always a superset covering (safe for pruning). Output is
+    * sorted and adjacent-merged; `maxRanges` caps the count by greedily
+    * merging the smallest gaps (again a safe superset).
+    */
+  def coverRanges(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+                  z: Int, budget: Int = 1024, maxRanges: Int = 64): Array[(Long, Long)] = {
+    val y0 = tileY(maxLat, z) // north edge -> smaller y
+    val y1 = tileY(minLat, z)
+    val n = 1L << z
+    val xRects: Seq[(Long, Long)] =
+      if (minLon <= maxLon) Seq((tileX(minLon, z), tileX(maxLon, z)))
+      else Seq((tileX(minLon, z), n - 1), (0L, tileX(maxLon, z)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var nodes = 0
+    def emit(sx: Long, sy: Long, l: Int): Unit = {
+      val s = z - l
+      val mLo = morton(sx, sy, l) << (2 * s)
+      val mHi = mLo + (1L << (2 * s)) - 1
+      out += (((mLo << 5) | z.toLong, (mHi << 5) | z.toLong))
+    }
+    def rec(sx: Long, sy: Long, l: Int, x0: Long, x1: Long): Unit = {
+      val s = z - l
+      val tx0 = sx << s; val tx1 = ((sx + 1) << s) - 1
+      val ty0 = sy << s; val ty1 = ((sy + 1) << s) - 1
+      if (tx1 < x0 || tx0 > x1 || ty1 < y0 || ty0 > y1) return // disjoint
+      if ((tx0 >= x0 && tx1 <= x1 && ty0 >= y0 && ty1 <= y1) || l == z) {
+        emit(sx, sy, l) // fully contained, or a leaf cell touching the rect
+        return
+      }
+      nodes += 1
+      if (nodes > budget) { emit(sx, sy, l); return } // over-approximate
+      // children in ascending Morton order: (dx, dy) = (0,0) (1,0) (0,1) (1,1)
+      rec(2 * sx, 2 * sy, l + 1, x0, x1)
+      rec(2 * sx + 1, 2 * sy, l + 1, x0, x1)
+      rec(2 * sx, 2 * sy + 1, l + 1, x0, x1)
+      rec(2 * sx + 1, 2 * sy + 1, l + 1, x0, x1)
+    }
+    xRects.foreach { case (x0, x1) => rec(0, 0, 0, x0, x1) }
+    val sorted = out.sortBy(_._1).toArray
+    // merge adjacent blocks: consecutive Morton codes differ by 32 in cellId
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { r =>
+      if (merged.nonEmpty && r._1 <= merged.last._2 + 32)
+        merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, r._2))
+      else merged += r
+    }
+    if (merged.length <= maxRanges) merged.toArray
+    else {
+      // keep the (maxRanges - 1) largest gaps as boundaries; bridge the rest
+      val keep = (1 until merged.length)
+        .sortBy(i => -(merged(i)._1 - merged(i - 1)._2)).take(maxRanges - 1).toSet
+      val capped = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      merged.zipWithIndex.foreach { case (r, i) =>
+        if (i == 0 || keep(i)) capped += r
+        else capped(capped.length - 1) = (capped.last._1, r._2)
+      }
+      capped.toArray
+    }
+  }
+
   /** Lower bound on squared euclidean degree-distance from a point to any
     * point inside the cell (0 if the point is inside). The kNN ring
     * expansion terminates when this bound for the next ring exceeds the

@@ -29,6 +29,9 @@ object CellPrune {
   val LonKey = "graftCellLon"
   val LatKey = "graftCellLat"
   val MaxCoverCells = 2048
+  /** Cap on BETWEEN-range disjuncts for large coverings (see coverRanges). */
+  val MaxRanges = 64
+  val RangeNodeBudget = 4096
 
   /** Attach a cell column carrying pruning metadata. Write the table sorted
     * or repartitionByRange'd on this column for row-group locality.
@@ -79,14 +82,39 @@ object CellPrune {
       val latName = cellAttr.metadata.getString(LatKey)
       val lonAttr = child.output.find(_.name == lonName)
       val latAttr = child.output.find(_.name == latName)
-      for {
+      (for {
         lon <- lonAttr
         lat <- latAttr
         (lonLo, lonHi) <- bounds(conjuncts, lon)
         (latLo, latHi) <- bounds(conjuncts, lat)
-        cells = CellIndex.cover(lonLo, latLo, lonHi, latHi, z)
-        if cells.length <= MaxCoverCells
-      } yield In(cellAttr, cells.sorted.map(Literal(_)).toSeq)
+      } yield {
+        // count the flat covering WITHOUT materializing it (at fine zooms a
+        // large bbox is 4^z cells — the old enumerate-then-check would blow
+        // up before bailing)
+        val n = 1L << z
+        val ny = CellIndex.tileY(latLo, z) - CellIndex.tileY(latHi, z) + 1
+        val nx =
+          if (lonLo <= lonHi) CellIndex.tileX(lonHi, z) - CellIndex.tileX(lonLo, z) + 1
+          else (n - CellIndex.tileX(lonLo, z)) + CellIndex.tileX(lonHi, z) + 1
+        if (nx >= n && ny >= n) None // whole grid: nothing to prune
+        else if (nx * ny <= MaxCoverCells) {
+          val cells = CellIndex.cover(lonLo, latLo, lonHi, latHi, z)
+          Some(In(cellAttr, cells.sorted.map(Literal(_)).toSeq))
+        } else {
+          // Morton ids at one zoom are prefix-hierarchical: the quadtree
+          // decomposition of the bbox is a handful of contiguous cellId
+          // BETWEENs (superset covering, so semantics-preserving), and
+          // range predicates prune parquet row groups on the cell-sorted
+          // layout just like the IN does — but keep working at zooms where
+          // the flat cell list would be millions of literals
+          val ranges = CellIndex.coverRanges(lonLo, latLo, lonHi, latHi, z,
+            budget = RangeNodeBudget, maxRanges = MaxRanges)
+          Some(ranges.map(r => And(
+              GreaterThanOrEqual(cellAttr, Literal(r._1)),
+              LessThanOrEqual(cellAttr, Literal(r._2))): Expression)
+            .reduce(Or(_, _)))
+        }
+      }).flatten
     }
 
     /** Extract [lo, hi] for an attribute from range conjuncts. Strict

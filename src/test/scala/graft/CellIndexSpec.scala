@@ -117,6 +117,49 @@ class CellIndexSpec extends AnyFunSuite {
     assert(cells.contains(CellIndex.cellId(-179.5, 0.5, 6)))
   }
 
+  test("coverRanges equals cover exactly when unconstrained (sampled bboxes)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      val z = 3 + rnd.nextInt(7)
+      val lon0 = rnd.nextDouble() * 300 - 170
+      val lat0 = rnd.nextDouble() * 140 - 80
+      val lon1 = math.min(179.9, lon0 + rnd.nextDouble() * 40)
+      val lat1 = math.min(84.9, lat0 + rnd.nextDouble() * 30)
+      val cells = CellIndex.cover(lon0, lat0, lon1, lat1, z).toSet
+      val ranges = CellIndex.coverRanges(lon0, lat0, lon1, lat1, z,
+        budget = Int.MaxValue, maxRanges = Int.MaxValue)
+      // exactness: the union of the ranges is exactly the covered cell set
+      val inRanges = (c: Long) => ranges.exists(r => c >= r._1 && c <= r._2)
+      assert(cells.forall(inRanges), s"range covering lost cells at z=$z")
+      val enumerated = ranges.flatMap { case (lo, hi) => lo.to(hi, 32) }.toSet
+      assert(enumerated === cells, s"ranges over/under-cover at z=$z")
+      // sorted, disjoint, merged
+      ranges.sliding(2).foreach {
+        case Array(a, b) => assert(b._1 > a._2 + 32)
+        case _ =>
+      }
+    }
+  }
+
+  test("coverRanges under budget/cap pressure stays a superset covering") {
+    val (lon0, lat0, lon1, lat1, z) = (-170.0, -60.0, -10.0, 60.0, 12)
+    val full = CellIndex.coverRanges(lon0, lat0, lon1, lat1, z,
+      budget = Int.MaxValue, maxRanges = Int.MaxValue)
+    val capped = CellIndex.coverRanges(lon0, lat0, lon1, lat1, z,
+      budget = 512, maxRanges = 16)
+    assert(capped.length <= 16)
+    // every exact range is inside some capped range (superset covering)
+    assert(full.forall(f => capped.exists(c => c._1 <= f._1 && f._2 <= c._2)))
+  }
+
+  test("coverRanges straddles the antimeridian") {
+    val ranges = CellIndex.coverRanges(179.0, -1.0, -179.0, 1.0, 6)
+    def in(c: Long) = ranges.exists(r => c >= r._1 && c <= r._2)
+    assert(in(CellIndex.cellId(179.5, 0.5, 6)))
+    assert(in(CellIndex.cellId(-179.5, 0.5, 6)))
+    assert(!in(CellIndex.cellId(0.0, 0.5, 6)))
+  }
+
   test("minSqDistDeg is 0 inside, positive outside") {
     val c = CellIndex.cellId(10.0, 10.0, 8)
     assert(CellIndex.minSqDistDeg(10.0, 10.0, c) === 0.0)

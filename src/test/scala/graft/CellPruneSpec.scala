@@ -69,11 +69,40 @@ class CellPruneSpec extends SparkSpecBase {
       "must not inject without both axes bounded")
   }
 
-  test("cover cap respected: continent-sized bbox at high zoom not exploded") {
-    val cells = CellIndex.cover(-180, -85, 180, 85, 12)
-    assert(cells.length > CellPrune.MaxCoverCells) // sanity: would exceed cap
+  test("whole-grid bbox leaves the plan alone (nothing to prune)") {
     installRule()
     val q = tagged.filter(col("lon").between(-180.0, 180.0) && col("lat").between(-85.0, 85.0))
-    assert(!q.queryExecution.optimizedPlan.toString.contains(" IN "))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.contains(" IN ") && !opt.contains("cell#6L >="), opt.take(800))
+  }
+
+  test("over-cap bbox at fine zoom gets BETWEEN ranges instead of an exploded IN") {
+    // fine-zoom layout: same points, z=12 cell column -> a hemisphere bbox
+    // covers ~3M cells (IN would bail); the quadtree range covering engages
+    val zf = 12
+    val d12 = java.nio.file.Files.createTempDirectory("graft_prune12").toString
+    CellPrune.withCellColumn(graft.geo.GeoFixtures.imagesLite(spark, 50000),
+        "lon", "lat", zf)
+      .repartitionByRange(8, col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(s"$d12/imgs")
+    val t = CellPrune.tagCellColumn(
+      spark.read.parquet(s"$d12/imgs"), "cell", "lon", "lat", zf)
+    installRule()
+    val pred = col("lon").between(-170.0, -10.0) && col("lat").between(-60.0, 60.0)
+    val q = t.filter(pred)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.contains(" IN "), opt.take(1200))
+    assert(opt.contains(">=") && opt.contains("<="), opt.take(1200))
+    // semantics preserved vs the metadata-free plan
+    val withRule = q.select("image_id").collect().map(_.getString(0)).toSet
+    val plain = spark.read.parquet(s"$d12/imgs").filter(pred)
+      .select("image_id").collect().map(_.getString(0)).toSet
+    assert(withRule === plain)
+    assert(withRule.nonEmpty)
+    // and the ranges reach the parquet reader as pushed filters
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters") &&
+      (scan.contains("GreaterThanOrEqual(cell") || scan.contains("Or(And(")), scan.take(1500))
   }
 }
