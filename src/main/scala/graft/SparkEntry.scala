@@ -276,6 +276,8 @@ object SparkEntry {
       val d = docs(s, dir)
       d.select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"),
+        TextOps.wsTokenCount(col("text")).as("n_ws"),
         TextOps.alphaCount(col("text")).as("n_alpha"),
         length(col("text")).as("n_len"),
         (TextOps.alphaCount(col("text")) / length(col("text"))).as("alpha_ratio"),
@@ -909,6 +911,8 @@ object SparkEntry {
       .mkString("(", " + ", ")")
     s"""SELECT doc_id,
        |       len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+       |       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe,
+       |       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws,
        |       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
        |       length(text) AS n_len,
        |       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) AS alpha_ratio,

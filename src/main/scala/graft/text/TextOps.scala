@@ -17,6 +17,21 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9_]+"), lit(0)))
 
+  /** GPT-2-style pre-tokenizer segment count ("BPE-ish"): a token is an
+    * optional leading space plus a letter run, digit run, or punctuation
+    * run. ASCII classes and no lookarounds keep Java-regex (Spark) and RE2
+    * (DuckDB) leftmost-first semantics identical, so the count is
+    * oracle-exact.
+    */
+  val BpePattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Whitespace token count — the trivial tokenizer of the pair. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, " "), t => length(t) > 0))
+
   /** Count of alphabetic characters. */
   def alphaCount(text: Column): Column =
     length(regexp_replace(text, "[^A-Za-z]", ""))

@@ -68,4 +68,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(q(3L) === 100L)
     assert(q(1L) === (100L * 17 / 22)) // floor(77.27) = 77
   }
+
+  test("BPE-ish pre-tokenizer and whitespace token counts (hand counts)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "hello world"),       // [hello][ world] = 2 bpe; 2 ws
+      (2L, "it's 42 degrees!"),  // [it]['][s][ 42][ degrees][!] = 6 bpe; 3 ws
+      (3L, "a  b"),              // double space: [a][ b] = 2 bpe; 2 ws
+      (4L, "x123y,z")            // [x][123][y][,][z] = 5 bpe; 1 ws
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.text.TextOps.bpeTokenCount(col("text")).as("b"),
+        graft.text.TextOps.wsTokenCount(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L) === ((2, 2)))
+    assert(got(2L) === ((6, 3)))
+    assert(got(3L) === ((2, 2)))
+    assert(got(4L) === ((5, 1)))
+  }
 }
