@@ -1,0 +1,211 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.jobs.Pipeline._
+import graft.ops.OsmOps
+
+/** Flag-parity CLI over the pipeline — the reference's `osm` command
+  * surface (`/root/reference/cmd/osm/main.go:139-196`) so a go-osm user can
+  * run their existing invocations against the engine:
+  *
+  * {{{
+  *   runMain graft.jobs.OsmCli -input_uri in.osm -summarize \
+  *     -filter_dfl_exp '@craft like brewery' -ways_to_nodes \
+  *     -drop_relations -output_uri breweries.osm
+  * }}}
+  *
+  * Supported flags: config_uri, input_uri(+separator), filter_keys_keep,
+  * filter_keys_drop (mutually exclusive, main.go:257), filter_dfl_exp (and
+  * the README's `-dfl` shorthand), bbox, ways_to_nodes, drop (convenience
+  * list), drop_nodes/ways/relations/version/timestamp/changeset/uid/user/
+  * author, output_uri(+separator), output_format, output_keys_keep/drop,
+  * summarize(+summarize_keys), overwrite, dry_run, version, help.
+  * AWS/GDAL/read_buffer flags don't apply to this engine (Hadoop FS and
+  * Spark own IO); pretty and filter_dfl_cache are accepted no-ops
+  * (indentation is cosmetic; the DFL cache is obsolete under codegen).
+  */
+object OsmCli {
+
+  private val BoolFlags = Set(
+    "ways_to_nodes", "drop_nodes", "drop_ways", "drop_relations",
+    "drop_version", "drop_timestamp", "drop_changeset", "drop_uid",
+    "drop_user", "drop_author", "summarize", "pretty", "overwrite",
+    "dry_run", "version", "help", "verbose", "profile", "filter_dfl_cache")
+
+  /** (string flags, boolean flags). Accepts `-flag value` and `-flag`. */
+  def parseArgs(args: Array[String]): (Map[String, String], Set[String]) = {
+    val strs = Map.newBuilder[String, String]
+    val bools = Set.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("-"), s"expected a -flag, got: $a")
+      val name = a.dropWhile(_ == '-')
+      if (BoolFlags(name)) { bools += name; i += 1 }
+      else {
+        require(i + 1 < args.length, s"flag -$name needs a value")
+        strs += (name -> args(i + 1)); i += 2
+      }
+    }
+    (strs.result(), bools.result())
+  }
+
+  private def csv(s: Option[String]): Seq[String] =
+    s.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** Build the PipelineConfig the reference's main.go would build. */
+  def toConfig(strs: Map[String, String], bools: Set[String]): PipelineConfig = {
+    strs.get("config_uri") match {
+      case Some(uri) => return PipelineConfigIO.load(uri)
+      case None =>
+    }
+    val keep = csv(strs.get("filter_keys_keep"))
+    val drop = csv(strs.get("filter_keys_drop"))
+    require(keep.isEmpty || drop.isEmpty,
+      "-filter_keys_keep and -filter_keys_drop are mutually exclusive")
+    val bbox = strs.get("bbox").map { b =>
+      val p = b.split(",").map(_.trim.toDouble)
+      require(p.length == 4, s"bbox needs minx,miny,maxx,maxy: $b")
+      (p(0), p(1), p(2), p(3))
+    }
+    val dfl = strs.get("filter_dfl_exp").orElse(strs.get("dfl")).filter(_.nonEmpty)
+    val filter =
+      if (keep.isEmpty && drop.isEmpty && bbox.isEmpty && dfl.isEmpty) None
+      else Some(FilterSpec(keepKeys = keep, dropKeys = drop, bbox = bbox, dfl = dfl))
+
+    // -drop convenience list (main.go:165; "author" = uid + user)
+    val dropList = csv(strs.get("drop")).map(_.toLowerCase).toSet
+    def b(flag: String): Boolean = bools(flag) || dropList(flag.stripPrefix("drop_"))
+    val dropAuthor = bools("drop_author") || dropList("author")
+
+    val inSep = strs.get("input_uri_separator").filter(_.nonEmpty)
+    val inputs = strs.get("input_uri").map(u =>
+      inSep.map(s => u.split(java.util.regex.Pattern.quote(s)).toSeq).getOrElse(Seq(u)))
+      .getOrElse(Nil)
+      .map(u => InputSpec(uri = u, filter = filter))
+
+    val outSep = strs.get("output_uri_separator").filter(_.nonEmpty)
+    val outputs = strs.get("output_uri").map(u =>
+      outSep.map(s => u.split(java.util.regex.Pattern.quote(s)).toSeq).getOrElse(Seq(u)))
+      .getOrElse(Nil)
+      .map { u =>
+        OutputSpec(
+          uri = u,
+          format = strs.get("output_format").filter(_.nonEmpty),
+          waysToNodes = bools("ways_to_nodes"),
+          dropNodes = b("drop_nodes"),
+          dropWays = b("drop_ways"),
+          dropRelations = b("drop_relations"),
+          dropVersion = b("drop_version"),
+          dropTimestamp = b("drop_timestamp"),
+          dropChangeset = b("drop_changeset"),
+          dropUserId = b("drop_uid") || dropAuthor,
+          dropUserName = b("drop_user") || dropAuthor,
+          keysToKeep = csv(strs.get("output_keys_keep")),
+          keysToDrop = csv(strs.get("output_keys_drop")))
+      }
+    PipelineConfig(inputs, outputs)
+  }
+
+  /** Summary.Print parity (reference Summary.go:25-39). */
+  def printSummary(out: java.io.PrintStream, shared: Shared,
+                   converted: Option[org.apache.spark.sql.DataFrame],
+                   keys: Seq[String]): Unit = {
+    val (mnLon, mnLat, mxLon, mxLat) = shared.bounds.getOrElse((0.0, 0.0, 0.0, 0.0))
+    val nodesAll = converted match {
+      case Some(c) => shared.nodes.select("id", "tags").unionByName(c.select("id", "tags"))
+      case None => shared.nodes.select("id", "tags")
+    }
+    val waysAll =
+      if (converted.isDefined) shared.ways.select("id", "tags").limit(0)
+      else shared.ways.select("id", "tags")
+    val kv = Seq(nodesAll, waysAll, shared.relations.select("id", "tags"))
+      .map(_.select(explode(map_keys(col("tags"))).as("key")))
+      .reduce(_ unionByName _)
+    val card = kv.agg(countDistinct(col("key")).as("k")).collect()(0).getLong(0)
+    val tagCard = Seq(nodesAll, waysAll, shared.relations.select("id", "tags"))
+      .map(_.select(explode(col("tags")).as(Seq("key", "value"))))
+      .reduce(_ unionByName _)
+      .agg(countDistinct(col("key"), col("value"))).collect()(0).getLong(0)
+    out.println("Bounding Box: " + Seq(mnLon, mnLat, mxLon, mxLat)
+      .map(v => f"$v%.6f").mkString(","))
+    out.println(s"Total Number of Users: ${shared.users.count()}")
+    out.println(s"Total Number of Nodes: ${nodesAll.count()}")
+    out.println(s"Total Number of Ways: ${waysAll.count()}")
+    out.println(s"Total Number of Relations: ${shared.relations.count()}")
+    out.println(s"Total Number of Keys: $card")
+    out.println(s"Total Number of Tags: $tagCard")
+    if (keys.nonEmpty) {
+      val byKey = OsmOps.summarizeByKey(
+          nodesAll.select(col("tags")), waysAll.select(col("tags")),
+          shared.relations.select(col("tags")), keys)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      keys.foreach { k =>
+        val (n, w, r) = byKey.getOrElse(k, (0L, 0L, 0L))
+        out.println("-----------")
+        out.println(s"Key: $k")
+        out.println(s"Number of Nodes: $n")
+        out.println(s"Number of Ways: $w")
+        out.println(s"Number of Relations: $r")
+      }
+    }
+  }
+
+  /** Returns a process exit code (testable; [[main]] wraps it). */
+  def run(spark: SparkSession, args: Array[String],
+          out: java.io.PrintStream = System.out): Int = {
+    val (strs, bools) = parseArgs(args)
+    if (bools("version")) { out.println("graft-osm (Spark engine)"); return 0 }
+    if (bools("help")) { out.println("see OsmCli scaladoc for the flag surface"); return 0 }
+    val c = toConfig(strs, bools)
+    val summarizeWanted = bools("summarize")
+    require(c.inputs.nonEmpty, "input_uri is missing")
+    if (c.outputs.nonEmpty) validate(c)
+
+    // reference overwrite protection: refuse existing single-file outputs
+    if (!bools("overwrite")) c.outputs.foreach { o =>
+      val f = new java.io.File(o.uri)
+      require(!f.isFile, s"output file already exists at ${o.uri} (use -overwrite)")
+    }
+    if (bools("dry_run")) {
+      out.println(s"dry_run: ${c.inputs.length} input(s), ${c.outputs.length} output(s); plan = ${plan(c)}")
+      return 0
+    }
+
+    val p = plan(c)
+    val shared = ingest(spark, c, p)
+    try {
+      // summarize-only runs still honor -ways_to_nodes (the planet-level
+      // conversion the reference applies before summarizing)
+      val wantConvert =
+        p.convertAllWaysToNodes || (c.outputs.isEmpty && bools("ways_to_nodes"))
+      val conv =
+        if (wantConvert)
+          Some(waysToNodes(shared)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        else None
+      c.outputs.foreach { o =>
+        val r = runOutput(shared, o, conv)
+        if (bools("verbose"))
+          out.println(s"wrote ${r.uri} (${r.format}): ${r.nodes} nodes, ${r.ways} ways, ${r.relations} relations")
+      }
+      if (summarizeWanted)
+        printSummary(out, shared, conv, csv(strs.get("summarize_keys")))
+      conv.foreach(_.unpersist())
+      0
+    } finally shared.unpersist()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Jobs.session("graft-osm-cli")
+    val code =
+      try run(spark, args)
+      catch {
+        case e: IllegalArgumentException => System.err.println(e.getMessage); 1
+      }
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+}
