@@ -363,6 +363,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // the END-TO-END dedup decision users run: LSH candidates (with the
+    // mega-bucket guard armed — provably output-identical) → exact verify
+    // → convergent CC → keep-one-per-cluster; oracle composes the full
+    // minhash math with a recursive reachability CTE
+    "q39_dedup_decision" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("source").isin("src6", "src7"))
+      Dedup.dedupeDecision(d, "doc_id", "text", shingleN = 5, numHashes = 8,
+        rowsPerBand = 2, threshold = 0.25, bucketCap = 256)
+        .orderBy("id")
+    }),
+
     // SimHash document fingerprint (16-bit, token sign votes)
     "q26_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text", bits = 16)
@@ -740,6 +751,8 @@ object SparkEntry {
 
       "q35_dedup_clusters" -> dedupClustersSql,
 
+      "q39_dedup_decision" -> dedupDecisionSql,
+
       "q26_simhash" -> simhashSql,
 
       "q30_embedding_neardup" ->
@@ -975,6 +988,57 @@ object SparkEntry {
        |FROM ver v JOIN sz x ON v.id_1 = x.doc_id JOIN sz y ON v.id_2 = y.doc_id
        |WHERE CAST(v.n_inter AS DOUBLE) / (x.n + y.n - v.n_inter) >= 0.25
        |ORDER BY id_1, id_2""".stripMargin
+  }
+
+  /** End-to-end dedup-decision oracle for [[graft.dedup.Dedup.dedupeDecision]]:
+    * the full MinHash/LSH math of [[minhashLshSql]] (the engine's
+    * mega-bucket guard is output-identical, so the oracle needn't model
+    * it), then true connected components via recursive reachability, then
+    * keep = (id = cluster minimum).
+    */
+  private def dedupDecisionSql: String = {
+    val hExpr = (1 to 5).map(j =>
+      s"CAST(ascii(substr(shingle, $j, 1)) AS BIGINT) * ${math.pow(81, 5 - j).toLong}")
+      .mkString(" + ")
+    val mhs = (0 until 8).map(j =>
+      s"MIN((${Dedup.HashA(j)} * h + ${Dedup.HashB(j)}) % ${Dedup.P}) AS mh_$j")
+      .mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, concat_ws('_', $b, mh_${2 * b}, mh_${2 * b + 1}) AS bk FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, substr(text, i, 5) AS shingle
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-4)) AS i) g
+       |  WHERE source IN ('src6', 'src7')
+       |  GROUP BY ALL
+       |), hs AS (SELECT doc_id, ($hExpr) AS h FROM sh),
+       |sig AS (SELECT doc_id, $mhs FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bands
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_1, y.doc_id AS id_2
+       |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+       |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |ver AS (
+       |  SELECT c.id_1, c.id_2, count(*) AS n_inter
+       |  FROM cand c JOIN sh a ON a.doc_id = c.id_1
+       |              JOIN sh b ON b.doc_id = c.id_2 AND a.shingle = b.shingle
+       |  GROUP BY 1, 2
+       |), p AS (
+       |  SELECT v.id_1, v.id_2
+       |  FROM ver v JOIN sz x ON v.id_1 = x.doc_id JOIN sz y ON v.id_2 = y.doc_id
+       |  WHERE CAST(v.n_inter AS DOUBLE) / (x.n + y.n - v.n_inter) >= 0.25
+       |), e AS (
+       |  SELECT id_1 AS src, id_2 AS dst FROM p
+       |  UNION ALL SELECT id_2, id_1 FROM p
+       |), reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  WHERE source IN ('src6', 'src7')
+       |  UNION
+       |  SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id
+       |)
+       |SELECT id, MIN(r) AS cluster, id = MIN(r) AS keep
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
   }
 
   /** Cluster-assignment oracle for [[graft.dedup.Dedup.clusterLabelsConverged]]

@@ -303,6 +303,26 @@ object Dedup {
       .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
   }
 
+  /** End-to-end near-dup corpus dedup decision — the composition a pipeline
+    * actually runs: MinHash+LSH candidates (optionally mega-bucket-guarded)
+    * → exact Jaccard verification → CONVERGENT connected components →
+    * keep-one-per-cluster. Output: id, cluster (component minimum), keep
+    * (true exactly for the cluster minimum). Recall is the LSH banding
+    * recall; precision is exact (every kept pair cleared the Jaccard bar).
+    */
+  def dedupeDecision(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int, numHashes: Int, rowsPerBand: Int,
+                     threshold: Double, bucketCap: Int = 0): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleN)
+    val sigs = minhashSignatures(sh, idCol, shingleN, numHashes)
+    val cand = lshCandidates(sigs, idCol, numHashes, rowsPerBand, bucketCap)
+    val verified = jaccardPairs(sh, idCol, Nil)
+      .join(cand, Seq("id_1", "id_2"), "left_semi")
+      .filter(col("jaccard") >= threshold)
+    clusterLabelsConverged(verified, "id_1", "id_2", docs, idCol)
+      .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("keep"))
+  }
+
   // ---- SimHash ----------------------------------------------------------------
 
   /** Token hash mirroring [[shingleHash]] on the (right-padded) first 5

@@ -28,6 +28,18 @@ object Streams {
       .select(col(keyCol), col("window.start").as("window_start"),
         col("n"), col("min_value"), col("max_value"))
 
+  /** Streaming exact dedup for continuous ingestion: keep the first
+    * arrival per key; a duplicate arriving within `delay` (event time) of
+    * the original is dropped, and per-key state is evicted once the
+    * watermark passes it — bounded state, the firehose analogue of
+    * `Dedup.exactCanonical`. Batch frames get the global dedup.
+    */
+  def dedupeStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   delay: String): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+    else df.dropDuplicates(keyCols)
+
   /** Streaming source over a parquet directory (file-arrival stream). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

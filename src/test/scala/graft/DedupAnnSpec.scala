@@ -289,6 +289,25 @@ class DedupAnnSpec extends SparkSpecBase {
     (0 until 6).foreach(i => assert(conv(3000L + i) === 3000L))
   }
 
+  test("dedupeDecision keeps exactly one doc per planted near-dup cluster") {
+    val dec = Dedup.dedupeDecision(docs, "doc_id", "text",
+      shingleN = 5, numHashes = 8, rowsPerBand = 2, threshold = 0.6, bucketCap = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // exact dups chain to their base: 0-1000-2000 keep only 0
+    assert(dec(0L) === ((0L, true)))
+    assert(dec(2000L)._1 === 0L && !dec(2000L)._2)
+    assert(dec(1000L)._1 === 0L && !dec(1000L)._2)
+    // every cluster keeps exactly its minimum
+    dec.foreach { case (id, (cluster, keep)) =>
+      assert(keep === (id == cluster), s"doc $id keep flag inconsistent")
+      assert(dec(cluster)._2, s"cluster $cluster has no kept representative")
+    }
+    // planted mutated copies never survive next to their base
+    (0 until 40).foreach { i =>
+      assert(dec(i + 1000L)._1 === dec(i.toLong)._1, s"pair $i split")
+    }
+  }
+
   test("LSH mega-bucket guard: identical pair set, bounded join groups") {
     // degenerate corpus: 300 docs with IDENTICAL signatures (one band
     // bucket of 300 → 44k pairs in one join group unguarded) + 50 distinct

@@ -70,6 +70,25 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicates across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.dedupeStream(mem.toDF(), Seq("user_id", "event_type"), "ts", "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(Event(1L, "click", ts(0), 1.0), Event(1L, "click", ts(0), 1.0))
+      q.processAllAvailable()
+      // duplicate key in a LATER trigger, still within the watermark window
+      mem.addData(Event(1L, "click", ts(5), 9.0), Event(2L, "view", ts(6), 2.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got.count(_ == ((1L, "click"))) === 1, s"cross-trigger duplicate kept: $got")
+      assert(got.contains((2L, "view")))
+      assert(got.length === 2)
+    } finally q.stop()
+  }
+
   test("batch sessionize streams a hot key: one pre-sort, no group materialization") {
     // two users, one with 500k events, in scrambled input order: sessions
     // of 3 events (0s, 10s, 20s apart), one-hour gaps between sessions
