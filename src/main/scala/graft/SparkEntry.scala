@@ -460,6 +460,34 @@ object SparkEntry {
         .orderBy("way_id")
     }),
 
+    // relation multipolygon assembly (engine addition — the reference
+    // models relation members but never assembles their geometry):
+    // synthetic relations group the derived ways as ordered members. The
+    // fixture's ways share no endpoints, so each member forms its own open
+    // ring — the distributed plumbing (member explode, per-relation stitch
+    // pass, coordinate resolution, ordering, ring indexing) is fully
+    // oracle-checked; the stitch-merge/reversal branches are unit-spec'd
+    // on hand-built geometries (OsmOpsSpec)
+    "q40_relation_rings" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val ways = p.groupBy(col("way_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("point_id")))),
+          v => v.getField("point_id")).as("refs"))
+      val rels = ways.select(col("way_id"))
+        .withColumn("rel_id", pmod(col("way_id"), lit(25L)))
+        .groupBy(col("rel_id"))
+        .agg(transform(array_sort(collect_list(col("way_id"))),
+          w => struct(lit("way").as("type"), w.as("ref"), lit("outer").as("role"))).as("members"))
+      val nodes = p.select(col("point_id").as("node_id"), col("lon"), col("lat"))
+      OsmOps.assembleRelationRings(rels, "rel_id", "members",
+          ways, "way_id", "refs", nodes, "node_id")
+        .select(col("rel_id"), col("role"), col("ring_idx"), col("closed"),
+          posexplode(col("ring")).as(Seq("vpos", "v")))
+        .select(col("rel_id"), col("role"), col("ring_idx"), col("vpos"),
+          col("v.lon").as("lon"), col("v.lat").as("lat"), col("closed"))
+        .orderBy("rel_id", "ring_idx", "vpos")
+    }),
+
     // A2: per-key {node, way, relation} counts (reference Summary
     // CountsByKey, Planet.go:497-520) — one pass over the unioned tag maps
     // of three derived element classes, conditional aggregate per class
@@ -653,6 +681,23 @@ object SparkEntry {
            |            ELSE '{"type":"LineString","coordinates":[' || cs || ']}'
            |       END AS geometry
            |FROM coords ORDER BY way_id""".stripMargin,
+
+      "q40_relation_rings" ->
+        s"""$withPts, w AS (
+           |  SELECT way_id, way_id % 25 AS rel_id, COUNT(*) AS nv,
+           |         FIRST(point_id ORDER BY pos) AS fref,
+           |         LAST(point_id ORDER BY pos) AS lref
+           |  FROM pts GROUP BY way_id
+           |), idx AS (
+           |  SELECT way_id, rel_id, (fref = lref AND nv >= 4) AS closed,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY rel_id ORDER BY way_id) - 1 AS INTEGER) AS ring_idx
+           |  FROM w
+           |)
+           |SELECT i.rel_id, 'outer' AS role, i.ring_idx,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY p.way_id ORDER BY p.pos) - 1 AS INTEGER) AS vpos,
+           |       p.lon, p.lat, i.closed
+           |FROM pts p JOIN idx i USING (way_id)
+           |ORDER BY rel_id, ring_idx, vpos""".stripMargin,
 
       "q38_summarize_by_key" ->
         s"""$withPts, nk AS (

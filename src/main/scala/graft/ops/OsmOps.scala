@@ -125,6 +125,92 @@ object OsmOps {
     nodes.filter(nodeKeep).unionByName(viaWays).dropDuplicates(nodeIdCol)
   }
 
+  // ---- relation multipolygon assembly (engine addition: the reference
+  //      models relation members — Relation.go — but never assembles their
+  //      geometry; this is the standard OSM multipolygon stitching) --------
+
+  /** Stitch relation members' ways into rings (OSM multipolygon
+    * convention): per (relation, role), member polylines are joined
+    * end-to-end on shared endpoint NODE IDS (exact, no float comparison),
+    * reversing segments as needed; a ring closes when it returns to its
+    * first vertex. Deterministic: segments are consumed in member order,
+    * and extension always picks the lowest-position matching segment —
+    * identical output at any parallelism. Stitching is per-relation
+    * (relations are small; the group fits a task by construction).
+    *
+    * @param relations (relIdCol, members: array<struct<type,ref,role>>)
+    * @param ways      (wayIdCol, refsCol: array<long>)
+    * @param nodes     (nodeIdCol, lon, lat)
+    * @return rel_id, role, ring_idx, ring: array<struct<lon,lat>>, closed
+    */
+  def assembleRelationRings(relations: DataFrame, relIdCol: String, membersCol: String,
+                            ways: DataFrame, wayIdCol: String, refsCol: String,
+                            nodes: DataFrame, nodeIdCol: String): DataFrame = {
+    val spark = relations.sparkSession
+    import spark.implicits._
+
+    val memberWays = relations
+      .select(col(relIdCol).as("rel_id"),
+        posexplode(col(membersCol)).as(Seq("member_pos", "m")))
+      .filter(col("m.type") === "way")
+      .select(col("rel_id"), col("member_pos"),
+        coalesce(col("m.role"), lit("")).as("role"), col("m.ref").as("way_id"))
+      .join(ways.select(col(wayIdCol).as("way_id"), col(refsCol).as("refs")), Seq("way_id"))
+
+    // stitch on node-id sequences per (relation, role)
+    val stitched = memberWays
+      .select(col("rel_id"), col("role"), col("member_pos"), col("refs"))
+      .as[(Long, String, Int, Seq[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, String), it: Iterator[(Long, String, Int, Seq[Long])]) =>
+        // single-node members can't stitch but still carry data: they pass
+        // through as their own degenerate open rings
+        val segs = it.toArray.sortBy(_._3).map(_._4.toArray).filter(_.nonEmpty)
+        val used = new Array[Boolean](segs.length)
+        val rings = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        var start = 0
+        while (start < segs.length) {
+          if (!used(start)) {
+            used(start) = true
+            val ring = scala.collection.mutable.ArrayBuffer(segs(start): _*)
+            var extended = true
+            while (extended && ring.head != ring.last) {
+              extended = false
+              var j = 0
+              while (j < segs.length && !extended) {
+                if (!used(j)) {
+                  val s = segs(j)
+                  if (s.head == ring.last) { ring ++= s.drop(1); used(j) = true; extended = true }
+                  else if (s.last == ring.last) { ring ++= s.reverse.drop(1); used(j) = true; extended = true }
+                  else if (s.last == ring.head) { ring.prependAll(s.dropRight(1)); used(j) = true; extended = true }
+                  else if (s.head == ring.head) { ring.prependAll(s.reverse.dropRight(1)); used(j) = true; extended = true }
+                }
+                j += 1
+              }
+            }
+            rings += ring.toArray
+          }
+          start += 1
+        }
+        rings.zipWithIndex.map { case (r, i) =>
+          (key._1, key._2, i, r.toSeq, r.length >= 4 && r.head == r.last)
+        }
+      }
+      .toDF("rel_id", "role", "ring_idx", "ref_ring", "closed")
+
+    // resolve ring node ids to coordinates, order restored by position
+    val exploded = stitched
+      .select(col("rel_id"), col("role"), col("ring_idx"), col("closed"),
+        posexplode(col("ref_ring")).as(Seq("pos", "ref")))
+      .join(nodes.select(col(nodeIdCol).as("ref"), col("lon"), col("lat")), Seq("ref"))
+    exploded
+      .groupBy(col("rel_id"), col("role"), col("ring_idx"), col("closed"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("lon").as("lon"), col("lat").as("lat")))),
+        v => struct(v.getField("lon").as("lon"), v.getField("lat").as("lat"))).as("ring"))
+      .select(col("rel_id"), col("role"), col("ring_idx"), col("ring"), col("closed"))
+  }
+
   // ---- J4: duplicate-id anti-check on multi-input union (AddNode
   //      Planet.go:158-173 — reference fails fast on duplicate ids) --------
 

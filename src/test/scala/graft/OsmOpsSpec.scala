@@ -122,6 +122,41 @@ class OsmOpsSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("relation multipolygon assembly: stitching, reversal, inners, open chains") {
+    val nodes = (1L to 10L).map(i => (i, i * 1.0, i * 0.5)).toDF("node_id", "lon", "lat")
+    val ways = Seq(
+      (100L, Seq(1L, 2L, 3L)),       // outer half A
+      (101L, Seq(1L, 4L, 3L)),       // outer half B, REVERSED direction
+      (102L, Seq(5L, 6L, 7L, 5L)),   // inner: already-closed ring
+      (103L, Seq(8L, 9L)),           // open chain part 1
+      (104L, Seq(9L, 10L))           // open chain part 2
+    ).toDF("way_id", "refs")
+    def m(ref: Long, role: String) = (("way", ref, role))
+    val rels = Seq(
+      (500L, Seq(m(100L, "outer"), m(101L, "outer"), m(102L, "inner"))),
+      (501L, Seq(m(103L, "outer"), m(104L, "outer")))
+    ).toDF("rel_id", "members")
+      .withColumn("members", col("members").cast(
+        "array<struct<type:string,ref:bigint,role:string>>"))
+
+    val rings = OsmOps.assembleRelationRings(rels, "rel_id", "members",
+      ways, "way_id", "refs", nodes, "node_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getSeq[org.apache.spark.sql.Row](3).map(v => (v.getDouble(0), v.getDouble(1))),
+        r.getBoolean(4)))
+
+    def coords(ids: Long*): Seq[(Double, Double)] = ids.map(i => (i * 1.0, i * 0.5))
+    val outer = rings.find(r => r._1 == 500L && r._2 == "outer").get
+    assert(outer._5, "outer ring must close")
+    assert(outer._4 === coords(1L, 2L, 3L, 4L, 1L), "stitched with reversal")
+    val inner = rings.find(r => r._1 == 500L && r._2 == "inner").get
+    assert(inner._5 && inner._4 === coords(5L, 6L, 7L, 5L))
+    val open = rings.find(_._1 == 501L).get
+    assert(!open._5, "dangling chain must be flagged open")
+    assert(open._4 === coords(8L, 9L, 10L))
+    assert(rings.count(_._1 == 500L) === 2)
+  }
+
   test("summarizeByKey: per-key node/way/relation counts in one pass (A2)") {
     // the reference's Summarize golden-profile shape (Summary.go:25-39):
     // CountsByKey[key] = {nodes, ways, relations}
