@@ -211,6 +211,46 @@ object OsmOps {
       .select(col("rel_id"), col("role"), col("ring_idx"), col("ring"), col("closed"))
   }
 
+  /** GeoJSON MultiPolygon per relation from [[assembleRelationRings]]
+    * output: closed outer rings become polygons; each closed inner ring is
+    * assigned to ONE containing outer (lowest ring_idx on nesting ties —
+    * the common case has exactly one) via the codegen point-in-ring test
+    * on its first vertex. Open rings and orphan inners are dropped —
+    * GeoJSON has no representation for them. Output: rel_id, geometry
+    * (MultiPolygon JSON string, polygons in outer-ring order).
+    */
+  def relationMultiPolygon(rings: DataFrame): DataFrame = {
+    import graft.functions.GeoFunctions
+    def coordsOf(ring: Column): Column =
+      transform(ring, p => array(p.getField("lon"), p.getField("lat")))
+    val closedR = rings.filter(col("closed"))
+    val outers = closedR.filter(col("role") === "outer")
+      .select(col("rel_id"), col("ring_idx").as("o_idx"), col("ring").as("o_ring"))
+    val inners = closedR.filter(col("role") === "inner")
+      .select(col("rel_id"), col("ring_idx").as("i_idx"), col("ring").as("i_ring"))
+    val contained = inners.join(outers, Seq("rel_id"))
+      .filter(GeoFunctions.point_in_ring(
+        element_at(col("i_ring"), 1).getField("lon"),
+        element_at(col("i_ring"), 1).getField("lat"), col("o_ring")))
+    val w = Window.partitionBy(col("rel_id"), col("i_idx")).orderBy(col("o_idx"))
+    val assigned = contained
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("rel_id"), col("o_idx"), col("i_idx"), col("i_ring"))
+    val polys = outers.join(assigned, Seq("rel_id", "o_idx"), "left")
+      .groupBy(col("rel_id"), col("o_idx"))
+      .agg(first(col("o_ring")).as("o_ring"),
+        array_sort(collect_list(when(col("i_idx").isNotNull,
+          struct(col("i_idx"), coordsOf(col("i_ring")).as("c"))))).as("__is"))
+      .select(col("rel_id"), col("o_idx"),
+        concat(array(coordsOf(col("o_ring"))),
+          transform(col("__is"), s => s.getField("c"))).as("poly"))
+    polys.groupBy(col("rel_id"))
+      .agg(array_sort(collect_list(struct(col("o_idx"), col("poly")))).as("__ps"))
+      .select(col("rel_id"),
+        to_json(struct(lit("MultiPolygon").as("type"),
+          transform(col("__ps"), s => s.getField("poly")).as("coordinates"))).as("geometry"))
+  }
+
   // ---- J4: duplicate-id anti-check on multi-input union (AddNode
   //      Planet.go:158-173 — reference fails fast on duplicate ids) --------
 

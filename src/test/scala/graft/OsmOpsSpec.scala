@@ -157,6 +157,30 @@ class OsmOpsSpec extends SparkSpecBase {
     assert(rings.count(_._1 == 500L) === 2)
   }
 
+  test("relationMultiPolygon: inner assignment by containment, JSON golden") {
+    // rel 900: unit-square-ish outer (0..4) with a hole (1..2), plus a
+    // second outer (10..12) with no hole; an orphan inner far away drops
+    def ring(pts: (Double, Double)*) = pts.map { case (x, y) => (x, y) }
+    val rows = Seq(
+      (900L, "outer", 0, ring((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)), true),
+      (900L, "inner", 1, ring((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)), true),
+      (900L, "outer", 2, ring((10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 12.0), (10.0, 10.0)), true),
+      (900L, "inner", 3, ring((50.0, 50.0), (51.0, 50.0), (51.0, 51.0), (50.0, 51.0), (50.0, 50.0)), true),
+      (900L, "outer", 4, ring((20.0, 20.0), (21.0, 20.0)), false) // open: dropped
+    ).toDF("rel_id", "role", "ring_idx", "ring0", "closed")
+      .withColumn("ring", org.apache.spark.sql.functions.transform(col("ring0"),
+        p => org.apache.spark.sql.functions.struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))))
+      .drop("ring0")
+    val got = OsmOps.relationMultiPolygon(rows)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected =
+      """{"type":"MultiPolygon","coordinates":[""" +
+        """[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,4.0],[0.0,0.0]],""" +
+        """[[1.0,1.0],[2.0,1.0],[2.0,2.0],[1.0,2.0],[1.0,1.0]]],""" +
+        """[[[10.0,10.0],[12.0,10.0],[12.0,12.0],[10.0,12.0],[10.0,10.0]]]]}"""
+    assert(got(900L) === expected)
+  }
+
   test("summarizeByKey: per-key node/way/relation counts in one pass (A2)") {
     // the reference's Summarize golden-profile shape (Summary.go:25-39):
     // CountsByKey[key] = {nodes, ways, relations}
