@@ -343,10 +343,11 @@ object SparkEntry {
       val sh = Dedup.shingles(d, "doc_id", "text", 5)
       val sigs = Dedup.minhashSignatures(sh, "doc_id", 5, 8)
       val cand = Dedup.lshCandidates(sigs, "doc_id", 8, 2)
-      val verified = Dedup.jaccardPairs(sh, "doc_id", Nil)
-        .join(cand, Seq("id_1", "id_2"), "left_semi")
-        .filter(col("jaccard") >= 0.25)
-      verified.select(col("id_1"), col("id_2"), col("n_inter"))
+      // candidate-first verification: shingles attach to the linear
+      // candidate list (the oracle's `ver` shape) — never the shingle
+      // self-join whose co-shingled-pairs blowup LSH exists to avoid
+      Dedup.verifyCandidates(sh, "doc_id", cand, 0.25)
+        .select(col("id_1"), col("id_2"), col("n_inter"))
         .orderBy("id_1", "id_2")
     }),
 

@@ -78,6 +78,30 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_1") + col("n_2") - col("n_inter")))
   }
 
+  /** Exact Jaccard verification of a CANDIDATE pair list, candidate-first:
+    * the shingle frame attaches to the (linear) candidate list instead of
+    * self-joining on shingle, so cost is O(|candidates| · shingles/doc) —
+    * never the all-co-shingled-pairs blowup of [[jaccardPairs]] (whose
+    * contract is small blocks only; one boilerplate shingle shared by 10^6
+    * docs would give its self-join 10^12 intermediate rows that a later
+    * semi-join cannot prune). Output: id_1, id_2, n_inter, n_1, n_2,
+    * jaccard — pairs clearing `threshold`.
+    */
+  def verifyCandidates(sh: DataFrame, idCol: String, cand: DataFrame,
+                       threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("id_1"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_2"), col("shingle"))
+    val inter = cand.join(a, "id_1").join(b, Seq("id_2", "shingle"))
+      .groupBy(col("id_1"), col("id_2")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_1"), col("n").as("n_1")), "id_1")
+      .join(sizes.select(col(idCol).as("id_2"), col("n").as("n_2")), "id_2")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_1") + col("n_2") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ---- MinHash + LSH ---------------------------------------------------------
 
   /** Integer shingle hash: Σ ascii(char_j) · 81^(n-j) — order-sensitive,
@@ -316,9 +340,7 @@ object Dedup {
     val sh = shingles(docs, idCol, textCol, shingleN)
     val sigs = minhashSignatures(sh, idCol, shingleN, numHashes)
     val cand = lshCandidates(sigs, idCol, numHashes, rowsPerBand, bucketCap)
-    val verified = jaccardPairs(sh, idCol, Nil)
-      .join(cand, Seq("id_1", "id_2"), "left_semi")
-      .filter(col("jaccard") >= threshold)
+    val verified = verifyCandidates(sh, idCol, cand, threshold)
     clusterLabelsConverged(verified, "id_1", "id_2", docs, idCol)
       .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("keep"))
   }

@@ -115,12 +115,18 @@ object Dfl {
           require(args.nonEmpty, "max takes at least one argument")
           if (args.length == 1) a(0).cast("double")
           else greatest(args.indices.map(i => a(i).cast("double")): _*)
-        case "replace" => arity(3)
+        case "replace" => arity(3) // go-dfl replace is PLAIN string replace:
+          // both search and replacement are literal (quoted against regex
+          // and Matcher group-reference interpretation respectively)
           regexp_replace(a(0).cast("string"),
             args(1) match {
               case Lit(v) => lit(java.util.regex.Pattern.quote(String.valueOf(v)))
               case _ => throw new IllegalArgumentException("replace: literal search string required")
-            }, a(2).cast("string"))
+            },
+            args(2) match {
+              case Lit(v) => lit(java.util.regex.Matcher.quoteReplacement(String.valueOf(v)))
+              case _ => throw new IllegalArgumentException("replace: literal replacement string required")
+            })
         case "split" => arity(2); split(a(0).cast("string"),
             args(1) match {
               case Lit(v) => java.util.regex.Pattern.quote(String.valueOf(v))

@@ -57,7 +57,10 @@ object UriTemplate {
     if (tok.startsWith("\"") && tok.endsWith("\"") && tok.length >= 2)
       tok.substring(1, tok.length - 1)
     else if (tok.startsWith(".")) lookup(tok, ctx)
-    else tok.toDoubleOption.map(d => if (tok.matches("-?\\d+")) d.toLong else d)
+    // integer tokens parse exactly (no double round-trip: 2^53+1 must stay
+    // 2^53+1); scientific/decimal forms take the double path
+    else tok.toLongOption.map(l => l: Any)
+      .orElse(tok.toDoubleOption.map(d => d: Any))
       .getOrElse(throw new IllegalArgumentException(s"bad template token: $tok"))
 
   private def lookup(path: String, ctx: Map[String, Any]): Any =

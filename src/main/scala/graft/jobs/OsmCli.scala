@@ -34,7 +34,22 @@ object OsmCli {
     "drop_user", "drop_author", "summarize", "pretty", "overwrite",
     "dry_run", "version", "help", "verbose", "profile", "filter_dfl_cache")
 
-  /** (string flags, boolean flags). Accepts `-flag value` and `-flag`. */
+  /** Value-taking flags; the AWS/GDAL/buffer ones are accepted no-ops so
+    * existing invocations run unchanged (Hadoop FS and Spark own IO here).
+    */
+  private val StringFlags = Set(
+    "config_uri", "input_uri", "input_uri_separator",
+    "filter_keys_keep", "filter_keys_drop", "filter_dfl_exp", "dfl", "bbox",
+    "drop", "output_uri", "output_uri_separator", "output_format",
+    "output_keys_keep", "output_keys_drop", "summarize_keys",
+    "read_buffer_size", "gdal_ini_uri", "gdal_ini_section",
+    "aws_default_region", "aws_access_key_id", "aws_secret_access_key",
+    "aws_session_token")
+
+  /** (string flags, boolean flags). Accepts `-flag value` and `-flag`;
+    * unknown flags fail fast like the reference's Go flag package (a typo'd
+    * boolean must not silently swallow the next flag as its value).
+    */
   def parseArgs(args: Array[String]): (Map[String, String], Set[String]) = {
     val strs = Map.newBuilder[String, String]
     val bools = Set.newBuilder[String]
@@ -44,10 +59,10 @@ object OsmCli {
       require(a.startsWith("-"), s"expected a -flag, got: $a")
       val name = a.dropWhile(_ == '-')
       if (BoolFlags(name)) { bools += name; i += 1 }
-      else {
+      else if (StringFlags(name)) {
         require(i + 1 < args.length, s"flag -$name needs a value")
         strs += (name -> args(i + 1)); i += 2
-      }
+      } else throw new IllegalArgumentException(s"unknown flag: -$name")
     }
     (strs.result(), bools.result())
   }

@@ -119,7 +119,11 @@ object Media {
     var ok = true
     while (ok && off + 8 <= limit) {
       val len = be32(off)
+      // chunk must fit inside the payload: with a reused staging buffer a
+      // corrupt length would otherwise read a previous image's stale bytes
+      if (len < 0 || off + 12 + len > limit) return None
       if (bytes(off + 4) == 'I' && bytes(off + 5) == 'H' && bytes(off + 6) == 'D' && bytes(off + 7) == 'R') {
+        if (off + 21 > limit) return None
         w = be32(off + 8); h = be32(off + 12)
         if (bytes(off + 16) != 8 || bytes(off + 17) != 0 || bytes(off + 20) != 0) return None
         ok = false
@@ -137,6 +141,7 @@ object Media {
     off = 8
     while (off + 8 <= limit && n < rawLen) {
       val len = be32(off)
+      if (len < 0 || off + 12 + len > limit) return None // truncated chunk
       if (bytes(off + 4) == 'I' && bytes(off + 5) == 'D' && bytes(off + 6) == 'A' && bytes(off + 7) == 'T') {
         inflater.setInput(bytes, off + 8, len)
         while (!inflater.needsInput() && !inflater.finished() && n < rawLen) {

@@ -39,15 +39,20 @@ object Bridge {
   def columnarScan(df: DataFrame)
       : Option[(RDD[org.apache.spark.sql.vectorized.ColumnarBatch], Seq[String])] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
-    import org.apache.spark.sql.execution.{FilterExec, ProjectExec}
+    import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter, ProjectExec, WholeStageCodegenExec}
     val plan = df.queryExecution.executedPlan
+    // WHITELIST of semantics-free wrappers: executing the leaf alone must
+    // be equivalent, so ANY node not provably a pass-through (filters,
+    // samples, limits, …) disqualifies the fast path
     val safe = plan.collect {
       case pr: ProjectExec => pr.projectList.forall {
         case _: Attribute => true
         case a: Alias => a.child.isInstanceOf[Attribute]
         case _ => false
       }
-      case _: FilterExec => false
+      case _: ColumnarToRowExec | _: InputAdapter | _: WholeStageCodegenExec => true
+      case l if l.children.isEmpty => true // the scan leaf itself
+      case _ => false
     }.forall(identity)
     plan.collectLeaves() match {
       case Seq(leaf) if leaf.supportsColumnar && safe &&

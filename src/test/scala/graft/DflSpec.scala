@@ -105,6 +105,9 @@ class DflSpec extends SparkSpecBase {
 
   test("replace and split; in over array-valued right side") {
     assert(run("replace(@craft, 'distillery', 'brewery') like brewery") === Set(1L, 2L, 4L))
+    // plain-string semantics: '$' in the replacement is literal, never a
+    // Matcher group reference
+    assert(run("replace(@craft, 'brewery', '$1x') like '$1x'") === Set(1L, 4L))
     // multi-value tag semantics: `x in split(@tag, ';')`
     val multi = Seq(
       (1L, Map("cuisine" -> "pizza;kebab"), 0.0),

@@ -120,5 +120,26 @@ class MediaSpec extends SparkSpecBase {
     assert(org.apache.spark.sql.graftbridge.Bridge
       .columnarScan(filtered.select("image_id", "bytes")).isEmpty)
     assert(Media.imageFeaturesColumnar(filtered).count() === 250)
+    // whitelist, not blacklist: ANY row-changing node disqualifies, not just
+    // Project/Filter — a sample must never decode 100% of the rows
+    assert(org.apache.spark.sql.graftbridge.Bridge
+      .columnarScan(scan.sample(0.5, 42L).select("image_id", "bytes")).isEmpty)
+    assert(org.apache.spark.sql.graftbridge.Bridge
+      .columnarScan(scan.limit(10).select("image_id", "bytes")).isEmpty)
+  }
+
+  test("decode bounds-checks chunk lengths against the payload limit") {
+    val px = Media.synthPixels(7L, 64, 48)
+    val png = Media.encodePng(px, 64, 48)
+    val scratch = new Media.PngScratch
+    // stage a valid image first so the reused buffer holds stale bytes...
+    assert(Media.decodePngGrayInto(png, png.length, scratch).isDefined)
+    val staged = scratch.ensurePayload(png.length + 64)
+    System.arraycopy(png, 0, staged, 0, png.length)
+    // ...then truncate the DECLARED limit mid-IDAT: decode must refuse
+    // rather than read stale bytes past the limit
+    assert(Media.decodePngGrayInto(staged, png.length - 20, scratch).isEmpty)
+    // full limit still decodes
+    assert(Media.decodePngGrayInto(staged, png.length, scratch) === Some((64, 48)))
   }
 }

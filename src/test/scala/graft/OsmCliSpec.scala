@@ -49,6 +49,17 @@ class OsmCliSpec extends SparkSpecBase {
     }
   }
 
+  test("unknown flags fail fast; a typo'd boolean never swallows the next flag") {
+    val e = intercept[IllegalArgumentException] {
+      OsmCli.parseArgs(Array("-input_uri", "x.osm", "-sumarize", "-drop_relations"))
+    }
+    assert(e.getMessage.contains("-sumarize"))
+    // accepted reference no-ops still parse
+    val (strs, _) = OsmCli.parseArgs(Array("-aws_default_region", "us-east-1",
+      "-input_uri", "x.osm"))
+    assert(strs("input_uri") === "x.osm")
+  }
+
   test("README brewery scenario: summarize + ways_to_nodes + output") {
     val outFile = s"$tmp/breweries.osm"
     val (code, lines) = runCli(
