@@ -417,6 +417,13 @@ object SparkEntry {
         tauNum = 2, tauDen = 5)
         .orderBy("id_1", "id_2")),
 
+    // embedding-modality dedup DECISION: exact cosine pairs → convergent
+    // CC → keep-one-per-cluster (the q39 composition for the vector column)
+    "q41_embedding_dedup" -> ((s, dir) =>
+      Dedup.embeddingDedupeDecision(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", tauNum = 2, tauDen = 5)
+        .orderBy("id")),
+
     // S4/E2/J4: multi-input union with duplicate-id fail-fast — points from
     // lineitem unioned with a second "input file" derived from orders
     // (disjoint id space, so the dup check passes)
@@ -816,6 +823,30 @@ object SparkEntry {
           |SELECT id_1, id_2, dot FROM p
           |WHERE dot > 0 AND dot * dot * 25 >= 4 * n1 * n2b
           |ORDER BY id_1, id_2""".stripMargin,
+
+      "q41_embedding_dedup" ->
+        """WITH RECURSIVE q AS (
+          |  SELECT vec_id, [CAST(FLOOR(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT) for x in embedding] AS qe
+          |  FROM embeddings
+          |), n AS (
+          |  SELECT vec_id, qe, list_reduce([v * v for v in qe], (a, b) -> a + b) AS n2 FROM q
+          |), p AS (
+          |  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+          |         list_reduce(list_transform(list_zip(a.qe, b.qe), t -> t[1] * t[2]), (x, y) -> x + y) AS dot,
+          |         a.n2 AS n1, b.n2 AS n2b
+          |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+          |), pr AS (
+          |  SELECT id_1, id_2 FROM p WHERE dot > 0 AND dot * dot * 25 >= 4 * n1 * n2b
+          |), e AS (
+          |  SELECT id_1 AS src, id_2 AS dst FROM pr
+          |  UNION ALL SELECT id_2, id_1 FROM pr
+          |), reach AS (
+          |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+          |  UNION
+          |  SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id
+          |)
+          |SELECT id, MIN(r) AS cluster, id = MIN(r) AS keep
+          |FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
       "q31_multi_union" ->
         s"""$withPts, b AS (

@@ -345,6 +345,21 @@ object Dedup {
       .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("keep"))
   }
 
+  /** Embedding-modality twin of [[dedupeDecision]]: exact integer-cosine
+    * near-dup pairs (distributed triangle block join,
+    * [[graft.ann.Ann.embeddingNearDupPairs]]) → convergent connected
+    * components → keep-one-per-cluster flags. For corpora where exact n²
+    * is off the table, feed [[clusterLabelsConverged]] from
+    * `embeddingNearDupPairsLsh` instead.
+    */
+  def embeddingDedupeDecision(corpus: DataFrame, idCol: String, embCol: String,
+                              tauNum: Int, tauDen: Int, numBlocks: Int = 0): DataFrame = {
+    val pairs = graft.ann.Ann.embeddingNearDupPairs(
+      corpus, idCol, embCol, tauNum, tauDen, numBlocks)
+    clusterLabelsConverged(pairs, "id_1", "id_2", corpus, idCol)
+      .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("keep"))
+  }
+
   // ---- SimHash ----------------------------------------------------------------
 
   /** Token hash mirroring [[shingleHash]] on the (right-padded) first 5
