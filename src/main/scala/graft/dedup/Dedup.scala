@@ -285,10 +285,20 @@ object Dedup {
     */
   def clusterLabelsConverged(pairs: DataFrame, idCol1: String, idCol2: String,
                              ids: DataFrame, idCol: String,
-                             maxRounds: Int = 64): DataFrame = {
+                             maxRounds: Int = 64,
+                             driverEdgeThreshold: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
       .unionByName(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
       .localCheckpoint()
+    // SMALL-GRAPH FAST PATH: the near-dup edge set is tiny relative to the
+    // corpus (that is the point of dedup) — when it fits the driver, exact
+    // union-find beats any distributed iteration: zero rounds, zero
+    // convergence checks, one broadcast join back. The count is free off
+    // the checkpoint; the loop below is the path for edge sets that don't
+    // fit (both produce the exact component minimum).
+    if (edges.count() <= driverEdgeThreshold)
+      return driverUnionFind(spark, edges, ids, idCol)
     // iterate ONLY over vertices that appear in a pair: a singleton can
     // never change its label, and on a real corpus near-dup vertices are a
     // tiny fraction of the ids — the loop's joins and convergence counts
@@ -324,6 +334,39 @@ object Dedup {
     // singletons rejoin with their own id as the cluster
     ids.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("cluster", "__c"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
+  }
+
+  /** Exact driver-side connected components over a collected edge list:
+    * union-find with path compression, then component-minimum labels,
+    * broadcast-joined back over `ids`.
+    */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+                              edges: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.select(col("src").cast("long"), col("dst").cast("long")).collect().foreach { row =>
+      val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+    }
+    // component minimum per root (roots are min-biased by the union rule
+    // but path order can leave a non-min root; normalize explicitly)
+    val verts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val it = parent.keySet().iterator()
+    while (it.hasNext) verts += it.next()
+    val byRoot = verts.groupBy(find)
+    val minOf = byRoot.map { case (r, vs) => r -> math.min(r, vs.min) }
+    val rows = (byRoot.flatMap { case (r, vs) => (vs :+ r).distinct.map(v => (v, minOf(r))) }).toSeq
+    val labels = rows.toDF("id", "__c")
+    ids.select(col(idCol).as("id"))
+      .join(broadcast(labels), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
   }
 

@@ -261,9 +261,14 @@ class DedupAnnSpec extends SparkSpecBase {
     val bounded = Dedup.clusterLabels(chain, "id_1", "id_2", ids, "doc_id", rounds = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bounded(8L) !== 1L, "3 fixed rounds must provably mislabel the deep end")
-    val conv = Dedup.clusterLabelsConverged(chain, "id_1", "id_2", ids, "doc_id")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (1L to 8L).foreach(i => assert(conv(i) === 1L, s"node $i not at component min"))
+    // both implementations: driver union-find (default for small edge
+    // sets) AND the distributed fixpoint loop (forced via threshold 0)
+    Seq(2000000L, 0L).foreach { thr =>
+      val conv = Dedup.clusterLabelsConverged(chain, "id_1", "id_2", ids, "doc_id",
+        driverEdgeThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (1L to 8L).foreach(i => assert(conv(i) === 1L, s"node $i not at min (thr=$thr)"))
+    }
   }
 
   test("convergent cluster labels on a planted 6-doc near-dup text chain") {
@@ -283,10 +288,15 @@ class DedupAnnSpec extends SparkSpecBase {
     val bounded = Dedup.clusterLabels(pairs, "id_1", "id_2", chainDocs, "doc_id", rounds = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bounded(3005L) !== 3000L)
-    // … the convergent version does not
-    val conv = Dedup.clusterLabelsConverged(pairs, "id_1", "id_2", chainDocs, "doc_id")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (0 until 6).foreach(i => assert(conv(3000L + i) === 3000L))
+    // … the convergent version does not — on either implementation, and
+    // union-find == distributed loop row for row
+    val byPath = Seq(2000000L, 0L).map { thr =>
+      Dedup.clusterLabelsConverged(pairs, "id_1", "id_2", chainDocs, "doc_id",
+        driverEdgeThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    byPath.foreach(conv => (0 until 6).foreach(i => assert(conv(3000L + i) === 3000L)))
+    assert(byPath(0) === byPath(1), "union-find and loop must agree exactly")
   }
 
   test("dedupeDecision keeps exactly one doc per planted near-dup cluster") {
