@@ -189,8 +189,18 @@ object OsmCli {
       return 0
     }
 
+    // -profile: per-stage wall-clock like the reference's instrumentation
+    // (main.go:657-698, 880-894 logs open/unmarshal/summarize/write)
+    def staged[T](stage: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      if (bools("profile"))
+        out.println(f"profile: $stage took ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
     val p = plan(c)
-    val shared = ingest(spark, c, p)
+    val shared = staged("ingest")(ingest(spark, c, p))
     try {
       // summarize-only runs still honor -ways_to_nodes (the planet-level
       // conversion the reference applies before summarizing)
@@ -198,16 +208,16 @@ object OsmCli {
         p.convertAllWaysToNodes || (c.outputs.isEmpty && bools("ways_to_nodes"))
       val conv =
         if (wantConvert)
-          Some(waysToNodes(shared)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          Some(staged("ways_to_nodes")(waysToNodes(shared)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
         else None
       c.outputs.foreach { o =>
-        val r = runOutput(shared, o, conv)
+        val r = staged(s"write ${o.uri}")(runOutput(shared, o, conv))
         if (bools("verbose"))
           out.println(s"wrote ${r.uri} (${r.format}): ${r.nodes} nodes, ${r.ways} ways, ${r.relations} relations")
       }
       if (summarizeWanted)
-        printSummary(out, shared, conv, csv(strs.get("summarize_keys")))
+        staged("summarize")(printSummary(out, shared, conv, csv(strs.get("summarize_keys"))))
       conv.foreach(_.unpersist())
       0
     } finally shared.unpersist()

@@ -112,6 +112,13 @@ class OsmCliSpec extends SparkSpecBase {
     assert(craftNodes === s"Number of Nodes: ${byKey("craft")}")
   }
 
+  test("-profile prints per-stage wall clock like the reference") {
+    val (code, lines) = runCli("-input_uri", inOsm, "-summarize", "-profile")
+    assert(code === 0)
+    assert(lines.exists(_.matches("profile: ingest took \\d+\\.\\d+ s")), lines.mkString("|"))
+    assert(lines.exists(_.startsWith("profile: summarize took ")))
+  }
+
   test("overwrite protection and dry_run") {
     val existing = s"$tmp/exists.osm"
     Files.write(java.nio.file.Paths.get(existing), "x".getBytes)
