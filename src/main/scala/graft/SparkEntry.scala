@@ -354,13 +354,17 @@ object SparkEntry {
     // near-dup cluster assignment: CONVERGENT connected components over the
     // verified jaccard pairs (min-label propagation + pointer jumping to a
     // fixpoint — exact for any component diameter, the keep-one-per-cluster
-    // dedup decision); oracle computes true CC via a recursive CTE
+    // dedup decision); oracle computes true CC via a recursive CTE. This
+    // query FORCES the distributed fixpoint loop (threshold 0) so the gate
+    // exercises the big-graph production path every round; q39/q41 take
+    // the default driver union-find fast path — both proven identical.
     "q35_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("source").isin("src6", "src7"))
       val sh = Dedup.shingles(d, "doc_id", "text", 5, carry = Seq("lang"))
       val pairs = Dedup.jaccardPairs(sh, "doc_id", Seq("lang"))
         .filter(col("jaccard") >= 0.25)
-      Dedup.clusterLabelsConverged(pairs, "id_1", "id_2", d, "doc_id")
+      Dedup.clusterLabelsConverged(pairs, "id_1", "id_2", d, "doc_id",
+        driverEdgeThreshold = 0L)
         .orderBy("id")
     }),
 

@@ -294,10 +294,18 @@ object Dedup {
     // SMALL-GRAPH FAST PATH: the near-dup edge set is tiny relative to the
     // corpus (that is the point of dedup) — when it fits the driver, exact
     // union-find beats any distributed iteration: zero rounds, zero
-    // convergence checks, one broadcast join back. The count is free off
-    // the checkpoint; the loop below is the path for edge sets that don't
-    // fit (both produce the exact component minimum).
-    if (edges.count() <= driverEdgeThreshold)
+    // convergence checks, one broadcast join back. Costs one count over
+    // the checkpointed edges to decide; integral ids only (the loop below
+    // — which also serves edge sets that don't fit — stays type-generic,
+    // e.g. string doc ids). Both paths produce the exact component minimum.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      edges.schema.fields.forall(f => f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }
+    if (integralIds && driverEdgeThreshold > 0 && edges.count() <= driverEdgeThreshold)
       return driverUnionFind(spark, edges, ids, idCol)
     // iterate ONLY over vertices that appear in a pair: a singleton can
     // never change its label, and on a real corpus near-dup vertices are a
@@ -352,10 +360,11 @@ object Dedup {
       while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    edges.select(col("src").cast("long"), col("dst").cast("long")).collect().foreach { row =>
-      val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
-      if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
-    }
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect().foreach { case (s, d) =>
+        val (a, b) = (find(s), find(d))
+        if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+      }
     // component minimum per root (roots are min-biased by the union rule
     // but path order can leave a non-min root; normalize explicitly)
     val verts = scala.collection.mutable.ArrayBuffer.empty[Long]

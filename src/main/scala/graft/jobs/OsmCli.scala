@@ -145,7 +145,8 @@ object OsmCli {
       .reduce(_ unionByName _)
       .agg(countDistinct(col("key"), col("value"))).collect()(0).getLong(0)
     out.println("Bounding Box: " + Seq(mnLon, mnLat, mxLon, mxLat)
-      .map(v => f"$v%.6f").mkString(","))
+      .map(v => String.format(java.util.Locale.ROOT, "%.6f", Double.box(v)))
+      .mkString(",")) // locale-independent, like Go's FormatFloat
     out.println(s"Total Number of Users: ${shared.users.count()}")
     out.println(s"Total Number of Nodes: ${nodesAll.count()}")
     out.println(s"Total Number of Ways: ${waysAll.count()}")
@@ -195,7 +196,8 @@ object OsmCli {
       val t0 = System.nanoTime()
       val r = body
       if (bools("profile"))
-        out.println(f"profile: $stage took ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        out.println("profile: " + stage + " took " + String.format(
+          java.util.Locale.ROOT, "%.3f", Double.box((System.nanoTime() - t0) / 1e9)) + " s")
       r
     }
 
@@ -208,8 +210,14 @@ object OsmCli {
         p.convertAllWaysToNodes || (c.outputs.isEmpty && bools("ways_to_nodes"))
       val conv =
         if (wantConvert)
-          Some(staged("ways_to_nodes")(waysToNodes(shared)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+          Some(staged("ways_to_nodes") {
+            val d = waysToNodes(shared)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // persist is lazy: when profiling, materialize here so the
+            // stage is attributed to the conversion, not the next action
+            if (bools("profile")) d.count()
+            d
+          })
         else None
       c.outputs.foreach { o =>
         val r = staged(s"write ${o.uri}")(runOutput(shared, o, conv))

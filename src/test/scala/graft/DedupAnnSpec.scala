@@ -318,6 +318,25 @@ class DedupAnnSpec extends SparkSpecBase {
     }
   }
 
+  test("embeddingDedupeDecision keeps one vector per cosine cluster") {
+    // planted: 3 exact-duplicate groups + distinct vectors
+    val rows = (0 until 30).map { i =>
+      val base = i % 10 // ids 0..9 are the representatives
+      val v = (0 until 16).map(d =>
+        (GeoFixtures_mix(base * 131L + d) % 1000).toFloat / 1000.0f + 0.1f)
+      (i.toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val dec = Dedup.embeddingDedupeDecision(corpus, "vec_id", "embedding",
+      tauNum = 99, tauDen = 100) // near-identical only
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    (0 until 10).foreach { b =>
+      assert(dec(b.toLong) === ((b.toLong, true)), s"representative $b")
+      assert(dec(b + 10L) === ((b.toLong, false)), s"dup ${b + 10}")
+      assert(dec(b + 20L) === ((b.toLong, false)), s"dup ${b + 20}")
+    }
+  }
+
   test("LSH mega-bucket guard: identical pair set, bounded join groups") {
     // degenerate corpus: 300 docs with IDENTICAL signatures (one band
     // bucket of 300 → 44k pairs in one join group unguarded) + 50 distinct
