@@ -168,8 +168,13 @@ object OsmXml {
     * bounds, nodes by id, ways by id (MarshalPlanet.go:130-162). Collects
     * to the driver — fixture-scale only. Returns (nodes, ways, relations)
     * written, counted from the collected arrays (no extra actions).
+    *
+    * `pretty` adds newline + 4-space indentation, the reference's
+    * `encoder.Indent("", "    ")` shape (MarshalPlanet.go:63-65); the
+    * inserted whitespace is character data the reader ignores, so
+    * parse(pretty(x)) == parse(plain(x)) (OsmParitySpec round-trip).
     */
-  def writePlanet(p: Planet, path: String): (Long, Long, Long) = {
+  def writePlanet(p: Planet, path: String, pretty: Boolean = false): (Long, Long, Long) = {
     val rawOut = new BufferedOutputStream(new FileOutputStream(path))
     val out =
       if (path.endsWith(".gz")) new GZIPOutputStream(rawOut)
@@ -177,11 +182,15 @@ object OsmXml {
         new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(rawOut)
       else rawOut
     val w = XMLOutputFactory.newInstance().createXMLStreamWriter(out, "UTF-8")
+    def indent(depth: Int): Unit =
+      if (pretty) w.writeCharacters("\n" + "    " * depth)
     w.writeStartDocument("UTF-8", "1.0")
+    indent(0)
     w.writeStartElement("osm")
     w.writeAttribute("version", "0.6")
     w.writeAttribute("generator", "graft")
     p.bounds.foreach { case (minLon, minLat, maxLon, maxLat) =>
+      indent(1)
       w.writeEmptyElement("bounds")
       w.writeAttribute("minlon", f"$minLon%.7f"); w.writeAttribute("minlat", f"$minLat%.7f")
       w.writeAttribute("maxlon", f"$maxLon%.7f"); w.writeAttribute("maxlat", f"$maxLat%.7f")
@@ -199,41 +208,56 @@ object OsmXml {
     }
     def writeTags(tags: Map[String, String]): Unit =
       tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        indent(2)
         w.writeEmptyElement("tag"); w.writeAttribute("k", k); w.writeAttribute("v", v)
       }
 
     val nodeRows = p.nodes.orderBy(col("id")).collect()
     nodeRows.foreach { r =>
+      indent(1)
       w.writeStartElement("node")
       writeCommon(r)
       w.writeAttribute("lon", f"${r.getDouble(6)}%.7f")
       w.writeAttribute("lat", f"${r.getDouble(7)}%.7f")
-      writeTags(r.getMap[String, String](8).toMap)
+      val tags = r.getMap[String, String](8).toMap
+      writeTags(tags)
+      if (tags.nonEmpty) indent(1)
       w.writeEndElement()
     }
     val wayRows = p.ways.orderBy(col("id")).collect()
     wayRows.foreach { r =>
+      indent(1)
       w.writeStartElement("way")
       writeCommon(r)
-      r.getSeq[Long](6).foreach { ref =>
+      val refs = r.getSeq[Long](6)
+      refs.foreach { ref =>
+        indent(2)
         w.writeEmptyElement("nd"); w.writeAttribute("ref", ref.toString)
       }
-      writeTags(r.getMap[String, String](7).toMap)
+      val tags = r.getMap[String, String](7).toMap
+      writeTags(tags)
+      if (refs.nonEmpty || tags.nonEmpty) indent(1)
       w.writeEndElement()
     }
     val relRows = p.relations.orderBy(col("id")).collect()
     relRows.foreach { r =>
+      indent(1)
       w.writeStartElement("relation")
       writeCommon(r)
-      r.getSeq[Row](6).foreach { m =>
+      val members = r.getSeq[Row](6)
+      members.foreach { m =>
+        indent(2)
         w.writeEmptyElement("member")
         w.writeAttribute("type", m.getString(0))
         w.writeAttribute("ref", m.getLong(1).toString)
         w.writeAttribute("role", m.getString(2))
       }
-      writeTags(r.getMap[String, String](7).toMap)
+      val tags = r.getMap[String, String](7).toMap
+      writeTags(tags)
+      if (members.nonEmpty || tags.nonEmpty) indent(1)
       w.writeEndElement()
     }
+    indent(0)
     w.writeEndElement()
     w.writeEndDocument()
     w.close()

@@ -16,15 +16,20 @@ import graft.ops.OsmOps
   *     -drop_relations -output_uri breweries.osm
   * }}}
   *
-  * Supported flags: config_uri, input_uri(+separator), filter_keys_keep,
-  * filter_keys_drop (mutually exclusive, main.go:257), filter_dfl_exp (and
-  * the README's `-dfl` shorthand), bbox, ways_to_nodes, drop (convenience
-  * list), drop_nodes/ways/relations/version/timestamp/changeset/uid/user/
-  * author, output_uri(+separator), output_format, output_keys_keep/drop,
-  * summarize(+summarize_keys), overwrite, dry_run, version, help.
-  * AWS/GDAL/read_buffer flags don't apply to this engine (Hadoop FS and
-  * Spark own IO); pretty and filter_dfl_cache are accepted no-ops
-  * (indentation is cosmetic; the DFL cache is obsolete under codegen).
+  * Supported flags: config_uri (JSON or the reference's HCL shape),
+  * input_uri(+separator), filter_keys_keep, filter_keys_drop (mutually
+  * exclusive, main.go:257), filter_dfl_exp (and the README's `-dfl`
+  * shorthand), bbox, ways_to_nodes, drop (convenience list),
+  * drop_nodes/ways/relations/version/timestamp/changeset/uid/user/author,
+  * output_uri(+separator), output_format (defaults to "osm" like
+  * main.go:181 — extension sniffing never fires, exactly as in the
+  * reference), output_keys_keep/drop, gdal_ini_uri/gdal_ini_section
+  * (attribute-drop + keep-keys merge, main.go:411-425), pretty (indented
+  * XML), summarize(+summarize_keys), overwrite, dry_run, version, help.
+  * Flags parse as `-flag value`, `-flag=value`, or bare booleans — Go's
+  * flag grammar. AWS/read_buffer flags don't apply to this engine (Hadoop
+  * FS and Spark own IO); filter_dfl_cache is an accepted no-op (the DFL
+  * cache is obsolete under codegen).
   */
 object OsmCli {
 
@@ -46,25 +51,49 @@ object OsmCli {
     "aws_default_region", "aws_access_key_id", "aws_secret_access_key",
     "aws_session_token")
 
-  /** (string flags, boolean flags). Accepts `-flag value` and `-flag`;
-    * unknown flags fail fast like the reference's Go flag package (a typo'd
-    * boolean must not silently swallow the next flag as its value).
+  /** Go strconv.ParseBool — the value grammar Go's flag package accepts
+    * for `-boolflag=value` (the ONLY value-carrying form for booleans).
+    */
+  private def goBool(v: String): Boolean = v match {
+    case "1" | "t" | "T" | "true" | "TRUE" | "True" => true
+    case "0" | "f" | "F" | "false" | "FALSE" | "False" => false
+    case other =>
+      throw new IllegalArgumentException(s"""invalid boolean value "$other"""")
+  }
+
+  /** (string flags, boolean flags). Accepts `-flag value`, `-flag=value`,
+    * and bare `-flag` — the three forms Go's flag package (used by the
+    * reference) parses; for booleans `-flag=value` is the only
+    * value-carrying form, with strconv.ParseBool's grammar. Unknown flags
+    * fail fast like the reference (a typo'd boolean must not silently
+    * swallow the next flag as its value).
     */
   def parseArgs(args: Array[String]): (Map[String, String], Set[String]) = {
     val strs = Map.newBuilder[String, String]
-    val bools = Set.newBuilder[String]
+    val bools = scala.collection.mutable.Set.empty[String]
     var i = 0
     while (i < args.length) {
       val a = args(i)
       require(a.startsWith("-"), s"expected a -flag, got: $a")
-      val name = a.dropWhile(_ == '-')
-      if (BoolFlags(name)) { bools += name; i += 1 }
-      else if (StringFlags(name)) {
-        require(i + 1 < args.length, s"flag -$name needs a value")
-        strs += (name -> args(i + 1)); i += 2
+      val body = a.dropWhile(_ == '-')
+      val (name, eqValue) = body.indexOf('=') match {
+        case -1 => (body, None)
+        case j => (body.take(j), Some(body.drop(j + 1)))
+      }
+      if (BoolFlags(name)) {
+        // Go: a bool flag given bare is true; -flag=v parses v (last wins)
+        if (eqValue.forall(goBool)) bools += name else bools -= name
+        i += 1
+      } else if (StringFlags(name)) {
+        eqValue match {
+          case Some(v) => strs += (name -> v); i += 1
+          case None =>
+            require(i + 1 < args.length, s"flag -$name needs a value")
+            strs += (name -> args(i + 1)); i += 2
+        }
       } else throw new IllegalArgumentException(s"unknown flag: -$name")
     }
-    (strs.result(), bools.result())
+    (strs.result(), bools.toSet)
   }
 
   private def csv(s: Option[String]): Seq[String] =
@@ -94,6 +123,9 @@ object OsmCli {
     val dropList = csv(strs.get("drop")).map(_.toLowerCase).toSet
     def b(flag: String): Boolean = bools(flag) || dropList(flag.stripPrefix("drop_"))
     val dropAuthor = bools("drop_author") || dropList("author")
+    // reference validation (main.go:278): uid can't go while the name stays
+    require(!(b("drop_uid") && !dropAuthor && !b("drop_user")),
+      "You cannot drop the user id but keep the user name.")
 
     val inSep = strs.get("input_uri_separator").filter(_.nonEmpty)
     val inputs = strs.get("input_uri").map(u =>
@@ -102,13 +134,18 @@ object OsmCli {
       .map(u => InputSpec(uri = u, filter = filter))
 
     val outSep = strs.get("output_uri_separator").filter(_.nonEmpty)
-    val outputs = strs.get("output_uri").map(u =>
+    val outputs0 = strs.get("output_uri").map(u =>
       outSep.map(s => u.split(java.util.regex.Pattern.quote(s)).toSeq).getOrElse(Seq(u)))
       .getOrElse(Nil)
       .map { u =>
         OutputSpec(
           uri = u,
-          format = strs.get("output_format").filter(_.nonEmpty),
+          // reference parity: -output_format DEFAULTS to "osm" (main.go:181),
+          // which makes the extension sniff at main.go:723 unreachable — so
+          // `-output_uri out.geojson` without -output_format writes OSM XML
+          // in the reference, and must here too. (The programmatic
+          // Pipeline.formatOf still sniffs when format is None.)
+          format = Some(strs.get("output_format").filter(_.nonEmpty).getOrElse("osm")),
           waysToNodes = bools("ways_to_nodes"),
           dropNodes = b("drop_nodes"),
           dropWays = b("drop_ways"),
@@ -119,12 +156,49 @@ object OsmCli {
           dropUserId = b("drop_uid") || dropAuthor,
           dropUserName = b("drop_user") || dropAuthor,
           keysToKeep = csv(strs.get("output_keys_keep")),
-          keysToDrop = csv(strs.get("output_keys_drop")))
+          keysToDrop = csv(strs.get("output_keys_drop")),
+          pretty = bools("pretty"))
       }
+
+    // GDAL ini merge (main.go:411-425): [section] fields override the
+    // attribute-drop flags (osm_version/changeset/timestamp/uid/user map to
+    // drop_* via !ParseBool), and `attributes` becomes the keep-keys
+    // projection — UNLESS -output_keys_keep/-output_keys_drop were given,
+    // which the reference applies after the merge (main.go:427-436).
+    // (The reference's GDAL_INI_KEYS list at main.go:57 omits "osm_uid" and
+    // spells "attributes" as "osm_attributes", so those two lookups always
+    // miss there; we read the keys the merge code actually uses — the
+    // documented GDAL osmconf.ini field names.)
+    val outputs = strs.get("gdal_ini_uri").filter(_.nonEmpty) match {
+      case None => outputs0
+      case Some(uri) =>
+        val section = strs.get("gdal_ini_section").filter(_.nonEmpty).getOrElse("points")
+        val ini = graft.io.IniFile.loadSection(uri, section)
+        def keep(k: String): Boolean = graft.io.IniFile.parseBool(ini.getOrElse(k, ""))
+        val iniKeys = csv(ini.get("attributes"))
+        outputs0.map { o =>
+          o.copy(
+            dropVersion = !keep("osm_version"),
+            dropChangeset = !keep("osm_changeset"),
+            dropTimestamp = !keep("osm_timestamp"),
+            dropUserId = !keep("osm_uid"),
+            dropUserName = !keep("osm_user"),
+            keysToKeep = if (strs.contains("output_keys_keep")) o.keysToKeep else iniKeys)
+        }
+    }
     PipelineConfig(inputs, outputs)
   }
 
-  /** Summary.Print parity (reference Summary.go:25-39). */
+  /** Summary.Print parity (reference Summary.go:25-39), computed the way
+    * the reference's ONE-PASS Summarize intends (Planet.go:497-520): every
+    * printed headline number — users, per-class counts, key cardinality,
+    * tag cardinality — comes from a SINGLE multi-aggregate job over one
+    * unioned frame (per-class tag maps posexplode_outer'd so row counts and
+    * key/tag cardinalities share the pass; the username dimension unioned
+    * in as its own discriminator rows). The optional per-key table is the
+    * one extra job (a groupBy can't ride a global aggregate). ≤2 Spark
+    * actions total, asserted in OsmCliSpec.
+    */
   def printSummary(out: java.io.PrintStream, shared: Shared,
                    converted: Option[org.apache.spark.sql.DataFrame],
                    keys: Seq[String]): Unit = {
@@ -136,23 +210,37 @@ object OsmCli {
     val waysAll =
       if (converted.isDefined) shared.ways.select("id", "tags").limit(0)
       else shared.ways.select("id", "tags")
-    val kv = Seq(nodesAll, waysAll, shared.relations.select("id", "tags"))
-      .map(_.select(explode(map_keys(col("tags"))).as("key")))
-      .reduce(_ unionByName _)
-    val card = kv.agg(countDistinct(col("key")).as("k")).collect()(0).getLong(0)
-    val tagCard = Seq(nodesAll, waysAll, shared.relations.select("id", "tags"))
-      .map(_.select(explode(col("tags")).as(Seq("key", "value"))))
-      .reduce(_ unionByName _)
-      .agg(countDistinct(col("key"), col("value"))).collect()(0).getLong(0)
+
+    // one row per (element, tag) — plus one marker row for tagless elements
+    // (pos null) so plain row counts survive the explode — plus one row per
+    // distinct user from the J3 dimension
+    def kv(df: org.apache.spark.sql.DataFrame, et: String) =
+      df.select(lit(et).as("et"),
+        posexplode_outer(col("tags")).as(Seq("pos", "key", "value")))
+    val unioned = kv(nodesAll, "node")
+      .unionByName(kv(waysAll, "way"))
+      .unionByName(kv(shared.relations.select("id", "tags"), "relation"))
+      .unionByName(shared.users.select(lit("user").as("et"),
+        lit(null).cast("int").as("pos"), lit(null).cast("string").as("key"),
+        lit(null).cast("string").as("value")))
+    def nRows(et: String) = // first exploded row or the tagless marker row
+      count(when(col("et") === et && (col("pos").isNull || col("pos") === 0), 1))
+    val row = unioned.agg(
+      count(when(col("et") === "user", 1)).as("n_users"),
+      nRows("node").as("n_nodes"), nRows("way").as("n_ways"),
+      nRows("relation").as("n_relations"),
+      countDistinct(col("key")).as("n_keys"),
+      countDistinct(col("key"), col("value")).as("n_tags")).collect()(0)
+
     out.println("Bounding Box: " + Seq(mnLon, mnLat, mxLon, mxLat)
       .map(v => String.format(java.util.Locale.ROOT, "%.6f", Double.box(v)))
       .mkString(",")) // locale-independent, like Go's FormatFloat
-    out.println(s"Total Number of Users: ${shared.users.count()}")
-    out.println(s"Total Number of Nodes: ${nodesAll.count()}")
-    out.println(s"Total Number of Ways: ${waysAll.count()}")
-    out.println(s"Total Number of Relations: ${shared.relations.count()}")
-    out.println(s"Total Number of Keys: $card")
-    out.println(s"Total Number of Tags: $tagCard")
+    out.println(s"Total Number of Users: ${row.getLong(0)}")
+    out.println(s"Total Number of Nodes: ${row.getLong(1)}")
+    out.println(s"Total Number of Ways: ${row.getLong(2)}")
+    out.println(s"Total Number of Relations: ${row.getLong(3)}")
+    out.println(s"Total Number of Keys: ${row.getLong(4)}")
+    out.println(s"Total Number of Tags: ${row.getLong(5)}")
     if (keys.nonEmpty) {
       val byKey = OsmOps.summarizeByKey(
           nodesAll.select(col("tags")), waysAll.select(col("tags")),

@@ -78,7 +78,9 @@ object Pipeline {
         * `snapshotParts` id-hash partitions: a killed run resumes skipping
         * already-committed partitions (manifest protocol).
         */
-      snapshotParts: Int = 0)
+      snapshotParts: Int = 0,
+      /** Indented .osm XML (reference MarshalPlanet.go:63-65, `-pretty`). */
+      pretty: Boolean = false)
 
   case class PipelineConfig(inputs: Seq[InputSpec], outputs: Seq[OutputSpec])
 
@@ -461,8 +463,8 @@ object Pipeline {
       .matches(".*\\.(osm|geojson|geojsonl)")
     fmt match {
       case "osm" =>
-        val (nN, nW, nR) =
-          OsmXml.writePlanet(OsmXml.Planet(nodes, ways, rels, shared.bounds), o.uri)
+        val (nN, nW, nR) = OsmXml.writePlanet(
+          OsmXml.Planet(nodes, ways, rels, shared.bounds), o.uri, pretty = o.pretty)
         OutputReport(o.uri, fmt, nN, nW, nR)
       case "geojson" | "geojsonl" =>
         val obs = new org.apache.spark.sql.Observation

@@ -99,8 +99,88 @@ object PipelineConfigIO {
     PipelineConfig(inputs, outputs)
   }
 
+  // ---- HCL (the reference's native config format) ---------------------------
+
+  /** Filter block with the reference's hcl tags (Filter.go:16-23):
+    * `keys_keep`, `keys_drop`, `expression`, `bbox`; `use_cache` is parsed
+    * and ignored (the DFL memo cache is obsolete under codegen).
+    */
+  private def hclFilter(o: Hcl.HObj): Option[FilterSpec] =
+    o.one("filter").collect { case f: Hcl.HObj =>
+      val bbox = f.nums("bbox") match {
+        case Seq(a, b, c, d) => Some((a, b, c, d))
+        case _ => None
+      }
+      FilterSpec(
+        keepKeys = f.strs("keys_keep"),
+        dropKeys = f.strs("keys_drop"),
+        bbox = bbox,
+        dfl = f.str("expression").filter(_.nonEmpty))
+    }
+
+  private def hclInput(o: Hcl.HObj): InputSpec = InputSpec(
+    // InputConfig hcl tags (InputConfig.go:3-18); its drop_nodes exists in
+    // the struct but Config.Init never copies it to the input — same here
+    uri = o.str("uri").getOrElse(throw new IllegalArgumentException("input needs uri")),
+    filter = hclFilter(o),
+    dropWays = o.bool("drop_ways"),
+    dropRelations = o.bool("drop_relations"),
+    dropVersion = o.bool("drop_version"),
+    dropTimestamp = o.bool("drop_timestamp"),
+    dropChangeset = o.bool("drop_changeset"),
+    dropUserId = o.bool("drop_user_id"),
+    dropUserName = o.bool("drop_user_name"),
+    keysToKeep = o.strs("keep_keys"),
+    keysToDrop = o.strs("drop_keys"))
+
+  private def hclOutput(o: Hcl.HObj): OutputSpec = OutputSpec(
+    // OutputConfig hcl tags (OutputConfig.go:3-20)
+    uri = o.str("uri").getOrElse(throw new IllegalArgumentException("output needs uri")),
+    format = o.str("format"), // engine extension; the reference sniffs/flags
+    filter = hclFilter(o),
+    waysToNodes = o.bool("ways_to_nodes"),
+    dropNodes = o.bool("drop_nodes"),
+    dropWays = o.bool("drop_ways"),
+    dropRelations = o.bool("drop_relations"),
+    dropVersion = o.bool("drop_version"),
+    dropTimestamp = o.bool("drop_timestamp"),
+    dropChangeset = o.bool("drop_changeset"),
+    dropUserId = o.bool("drop_user_id"),
+    dropUserName = o.bool("drop_user_name"),
+    keysToKeep = o.strs("keep_keys"),
+    keysToDrop = o.strs("drop_keys"),
+    pretty = o.bool("pretty"))
+
+  /** Repeated `inputs { … }` blocks AND the `inputs = [ { … } ]` spelling
+    * both accumulate (hcl DecodeObject-into-slice behavior).
+    */
+  private def hclBlocks(root: Hcl.HObj, key: String): Seq[Hcl.HObj] =
+    root.all(key).flatMap {
+      case o: Hcl.HObj => Seq(o)
+      case Hcl.HList(vs) => vs.collect { case o: Hcl.HObj => o }
+      case _ => Nil
+    }
+
+  /** Parse the reference's HCL config shape (LoadConfig.go:15-45 decodes
+    * into Config.InputConfigs/OutputConfigs).
+    */
+  def parseHcl(text: String): PipelineConfig = {
+    val root = Hcl.parse(text)
+    PipelineConfig(
+      hclBlocks(root, "inputs").map(hclInput),
+      hclBlocks(root, "outputs").map(hclOutput))
+  }
+
+  /** Load a config file: `.hcl`/`.tf` (or anything that doesn't open with a
+    * JSON object) parses as the reference's HCL; a leading `{` parses as
+    * the JSON mirror. (HCL proper treats JSON as a subset; so does this.)
+    */
   def load(path: String): PipelineConfig = {
     val src = scala.io.Source.fromFile(path)
-    try parse(src.mkString) finally src.close()
+    val text = try src.mkString finally src.close()
+    val lower = path.toLowerCase(java.util.Locale.ROOT)
+    if (lower.endsWith(".hcl") || lower.endsWith(".tf")) parseHcl(text)
+    else if (text.dropWhile(_.isWhitespace).startsWith("{")) parse(text)
+    else parseHcl(text)
   }
 }

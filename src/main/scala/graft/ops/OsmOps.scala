@@ -211,12 +211,24 @@ object OsmOps {
       .select(col("rel_id"), col("role"), col("ring_idx"), col("ring"), col("closed"))
   }
 
+  /** Twice the (unsigned) shoelace area of a closed ring column
+    * (array<struct<lon,lat>> with first == last) — pure column arithmetic,
+    * no UDF.
+    */
+  def ringArea2(ring: Column): Column = abs(aggregate(
+    sequence(lit(1), size(ring) - 1), lit(0.0),
+    (acc, i) => acc +
+      element_at(ring, i).getField("lon") * element_at(ring, i + 1).getField("lat") -
+      element_at(ring, i + 1).getField("lon") * element_at(ring, i).getField("lat")))
+
   /** GeoJSON MultiPolygon per relation from [[assembleRelationRings]]
     * output: closed outer rings become polygons; each closed inner ring is
-    * assigned to ONE containing outer (lowest ring_idx on nesting ties —
-    * the common case has exactly one) via the codegen point-in-ring test
-    * on its first vertex. Open rings and orphan inners are dropped —
-    * GeoJSON has no representation for them. Output: rel_id, geometry
+    * assigned to its INNERMOST containing outer — the smallest-area outer
+    * whose interior holds the inner's first vertex (codegen point-in-ring),
+    * so island-in-lake-in-island nestings attach the hole to the island,
+    * not the outermost shell; ring_idx breaks exact-area ties
+    * deterministically. Open rings and orphan inners are dropped — GeoJSON
+    * has no representation for them. Output: rel_id, geometry
     * (MultiPolygon JSON string, polygons in outer-ring order).
     */
   def relationMultiPolygon(rings: DataFrame): DataFrame = {
@@ -232,7 +244,8 @@ object OsmOps {
       .filter(GeoFunctions.point_in_ring(
         element_at(col("i_ring"), 1).getField("lon"),
         element_at(col("i_ring"), 1).getField("lat"), col("o_ring")))
-    val w = Window.partitionBy(col("rel_id"), col("i_idx")).orderBy(col("o_idx"))
+    val w = Window.partitionBy(col("rel_id"), col("i_idx"))
+      .orderBy(ringArea2(col("o_ring")), col("o_idx"))
     val assigned = contained
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("rel_id"), col("o_idx"), col("i_idx"), col("i_ring"))
@@ -254,12 +267,22 @@ object OsmOps {
   // ---- J4: duplicate-id anti-check on multi-input union (AddNode
   //      Planet.go:158-173 — reference fails fast on duplicate ids) --------
 
+  /** Single-pass: the duplicate check RIDES the consuming plan instead of
+    * running as an eager extra action — a `count(1) over (partition by id)`
+    * window column guarded by a raise-on-duplicate conditional inside a
+    * filter (a projection would be pruned away; a filter survives). Each
+    * input is scanned exactly once (asserted in PlanSpec); the fail-fast
+    * fires on the first action that reads the union, wrapped in Spark's
+    * task-failure exception. Single-input unions skip the check (nothing
+    * to collide with).
+    */
   def unionWithDupCheck(dfs: Seq[DataFrame], idCol: String): DataFrame = {
     val u = dfs.reduce(_.unionByName(_))
-    val dups = u.groupBy(col(idCol)).count().filter(col("count") > 1).limit(1).collect()
-    if (dups.nonEmpty)
-      throw new IllegalStateException(s"duplicate id on union: ${dups(0).get(0)}")
-    u
+    if (dfs.lengthCompare(1) <= 0) return u
+    u.withColumn("__dup_n", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .filter(when(col("__dup_n") === 1, lit(true)).otherwise(raise_error(
+        concat(lit("duplicate id on union: "), col(idCol).cast("string")))))
+      .drop("__dup_n")
   }
 
   // ---- A2: summarize (Planet.Summarize:497-520) — one multi-aggregate

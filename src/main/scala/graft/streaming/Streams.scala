@@ -50,8 +50,12 @@ object Streams {
   /** Event-time gap sessionization via flatMapGroupsWithState — the custom
     * per-key state operator (KeyValueGroupedDataset). Emits a session when
     * the gap between consecutive events exceeds `gapMs`. Works in batch
-    * (whole group at once) and streaming (state carries across triggers,
-    * processing-time timeout flushes idle sessions).
+    * (whole group at once) and streaming (state carries across triggers;
+    * with `idleFlush` an EVENT-TIME timeout — watermark passes
+    * last_event + gap — flushes idle sessions, so the flush schedule is a
+    * pure function of the data and a replay of the same input produces
+    * identical sessions, trigger boundaries and wall clock notwithstanding;
+    * asserted in StreamsSpec).
     *
     * Hot-key hardening (batch): the input is hash-repartitioned on user_id
     * and sorted (user_id, ts) WITHIN partitions up front, which already
@@ -66,7 +70,8 @@ object Streams {
     * iterator there.
     */
   def sessionize(ds: Dataset[Event], gapMs: Long, streaming: Boolean,
-                 idleFlush: Boolean = false): Dataset[Session] = {
+                 idleFlush: Boolean = false,
+                 watermarkDelay: String = "0 seconds"): Dataset[Session] = {
     import ds.sparkSession.implicits._
 
     def finish(uid: Long, st: SessionState): Session =
@@ -126,17 +131,22 @@ object Streams {
             cur = Some(next)
           }
           cur.foreach(state.update)
-          if (idleFlush) state.setTimeoutDuration(gapMs)
+          // event-time timeout: fire when the WATERMARK passes the session's
+          // idle deadline (clamped above the current watermark — a session
+          // already idle past it flushes on the very next trigger)
+          if (idleFlush) cur.foreach(st => state.setTimeoutTimestamp(
+            math.max(st.lastMs + gapMs, state.getCurrentWatermarkMs() + 1)))
           closed.result().iterator
         }
       }
 
     val timeout =
-      if (streaming && idleFlush) GroupStateTimeout.ProcessingTimeTimeout
+      if (streaming && idleFlush) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
     val pre =
-      if (streaming) ds
-      else ds.repartition(col("user_id"))
+      if (streaming) {
+        if (idleFlush) ds.withWatermark("ts", watermarkDelay) else ds
+      } else ds.repartition(col("user_id"))
         .sortWithinPartitions(col("user_id"), col("ts"), col("event_type"))
     // column-keyed grouping (NOT groupByKey(_.user_id), which appends a
     // fresh key attribute the pre-partitioning could never satisfy and

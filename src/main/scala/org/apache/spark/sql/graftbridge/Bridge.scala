@@ -44,6 +44,7 @@ object Bridge {
     // WHITELIST of semantics-free wrappers: executing the leaf alone must
     // be equivalent, so ANY node not provably a pass-through (filters,
     // samples, limits, …) disqualifies the fast path
+    val projections = plan.collect { case pr: ProjectExec => pr }
     val safe = plan.collect {
       case pr: ProjectExec => pr.projectList.forall {
         case _: Attribute => true
@@ -54,9 +55,34 @@ object Bridge {
       case l if l.children.isEmpty => true // the scan leaf itself
       case _ => false
     }.forall(identity)
+    // resolve an output attribute to the LEAF attribute it reads, by
+    // exprId through the alias chain — name matching alone lets a rename
+    // whose target collides with another leaf column slip through, after
+    // which callers would read the wrong ordinals off the batch
+    def leafExprId(id: org.apache.spark.sql.catalyst.expressions.ExprId)
+        : org.apache.spark.sql.catalyst.expressions.ExprId = {
+      var cur = id
+      var hop = true
+      while (hop) {
+        hop = false
+        projections.foreach(_.projectList.foreach {
+          case a: Alias if a.exprId == cur => a.child match {
+            case at: Attribute if at.exprId != cur => cur = at.exprId; hop = true
+            case _ =>
+          }
+          case _ =>
+        })
+      }
+      cur
+    }
     plan.collectLeaves() match {
       case Seq(leaf) if leaf.supportsColumnar && safe &&
-          df.columns.forall(c => leaf.output.exists(_.name == c)) =>
+          plan.output.forall { o =>
+            val lid = leafExprId(o.exprId)
+            // same column AND same name: a true rename falls back to the
+            // row path rather than risking a name collision at the caller
+            leaf.output.exists(a => a.exprId == lid && a.name == o.name)
+          } =>
         Some((leaf.executeColumnar(), leaf.output.map(_.name)))
       case _ => None
     }

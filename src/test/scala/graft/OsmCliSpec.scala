@@ -133,6 +133,148 @@ class OsmCliSpec extends SparkSpecBase {
     assert(!Files.exists(java.nio.file.Paths.get(fresh)))
   }
 
+  test("-flag=value forms parse like Go's flag package") {
+    val (strs, bools) = OsmCli.parseArgs(Array(
+      "-input_uri=a.osm", "-summarize=true", "-ways_to_nodes",
+      "-drop_relations=false", "-bbox=1,2,3,4"))
+    assert(strs("input_uri") === "a.osm")
+    assert(strs("bbox") === "1,2,3,4")
+    assert(bools("summarize") && bools("ways_to_nodes"))
+    assert(!bools("drop_relations"))
+    // strconv.ParseBool grammar; anything else is an error
+    val (_, b2) = OsmCli.parseArgs(Array("-summarize=1", "-pretty=F"))
+    assert(b2("summarize") && !b2("pretty"))
+    intercept[IllegalArgumentException](OsmCli.parseArgs(Array("-summarize=maybe")))
+    // last one wins, like Go
+    val (_, b3) = OsmCli.parseArgs(Array("-summarize=true", "-summarize=false"))
+    assert(!b3("summarize"))
+  }
+
+  test("output_format defaults to osm like the reference (sniff unreachable)") {
+    val geo = s"$tmp/sniff.geojson"
+    val (code, _) = runCli("-input_uri", inOsm, "-output_uri", geo)
+    assert(code === 0)
+    val head = new String(Files.readAllBytes(java.nio.file.Paths.get(geo)), "UTF-8").take(30)
+    assert(head.startsWith("<?xml"),
+      s"reference writes OSM XML when -output_format is not given, got: $head")
+    // explicit -output_format geojson does write GeoJSON
+    val geo2 = s"$tmp/sniff2.geojson"
+    val (code2, _) = runCli("-input_uri", inOsm, "-output_uri", geo2,
+      "-output_format", "geojson")
+    assert(code2 === 0)
+    val head2 = new String(Files.readAllBytes(java.nio.file.Paths.get(geo2)), "UTF-8").take(40)
+    assert(head2.startsWith("""{"type":"FeatureCollection""""), head2)
+  }
+
+  test("drop_uid without drop_user fails fast like the reference (main.go:278)") {
+    val e = intercept[IllegalArgumentException] {
+      OsmCli.toConfig(Map("input_uri" -> "x.osm"), Set("drop_uid"))
+    }
+    assert(e.getMessage.contains("You cannot drop the user id but keep the user name."))
+    // fine together, via -drop author, or via drop_author
+    OsmCli.toConfig(Map("input_uri" -> "x.osm"), Set("drop_uid", "drop_user"))
+    OsmCli.toConfig(Map("input_uri" -> "x.osm", "drop" -> "author"), Set.empty)
+    OsmCli.toConfig(Map("input_uri" -> "x.osm"), Set("drop_author"))
+  }
+
+  test("gdal ini merge: attribute drops + keep-keys per section (main.go:411-425)") {
+    val ini = s"$tmp/osmconf.ini"
+    Files.write(java.nio.file.Paths.get(ini),
+      """# GDAL OSM driver config
+        |[points]
+        |osm_id=yes
+        |osm_version=no
+        |osm_changeset=no
+        |osm_timestamp=yes
+        |osm_uid=yes
+        |osm_user=yes
+        |attributes=name,craft
+        |[lines]
+        |osm_timestamp=no
+        |attributes=highway
+        |""".stripMargin.getBytes("UTF-8"))
+    val (strs, bools) = OsmCli.parseArgs(Array(
+      "-input_uri", "x.osm", "-output_uri", "y.osm", "-gdal_ini_uri", ini))
+    val o = OsmCli.toConfig(strs, bools).outputs.head
+    assert(o.dropVersion && o.dropChangeset)
+    assert(!o.dropTimestamp && !o.dropUserId && !o.dropUserName)
+    assert(o.keysToKeep === Seq("name", "craft"))
+    // section selection (default is "points", like the reference)
+    val (s2, b2) = OsmCli.parseArgs(Array("-input_uri", "x.osm", "-output_uri", "y.osm",
+      "-gdal_ini_uri", ini, "-gdal_ini_section", "lines"))
+    val o2 = OsmCli.toConfig(s2, b2).outputs.head
+    assert(o2.keysToKeep === Seq("highway") && o2.dropTimestamp)
+    // -output_keys_keep wins over the ini attributes (applied after, main.go:427)
+    val (s3, b3) = OsmCli.parseArgs(Array("-input_uri", "x.osm", "-output_uri", "y.osm",
+      "-gdal_ini_uri", ini, "-output_keys_keep", "amenity"))
+    assert(OsmCli.toConfig(s3, b3).outputs.head.keysToKeep === Seq("amenity"))
+  }
+
+  test("-config_uri loads the reference's HCL shape, equal to flags byte for byte") {
+    // the README composite scenario (README.md:111-115) as an HCL config
+    val hclOut = s"$tmp/hcl_eq.osm"
+    val flagOut = s"$tmp/flag_eq.osm"
+    val hcl = s"$tmp/composite.hcl"
+    Files.write(java.nio.file.Paths.get(hcl),
+      s"""# go-osm config (LoadConfig.go shape)
+         |inputs {
+         |  uri = "$inOsm"
+         |  filter {
+         |    expression = "(@craft like brewery) or (@craft like distillery)"
+         |  }
+         |}
+         |
+         |outputs {
+         |  uri = "$hclOut"
+         |  ways_to_nodes = true
+         |  drop_relations = true
+         |  drop_version = true
+         |  drop_timestamp = true
+         |  drop_changeset = true
+         |  keep_keys = ["craft"]
+         |  pretty = true
+         |}
+         |""".stripMargin.getBytes("UTF-8"))
+    val (code, _) = runCli("-config_uri", hcl)
+    assert(code === 0)
+    val (code2, _) = runCli("-input_uri", inOsm,
+      "-dfl", "(@craft like brewery) or (@craft like distillery)",
+      "-ways_to_nodes", "-drop", "relations,version,timestamp,changeset",
+      "-output_keys_keep", "craft", "-pretty", "-output_uri", flagOut)
+    assert(code2 === 0)
+    val a = Files.readAllBytes(java.nio.file.Paths.get(hclOut))
+    assert(a.sameElements(Files.readAllBytes(java.nio.file.Paths.get(flagOut))))
+    assert(new String(a, "UTF-8").contains("\n    <node"), "pretty indentation present")
+  }
+
+  test("-summarize computes all headline numbers in at most two actions") {
+    val c = PipelineConfig(Seq(InputSpec(uri = inOsm)), Nil)
+    val shared = graft.jobs.Pipeline.ingest(spark, c, graft.jobs.Pipeline.plan(c))
+    try {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          n.incrementAndGet()
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+          n.incrementAndGet()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        OsmCli.printSummary(new java.io.PrintStream(bos, true, "UTF-8"), shared, None, Nil)
+        org.apache.spark.grafttest.TestBus.waitUntilEmpty(spark.sparkContext)
+        assert(n.get() <= 1, s"summarize without keys must be ONE action, saw ${n.get()}")
+        n.set(0)
+        OsmCli.printSummary(new java.io.PrintStream(bos, true, "UTF-8"), shared, None,
+          Seq("craft", "amenity"))
+        org.apache.spark.grafttest.TestBus.waitUntilEmpty(spark.sparkContext)
+        assert(n.get() <= 2, s"summarize with keys must be TWO actions, saw ${n.get()}")
+      } finally spark.listenerManager.unregister(listener)
+    } finally shared.unpersist()
+  }
+
   test("CLI run equals the equivalent config-file pipeline run byte for byte") {
     val cliOut = s"$tmp/cli_eq.osm"
     val cfgOut = s"$tmp/cfg_eq.osm"

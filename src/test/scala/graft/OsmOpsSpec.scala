@@ -29,7 +29,14 @@ class OsmOpsSpec extends SparkSpecBase {
     val b = Seq((3L, "z")).toDF("id", "v")
     assert(OsmOps.unionWithDupCheck(Seq(a, b), "id").count() === 3)
     val dup = Seq((2L, "w")).toDF("id", "v")
-    intercept[IllegalStateException](OsmOps.unionWithDupCheck(Seq(a, dup), "id").count())
+    // the check rides the consumer: CONSTRUCTION is action-free, the
+    // raise-on-duplicate fires on the first action that reads the union
+    val lazyUnion = OsmOps.unionWithDupCheck(Seq(a, dup), "id")
+    val e = intercept[Exception](lazyUnion.count())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("duplicate id on union: 2")),
+      messages(e).mkString(" | "))
   }
 
   test("tag keep/drop projection and key-existence filters (F2/F3)") {
@@ -179,6 +186,33 @@ class OsmOpsSpec extends SparkSpecBase {
         """[[1.0,1.0],[2.0,1.0],[2.0,2.0],[1.0,2.0],[1.0,1.0]]],""" +
         """[[[10.0,10.0],[12.0,10.0],[12.0,12.0],[10.0,12.0],[10.0,10.0]]]]}"""
     assert(got(900L) === expected)
+  }
+
+  test("relationMultiPolygon: nested outers — hole attaches to the innermost outer") {
+    // island-in-lake-in-island: shell square (0..10) with lake hole (2..8),
+    // island square (3..7) inside the lake with pond hole (4..6). The pond
+    // is contained by BOTH outers; it must attach to the island (smallest
+    // containing area), never the shell (which lowest-ring_idx would pick).
+    def sq(a: Double, b: Double) =
+      Seq((a, a), (b, a), (b, b), (a, b), (a, a))
+    val rows = Seq(
+      (7L, "outer", 0, sq(0.0, 10.0), true),
+      (7L, "inner", 1, sq(2.0, 8.0), true),
+      (7L, "outer", 2, sq(3.0, 7.0), true),
+      (7L, "inner", 3, sq(4.0, 6.0), true)
+    ).toDF("rel_id", "role", "ring_idx", "ring0", "closed")
+      .withColumn("ring", org.apache.spark.sql.functions.transform(col("ring0"),
+        p => org.apache.spark.sql.functions.struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"))))
+      .drop("ring0")
+    val got = OsmOps.relationMultiPolygon(rows)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def js(pts: Seq[(Double, Double)]) =
+      pts.map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+    val expected =
+      """{"type":"MultiPolygon","coordinates":[""" +
+        s"[${js(sq(0.0, 10.0))},${js(sq(2.0, 8.0))}]," +
+        s"[${js(sq(3.0, 7.0))},${js(sq(4.0, 6.0))}]]}"
+    assert(got(7L) === expected)
   }
 
   test("summarizeByKey: per-key node/way/relation counts in one pass (A2)") {

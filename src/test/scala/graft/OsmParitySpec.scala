@@ -42,6 +42,40 @@ class OsmParitySpec extends SparkSpecBase {
     assert(memDiff === 0)
   }
 
+  test("pretty XML: parse(pretty(x)) == parse(plain(x)); golden indentation shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pretty").toString
+    val small = OsmFixtures.planet(spark, nNodes = 40, nWays = 8, nRelations = 2)
+    val plain = s"$dir/plain.osm"
+    val pretty = s"$dir/pretty.osm"
+    assert(OsmXml.writePlanet(small, plain) ===
+      OsmXml.writePlanet(small, pretty, pretty = true))
+    // round trip: the inserted whitespace is ignored by the reader
+    val a = OsmXml.readPlanet(spark, plain)
+    val b = OsmXml.readPlanet(spark, pretty)
+    // maps can't be EXCEPT'd — compare with the tag map rendered to a
+    // sorted entry string (same trick as the round-trip test above)
+    def cmp(df: org.apache.spark.sql.DataFrame) = df.withColumn("tagstr",
+      concat_ws(",", sort_array(transform(map_entries(col("tags")),
+        e => concat(e.getField("key"), lit("="), e.getField("value")))))).drop("tags")
+    Seq((a.nodes, b.nodes), (a.ways, b.ways), (a.relations, b.relations)).foreach {
+      case (x, y) =>
+        assert(x.count() === y.count())
+        assert(cmp(x).exceptAll(cmp(y)).count() === 0,
+          "pretty parse must equal plain parse")
+    }
+    // golden shape: the reference's encoder.Indent("", "    ") layout —
+    // one element per line, 4-space depth-1, 8-space depth-2
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(pretty)), "UTF-8")
+    assert(text.contains("\n    <node"), text.take(300))
+    assert(text.contains("\n        <tag"), text.take(600))
+    assert(text.contains("\n        <nd"), "way refs at depth 2")
+    assert(text.endsWith("\n</osm>"), text.takeRight(40))
+    val plainText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(plain)), "UTF-8")
+    assert(!plainText.contains("\n"), "plain mode stays single-line")
+  }
+
   test("G1 summarize: counts, users, distinct keys/tags like README golden shape") {
     val s = OsmOps.summarize(planet.nodes, "uid", "lon", "lat").collect()(0)
     assert(s.getAs[Long]("n_rows") === 2000L)

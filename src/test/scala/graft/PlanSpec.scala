@@ -108,6 +108,36 @@ class PlanSpec extends SparkSpecBase {
     } finally shared.unpersist()
   }
 
+  test("unionWithDupCheck scans each input exactly once (single-pass J4)") {
+    // two parquet inputs with disjoint ids
+    val d = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    import spark.implicits._
+    (1L to 100L).map(i => (i, s"a$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$d/a")
+    (101L to 200L).map(i => (i, s"b$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$d/b")
+    val a = spark.read.parquet(s"$d/a")
+    val b = spark.read.parquet(s"$d/b")
+    // construction runs NO job (the old implementation collected eagerly)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val u = graft.ops.OsmOps.unionWithDupCheck(Seq(a, b), "id")
+      org.apache.spark.grafttest.TestBus.waitUntilEmpty(spark.sparkContext)
+      assert(jobs.get() === 0, "construction must be action-free")
+      // one linear plan: each input appears as exactly one scan (AQE wraps
+      // the tree, so count scans in the plan text), under ONE union
+      val planStr = u.queryExecution.executedPlan.toString
+      assert("FileScan parquet".r.findAllIn(planStr).size === 2, planStr.take(2000))
+      assert("Union".r.findAllIn(planStr).size === 1, planStr.take(2000))
+      assert(u.count() === 200L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("tag key-existence filter is partial-pushdown safe and prunes columns") {
     val tagged = spark.read.parquet(s"$dir/imgs")
       .withColumn("tags", map(lit("craft"), col("craft")))

@@ -70,6 +70,39 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("idle-flush sessionization is replay-deterministic (event-time timeout)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the idle flush must be driven by the WATERMARK (event time), not the
+    // wall clock: replaying the same batches yields the same sessions
+    def runOnce(name: String): Set[(Long, java.sql.Timestamp, java.sql.Timestamp, Int)] = {
+      val mem = MemoryStream[Event]
+      val out = Streams.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000,
+        streaming = true, idleFlush = true)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        mem.addData(Event(1L, "a", ts(0), 1.0), Event(1L, "a", ts(1), 2.0))
+        q.processAllAvailable()
+        // user 1 never appears again: only the watermark advanced by user
+        // 2's event time can flush user 1's idle session
+        mem.addData(Event(2L, "b", ts(40), 4.0))
+        q.processAllAvailable()
+        // the timeout fires on the no-data batch after the watermark moves;
+        // give the engine a bounded moment to run it
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (spark.table(name).count() < 1 && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        spark.table(name).collect()
+          .map(s => (s.getLong(0), s.getTimestamp(1), s.getTimestamp(2), s.getInt(3))).toSet
+      } finally q.stop()
+    }
+    val first = runOnce("replay_a")
+    val second = runOnce("replay_b")
+    assert(first === second, "replay must produce identical sessions")
+    assert(first.contains((1L, ts(0), ts(1), 2)),
+      s"idle session must flush via the watermark: $first")
+  }
+
   test("streaming dedup drops within-watermark duplicates across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
