@@ -4,11 +4,15 @@
 import json, re, subprocess, sys, datetime, pathlib
 
 N_IMAGES, N_POLYS, N_PAYLOAD = 30_000_000, 1000, 3_000_000
+N_DOCS, N_EMB, N_KNN_PTS, N_KNN_Q = 100_000, 24_000, 10_000_000, 50_000
 JOBS = [("join_cells", "spatial-join (cell equi-join + PIP refine) + tiling"),
         ("join_rtree", "spatial-join (broadcast R-tree, zero shuffle) + tiling"),
         ("decode", "image decode + feature extraction (columnar)"),
         ("decode_scan", "decode floor: payload scan only (no decode)"),
-        ("decode_kernel", "decode kernel: columnar scan + inflate only")]
+        ("decode_kernel", "decode kernel: columnar scan + inflate only"),
+        ("dedupe_decision", f"dedupeDecision end-to-end ({N_DOCS//1000}k docs: LSH+verify+CC)"),
+        ("emb_pairs", f"exact embedding near-dup triangle join ({N_EMB//1000}k vectors)"),
+        ("knn_ring", f"cell-ring kNN (k=10, {N_KNN_Q//1000}k queries / {N_KNN_PTS//1_000_000}M points)")]
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 
 def sbt(cmd):
@@ -21,7 +25,8 @@ def sbt(cmd):
         sys.exit(1)
     return json.loads(m[-1])
 
-sbt(f"runMain graft.BenchScaling prep {N_IMAGES} {N_POLYS} {N_PAYLOAD}")
+sbt(f"runMain graft.BenchScaling prep {N_IMAGES} {N_POLYS} {N_PAYLOAD} "
+    f"{N_DOCS} {N_EMB} {N_KNN_PTS} {N_KNN_Q}")
 
 res = {}
 for job, _ in JOBS:
@@ -31,7 +36,8 @@ for job, _ in JOBS:
         print(json.dumps(leg), flush=True)
 
 combined = {"bench": "scaling", "n_images": N_IMAGES, "n_polys": N_POLYS,
-            "n_payload": N_PAYLOAD}
+            "n_payload": N_PAYLOAD, "n_docs": N_DOCS, "n_emb": N_EMB,
+            "n_knn_pts": N_KNN_PTS, "n_knn_q": N_KNN_Q}
 lines = [f"\n## Scaling evidence ({datetime.date.today()})\n",
          "Same job, same parquet input, one fresh JVM per leg, min of "
          f"{REPS} measured runs (warm-up excluded): `local[8]` vs `local[32]`"
@@ -55,7 +61,20 @@ for job, desc in JOBS:
 s8 = res[("decode_scan", 8)]["sec"];  s32 = res[("decode_scan", 32)]["sec"]
 k8 = res[("decode_kernel", 8)]["sec"]; k32 = res[("decode_kernel", 32)]["sec"]
 kw_eff = ((k8 - s8) / (k32 - s32)) / 4 if k32 > s32 else float("nan")
+# kNN straggler instrumentation (VERDICT r03 #8): rounds explored and
+# queries remaining per round — separates plan cost from host noise.
+knn_notes = []
+for cpus in (8, 32):
+    tr = res[("knn_ring", cpus)].get("knn_rounds")
+    if tr:
+        knn_notes.append(f"- cell-ring kNN rounds @{cpus} cores "
+                         f"(round:queries_remaining): {tr}")
+if knn_notes:
+    lines += ["\nkNN cell-ring round trace (adaptive radius + geometric doubling):"] + knn_notes
 lines += [
+    "\nThroughput-column caveats: `dedupe_decision` rows = corpus docs (one",
+    "decision per doc); `emb_pairs` rows = near-dup pairs found over fixed",
+    "O(n²) compute — for both, the EFFICIENCY column is the scaling metric.",
     "\nDecode decomposition (same fresh-JVM min-of-N legs):",
     f"- payload scan alone moves {res[('decode_scan', 8)]['rows']/1e9*1:.1f} GB and runs "
     f"{s8:.2f} s @8 vs {s32:.2f} s @32 (efficiency {(s8/s32)/4:.3f}) — the single-host "

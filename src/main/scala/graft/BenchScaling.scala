@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   *   runMain graft.BenchScaling prep <nImages> <nPolys> <nPayload>
+  *       [nDocs nEmb nKnnPts nKnnQueries]
   *   runMain graft.BenchScaling run <job> <cpus> [reps]
-  *     job ∈ join_cells | join_rtree | decode
+  *     job ∈ join_cells | join_rtree | decode | decode_scan | decode_kernel
+  *           | dedupe_decision | emb_pairs | knn_ring
   */
 object BenchScaling {
 
@@ -79,6 +81,45 @@ object BenchScaling {
     imgs.agg(sum(length(col("bytes")))).collect()(0).getLong(0)
   }
 
+  /** End-to-end text dedup decision (the q39 composition) on a corpus 20×
+    * the gate's: shingles → MinHash sigs → guarded LSH banding → exact
+    * Jaccard verify → connected components → keep flags. Returns the
+    * decision-frame row count (== corpus size: one decision per doc).
+    */
+  def dedupeDecisionJob(s: SparkSession): Long = {
+    val docs = s.read.parquet(s"$dataDir/docs")
+    graft.dedup.Dedup.dedupeDecision(docs, "doc_id", "text", shingleN = 4,
+      numHashes = 8, rowsPerBand = 2, threshold = 0.7, bucketCap = 1000).count()
+  }
+
+  /** Exact integer-cosine near-dup pairs via the distributed triangle block
+    * join — O(n²) compute by contract, so the leg measures how the
+    * fixed-compute task grid scales with cores. Returns pair count.
+    */
+  def embPairsJob(s: SparkSession): Long = {
+    val emb = s.read.parquet(s"$dataDir/embeddings")
+    graft.ann.Ann.embeddingNearDupPairs(emb, "vec_id", "embedding", 9, 10).count()
+  }
+
+  /** Trace of the last kNN run: (round, queries remaining) — VERDICT r03 #8
+    * straggler instrumentation, reported into BENCH_SCALING.md.
+    */
+  private var knnTrace: Seq[(Int, Long)] = Nil
+
+  /** Cell-ring kNN: 50k mixed dense/sparse queries over the 10M-point
+    * table, k=10 at z=10. Returns output rows (queries × k).
+    */
+  def knnRingJob(s: SparkSession): Long = {
+    val pts = s.read.parquet(s"$dataDir/knn_points")
+    val qs = s.read.parquet(s"$dataDir/knn_queries")
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val n = graft.knn.Knn.cellRing(qs, "query_id", "lon", "lat",
+      pts, "point_id", "lon", "lat", k = 10, z = 10,
+      onRound = (r, rem) => trace += ((r, rem))).count()
+    knnTrace = trace.toSeq
+    n
+  }
+
   /** Kernel-only leg: columnar scan + PNG inflate/unfilter, no feature
     * extraction and no output rows — isolates the decode kernel's scaling.
     */
@@ -135,6 +176,24 @@ object BenchScaling {
           .repartition(256)
           .write.mode("overwrite").parquet(s"$dataDir/images_full")
       }
+      val nDocs = args.lift(4).map(_.toLong).getOrElse(100000L)
+      val nEmb = args.lift(5).map(_.toLong).getOrElse(24000L)
+      val nKnnPts = args.lift(6).map(_.toLong).getOrElse(10000000L)
+      val nKnnQ = args.lift(7).map(_.toLong).getOrElse(50000L)
+      once(s"_READY_DOCS_$nDocs") { prep =>
+        graft.geo.GeoFixtures.documents(prep, nDocs)
+          .repartition(128).write.mode("overwrite").parquet(s"$dataDir/docs")
+      }
+      once(s"_READY_EMB_$nEmb") { prep =>
+        graft.geo.GeoFixtures.embeddings(prep, nEmb)
+          .repartition(64).write.mode("overwrite").parquet(s"$dataDir/embeddings")
+      }
+      once(s"_READY_KNN_${nKnnPts}_$nKnnQ") { prep =>
+        graft.geo.GeoFixtures.points(prep, nKnnPts)
+          .repartition(128).write.mode("overwrite").parquet(s"$dataDir/knn_points")
+        graft.geo.GeoFixtures.knnQueries(prep, nKnnQ)
+          .repartition(16).write.mode("overwrite").parquet(s"$dataDir/knn_queries")
+      }
       println("""{"prep": "ready"}""")
 
     case Some("run") =>
@@ -147,6 +206,9 @@ object BenchScaling {
         case "decode_row" => decodeRowJob
         case "decode_scan" => decodeScanJob
         case "decode_kernel" => decodeKernelJob
+        case "dedupe_decision" => dedupeDecisionJob
+        case "emb_pairs" => embPairsJob
+        case "knn_ring" => knnRingJob
         case other => throw new IllegalArgumentException(s"unknown job $other")
       }
       val s = session(cpus)
@@ -154,7 +216,11 @@ object BenchScaling {
       job(s) // warm-up: JIT + codegen + page cache
       val best = Seq.fill(reps)(time { rows = job(s) }).min
       s.stop()
-      println(f"""{"job": "$jobName", "cpus": $cpus, "rows": $rows, "sec": $best%.2f}""")
+      val extra =
+        if (knnTrace.isEmpty) ""
+        else knnTrace.map { case (r, n) => s"$r:$n" }
+          .mkString(""", "knn_rounds": """", ",", "\"")
+      println(f"""{"job": "$jobName", "cpus": $cpus, "rows": $rows, "sec": $best%.2f$extra%s}""")
 
     case _ =>
       System.err.println("usage: prep <nImages> <nPolys> <nPayload> | run <job> <cpus> [reps]")

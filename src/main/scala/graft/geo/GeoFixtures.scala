@@ -97,6 +97,106 @@ object GeoFixtures {
   private def clampLon(v: Double): Double = math.max(-179.999, math.min(179.999, v))
   private def clampLat(v: Double): Double = math.max(-84.999, math.min(84.999, v))
 
+  case class PointRow(point_id: Long, lon: Double, lat: Double)
+  case class QueryRow(query_id: Long, lon: Double, lat: Double)
+
+  /** Long-id point table with the [[imagesLite]] coordinate distribution
+    * (60% city-clustered, 40% uniform) — the kNN bench corpus.
+    */
+  def points(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { id0 =>
+      val id = id0 + seed * 1000003L
+      val (lon, lat) =
+        if (uniform(id, 11) < 0.6) {
+          val c = Cities((mix(id + 4) & 0x7fffffffL).toInt % Cities.length)
+          (clampLon(c._1 + gauss(id, 13) * 0.5), clampLat(c._2 + gauss(id, 17) * 0.5))
+        } else
+          (uniform(id, 19) * 360.0 - 180.0, uniform(id, 23) * 170.0 - 85.0)
+      PointRow(id0, lon, lat)
+    }.toDF()
+  }
+
+  /** kNN query set: same spatial mix as [[points]] under a different seed,
+    * so dense-city AND sparse-ocean queries both occur (the straggler tail
+    * the cell-ring operator's adaptive radius exists for).
+    */
+  def knnQueries(spark: SparkSession, n: Long, seed: Long = 97L): DataFrame = {
+    import spark.implicits._
+    points(spark, n, seed).withColumnRenamed("point_id", "query_id")
+  }
+
+  case class DocRow(doc_id: Long, text: String)
+
+  private val DocVocab: Array[String] = Array.tabulate(4096) { i =>
+    val h = mix(i.toLong * 2654435761L + 17L)
+    val len = 4 + (h & 3L).toInt
+    val sb = new StringBuilder
+    val v = h >>> 2 // top bits clear: every shifted remainder is >= 0
+    (0 until len).foreach(k => sb += ('a' + ((v >>> (k * 5)) % 26L).toInt).toChar)
+    sb.result()
+  }
+
+  /** Deterministic near-dup document corpus (the dedupeDecision bench
+    * input): docs come in groups of 8 sharing a base text of 25 vocab
+    * words; each non-base member is, with probability 1/4, a NEAR-DUP of
+    * the base (two word positions swapped for member-specific words —
+    * 4-shingle Jaccard ≈ 0.85, above a 0.7 bar), otherwise a unique text.
+    * Pure id arithmetic — identical at any parallelism.
+    */
+  def documents(spark: SparkSession, n: Long, seed: Long = 3L): DataFrame = {
+    import spark.implicits._
+    val vocab = DocVocab
+    val nWords = 25
+    spark.range(n).map { id0 =>
+      val id = id0 + seed * 888888877L
+      val group = id0 / 8
+      val member = (id0 % 8).toInt
+      val isDup = member > 0 && uniform(id, 201) < 0.25
+      // member 0 IS the group base; dups perturb it, uniques go their own way
+      val textSeed = if (isDup || member == 0) group * 131L + seed else id * 131L
+      val p1 = if (isDup) (mix(id + 7) & 0x7fffffffL).toInt % nWords else -1
+      val p2 = if (isDup) (mix(id + 9) & 0x7fffffffL).toInt % nWords else -1
+      val sb = new StringBuilder
+      var j = 0
+      while (j < nWords) {
+        if (j > 0) sb += ' '
+        val idx =
+          if (j == p1 || j == p2) (mix(id * 31L + j) & 4095L).toInt
+          else (mix(textSeed + j) & 4095L).toInt
+        sb ++= vocab(idx)
+        j += 1
+      }
+      DocRow(id0, sb.result())
+    }.toDF()
+  }
+
+  case class EmbRow(vec_id: Long, embedding: Array[Float])
+
+  /** Deterministic embedding corpus (the exact-cosine triangle-join bench
+    * input): vectors come in groups of 4; each non-base member is, with
+    * probability 1/4, the group base direction plus 2% noise (cosine
+    * ≈ 0.999, a planted near-dup), otherwise an independent vector.
+    */
+  def embeddings(spark: SparkSession, n: Long, dims: Int = 64,
+                 seed: Long = 5L): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { id0 =>
+      val id = id0 + seed * 777767777L
+      val group = id0 / 4
+      val member = (id0 % 4).toInt
+      val isDup = member > 0 && uniform(id, 301) < 0.25
+      // member 0 IS the group base direction; dups add noise around it
+      val baseSeed = if (isDup || member == 0) group * 613L + seed else id * 613L
+      val v = Array.tabulate(dims) { d =>
+        val base = uniform(baseSeed + d, 307) * 2.0 - 1.0
+        val noise = if (isDup) (uniform(id * 41L + d, 311) - 0.5) * 0.04 else 0.0
+        (base + noise).toFloat
+      }
+      EmbRow(id0, v)
+    }.toDF()
+  }
+
   case class BoundaryRow(
       polygon_id: Long, ring: Array[(Double, Double)], tags: Map[String, String])
 

@@ -33,11 +33,16 @@ object Knn {
   /** @param queries (queryIdCol, qLonCol, qLatCol)
     * @param points  (pointIdCol, lonCol, latCol)
     * @param initCap cap on the density-derived first-round radius
+    * @param onRound instrumentation hook, called after every expansion
+    *                round with (rounds completed, queries still unfinished)
+    *                — separates plan cost (extra rounds = extra shuffles)
+    *                from host noise in bench traces; default no-op
     * @return (query_id, rank, point_id, dist) with rank in 1..k
     */
   def cellRing(queries: DataFrame, queryIdCol: String, qLonCol: String, qLatCol: String,
                points: DataFrame, pointIdCol: String, lonCol: String, latCol: String,
-               k: Int, z: Int = 7, maxRings: Int = 1 << 10, initCap: Int = 8): DataFrame = {
+               k: Int, z: Int = 7, maxRings: Int = 1 << 10, initCap: Int = 8,
+               onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
 
@@ -68,8 +73,11 @@ object Knn {
 
     val emptyBest = spark.emptyDataFrame
     var best: DataFrame = null
+    var round = 0
+    var nRem = remaining.count()
+    onRound(round, nRem)
 
-    while (!remaining.isEmpty) {
+    while (nRem > 0) {
       // explore rings __explored+1 .. __next (per query); in later rounds
       // the radius DOUBLES each time, so stragglers converge in O(log r)
       // shuffles instead of one per ring. The termination bound is
@@ -114,6 +122,9 @@ object Knn {
           least(lit(hardMax), greatest(col("__explored") + 1, col("__explored") * 2)).as("__next"))
         .persist()
       prevRemaining.unpersist()
+      round += 1
+      nRem = remaining.count()
+      onRound(round, nRem)
     }
 
     remaining.unpersist()

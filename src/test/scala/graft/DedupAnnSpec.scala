@@ -368,4 +368,44 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(groups.max <= 4 * 32, s"join group too large: ${groups.max}")
     assert(groups.length > 10, "oversized bucket must split into many groups")
   }
+
+  test("bench fixtures: planted groups recovered (documents + embeddings)") {
+    import graft.geo.GeoFixtures
+    // embeddings — EXACT mode must find precisely the planted group pairs
+    val n = 400L
+    val emb = GeoFixtures.embeddings(spark, n)
+    val embMembers: Map[Long, Seq[Long]] = (0L until n).groupBy(_ / 4).map {
+      case (g, ids) => g -> ids.filter { id0 =>
+        val id = id0 + 5L * 777767777L // the generator's seed arithmetic
+        id0 % 4 == 0 || GeoFixtures.uniform(id, 301) < 0.25
+      }.toSeq
+    }
+    val plantedEmb = embMembers.values.flatMap { ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    val gotEmb = Ann.embeddingNearDupPairs(emb, "vec_id", "embedding", 9, 10)
+      .select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotEmb === plantedEmb,
+      s"exact cosine pairs must equal the planted groups (got ${gotEmb.size}, planted ${plantedEmb.size})")
+
+    // documents — every emitted cluster stays within one planted group
+    // (precision exact: cross-group Jaccard can't reach 0.7), and LSH
+    // recall over planted dups is high (banding makes it probabilistic)
+    val docs = GeoFixtures.documents(spark, n)
+    val dec = Dedup.dedupeDecision(docs, "doc_id", "text",
+      shingleN = 4, numHashes = 8, rowsPerBand = 2, threshold = 0.7, bucketCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    dec.filter { case (id, c) => id != c }.foreach { case (id, c) =>
+      assert(id / 8 === c / 8, s"cluster crosses planted groups: $id -> $c")
+    }
+    val plantedDupDocs = (0L until n).filter { id0 =>
+      val id = id0 + 3L * 888888877L
+      id0 % 8 != 0 && GeoFixtures.uniform(id, 201) < 0.25
+    }
+    val clusteredWith = dec.groupBy(_._2).view.mapValues(_.size).toMap
+    val hits = plantedDupDocs.count(d => dec(d) != d || clusteredWith.getOrElse(d, 1) > 1)
+    assert(plantedDupDocs.nonEmpty)
+    assert(hits >= (plantedDupDocs.size * 8) / 10,
+      s"LSH recall too low: $hits of ${plantedDupDocs.size} planted dups clustered")
+  }
 }
