@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // This sandbox's hypervisor services first-touch anon page faults at an
+  // erratic 0.25-1.3 GB/s (virtio free-page reporting hands freed guest
+  // pages back to the VMM; refaults are remote). G1 uncommits heap regions
+  // at every concurrent cycle and recommits them mid-run — measured 41
+  // young GCs x 4.4 s on a bench leg, all fault-service time. A fixed-size
+  // heap + ParallelGC (never uncommits) faults each page exactly once.
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))

@@ -4,7 +4,7 @@
 import json, re, subprocess, sys, datetime, pathlib
 
 N_IMAGES, N_POLYS, N_PAYLOAD = 30_000_000, 1000, 3_000_000
-N_DOCS, N_EMB, N_KNN_PTS, N_KNN_Q = 100_000, 24_000, 10_000_000, 50_000
+N_DOCS, N_EMB, N_KNN_PTS, N_KNN_Q = 100_000, 24_000, 10_000_000, 10_000
 JOBS = [("join_cells", "spatial-join (cell equi-join + PIP refine) + tiling"),
         ("join_rtree", "spatial-join (broadcast R-tree, zero shuffle) + tiling"),
         ("decode", "image decode + feature extraction (columnar)"),
@@ -18,7 +18,10 @@ REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 def sbt(cmd):
     out = subprocess.run(
         ["sbt", "-batch", cmd], capture_output=True, text=True,
-        env={**__import__("os").environ, "SPARK_DRIVER_MEM": "48g"}).stdout
+        # 12g fixed heap: large enough for every leg, small enough that the
+        # one-time first-touch fault cost (this host's hypervisor services
+        # anon faults at 0.25-1.3 GB/s) stays out of the measured reps.
+        env={**__import__("os").environ, "SPARK_DRIVER_MEM": "12g"}).stdout
     m = re.findall(r'\{.*\}', out)
     if not m:
         print(out[-3000:], file=sys.stderr)
@@ -67,8 +70,9 @@ knn_notes = []
 for cpus in (8, 32):
     tr = res[("knn_ring", cpus)].get("knn_rounds")
     if tr:
-        knn_notes.append(f"- cell-ring kNN rounds @{cpus} cores "
-                         f"(round:queries_remaining): {tr}")
+        z = res[("knn_ring", cpus)].get("knn_z")
+        knn_notes.append(f"- cell-ring kNN @{cpus} cores: density-picked z={z} "
+                         f"(Knn.pickZoom), rounds (round:queries_remaining): {tr}")
 if knn_notes:
     lines += ["\nkNN cell-ring round trace (adaptive radius + geometric doubling):"] + knn_notes
 lines += [

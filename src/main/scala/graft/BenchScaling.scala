@@ -87,9 +87,16 @@ object BenchScaling {
     * decision-frame row count (== corpus size: one decision per doc).
     */
   def dedupeDecisionJob(s: SparkSession): Long = {
+    // shingleN=8: character shingles need enough length that UNRELATED docs
+    // don't collide — 4-char shingles over a shared vocabulary give random
+    // doc pairs Jaccard ~0.1+, and with 2-row bands (collision prob J² per
+    // band) the candidate set explodes quadratically at corpus scale
+    // (measured: millions of candidate pairs at 20k docs with n=4 vs 23k
+    // candidates with n=8). threshold=0.5 keeps the planted near-dups
+    // (2 words perturbed out of 25 → char-8-gram Jaccard ~0.55-0.8).
     val docs = s.read.parquet(s"$dataDir/docs")
-    graft.dedup.Dedup.dedupeDecision(docs, "doc_id", "text", shingleN = 4,
-      numHashes = 8, rowsPerBand = 2, threshold = 0.7, bucketCap = 1000).count()
+    graft.dedup.Dedup.dedupeDecision(docs, "doc_id", "text", shingleN = 8,
+      numHashes = 8, rowsPerBand = 2, threshold = 0.5, bucketCap = 1000).count()
   }
 
   /** Exact integer-cosine near-dup pairs via the distributed triangle block
@@ -105,16 +112,21 @@ object BenchScaling {
     * straggler instrumentation, reported into BENCH_SCALING.md.
     */
   private var knnTrace: Seq[(Int, Long)] = Nil
+  private var knnZ: Int = -1
 
-  /** Cell-ring kNN: 50k mixed dense/sparse queries over the 10M-point
-    * table, k=10 at z=10. Returns output rows (queries × k).
+  /** Cell-ring kNN: mixed dense/sparse queries over the 10M-point table,
+    * k=10, zoom picked from the point density ([[graft.knn.Knn.pickZoom]] —
+    * a fixed coarse z leaves whole cities inside single cells and the
+    * round-1 join goes quadratic). Returns output rows (queries × k).
     */
   def knnRingJob(s: SparkSession): Long = {
     val pts = s.read.parquet(s"$dataDir/knn_points")
     val qs = s.read.parquet(s"$dataDir/knn_queries")
+    val z = graft.knn.Knn.pickZoom(pts, "lon", "lat")
+    knnZ = z
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     val n = graft.knn.Knn.cellRing(qs, "query_id", "lon", "lat",
-      pts, "point_id", "lon", "lat", k = 10, z = 10,
+      pts, "point_id", "lon", "lat", k = 10, z = z,
       onRound = (r, rem) => trace += ((r, rem))).count()
     knnTrace = trace.toSeq
     n
@@ -219,7 +231,7 @@ object BenchScaling {
       val extra =
         if (knnTrace.isEmpty) ""
         else knnTrace.map { case (r, n) => s"$r:$n" }
-          .mkString(""", "knn_rounds": """", ",", "\"")
+          .mkString(s""", "knn_z": $knnZ, "knn_rounds": """", ",", "\"")
       println(f"""{"job": "$jobName", "cpus": $cpus, "rows": $rows, "sec": $best%.2f$extra%s}""")
 
     case _ =>

@@ -26,6 +26,58 @@ object Knn {
   def ringCells(cell: Column, k: Column): Column =
     toCol(RingCellsExpr(toExpr(cell), toExpr(k.cast("int"))))
 
+  /** Density-derived cell zoom for [[cellRing]]: the SMALLEST z whose
+    * hottest cell holds ≤ `hotCellCap` points (estimated from one sampled
+    * occupancy pass). The ring join's per-round fanout is
+    * O(queries-in-cell × points-in-cell), so a zoom that leaves a whole
+    * city inside one cell turns the first round quadratic — measured on the
+    * bench fixture (10M points, 60% city-clustered, z=10): the round-1 join
+    * wrote billions of rows and ran for over half an hour, vs seconds at
+    * the density-appropriate zoom. At 100 TB this is one cheap sampled
+    * aggregation (~1% of one column pair) followed by log₂-many roll-up
+    * aggs over the ALREADY-AGGREGATED cell frame (≤ sample-size rows, one
+    * scalar max each — no per-row data ever reaches the driver).
+    *
+    * The cap trades dense-cell join fanout against sparse-query ring
+    * rounds; ~4k keeps round-1 candidate lists in the 10³-10⁴ range for
+    * k ≤ 100 while leaving globally-sparse queries within a few doubling
+    * rounds of their neighbors.
+    */
+  def pickZoom(points: DataFrame, lonCol: String, latCol: String,
+               hotCellCap: Long = 4096L, zMin: Int = 4, zMax: Int = 16,
+               sampleFraction: Double = 0.01, seed: Long = 7L): Int = {
+    require(zMin <= zMax, s"pickZoom: zMin $zMin > zMax $zMax")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val sampled =
+      if (sampleFraction >= 1.0) points.select(col(lonCol), col(latCol))
+      else points.select(col(lonCol), col(latCol)).sample(sampleFraction, seed)
+    var counts = sampled
+      .select(cell_id(col(lonCol), col(latCol), zMax).as("__cell"))
+      .groupBy(col("__cell")).agg(count(lit(1)).as("__cn"))
+      .persist()
+    counts.count()
+    val scale = if (sampleFraction >= 1.0) 1.0 else 1.0 / sampleFraction
+    try {
+      var z = zMax
+      var picked = zMax
+      var hot = counts.agg(max(col("__cn"))).as[Long].head()
+      while (z > zMin && hot * scale <= hotCellCap) {
+        picked = z
+        // parent cell: shift out the low Morton quad, re-tag the zoom
+        val prev = counts
+        counts = prev
+          .groupBy((shiftright(col("__cell"), 7) * 32 + lit(z - 1)).as("__cell"))
+          .agg(sum(col("__cn")).as("__cn"))
+          .persist()
+        hot = counts.agg(max(col("__cn"))).as[Long].head()
+        prev.unpersist()
+        z -= 1
+      }
+      if (hot * scale <= hotCellCap) zMin else picked
+    } finally counts.unpersist()
+  }
+
   def ringMinSqDist(lon: Column, lat: Column, cell: Column, k: Column): Column =
     toCol(RingMinSqDistExpr(Seq(
       toExpr(lon), toExpr(lat), toExpr(cell), toExpr(k.cast("int")))))

@@ -388,12 +388,16 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(gotEmb === plantedEmb,
       s"exact cosine pairs must equal the planted groups (got ${gotEmb.size}, planted ${plantedEmb.size})")
 
-    // documents — every emitted cluster stays within one planted group
-    // (precision exact: cross-group Jaccard can't reach 0.7), and LSH
-    // recall over planted dups is high (banding makes it probabilistic)
+    // documents — the EXACT parameter set the scaling leg runs
+    // (BenchScaling.dedupeDecisionJob): 8-char shingles keep unrelated-doc
+    // Jaccard near zero (4-char shingles over a shared vocabulary collide
+    // so heavily that the candidate set goes quadratic at corpus scale),
+    // threshold 0.5 keeps the planted 2-of-25-word perturbations
+    // (char-8-gram J ≈ 0.55-0.8). Every emitted cluster must stay within
+    // one planted group, and LSH recall over planted dups is high.
     val docs = GeoFixtures.documents(spark, n)
     val dec = Dedup.dedupeDecision(docs, "doc_id", "text",
-      shingleN = 4, numHashes = 8, rowsPerBand = 2, threshold = 0.7, bucketCap = 100)
+      shingleN = 8, numHashes = 8, rowsPerBand = 2, threshold = 0.5, bucketCap = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     dec.filter { case (id, c) => id != c }.foreach { case (id, c) =>
       assert(id / 8 === c / 8, s"cluster crosses planted groups: $id -> $c")

@@ -56,6 +56,32 @@ class KnnSpec extends SparkSpecBase {
     assert(got === brute(7))
   }
 
+  test("pickZoom: smallest zoom whose hottest cell is under the cap") {
+    import spark.implicits._
+    import graft.index.CellIndex
+    // one dense blob (600 points inside one z=10 cell) + a sparse sprinkle;
+    // exact counting (sampleFraction = 1.0) so the assertion is exact
+    val blob = (0 until 600).map { i =>
+      (i.toLong, 10.0 + (i % 25) * 0.001, 45.0 + (i / 25) * 0.001)
+    }
+    val sparse = (0 until 50).map { i =>
+      (1000L + i, -170.0 + i * 6.9, -80.0 + i * 3.1)
+    }
+    val pts = (blob ++ sparse).toDF("pid", "lon", "lat")
+    val z = Knn.pickZoom(pts, "lon", "lat", hotCellCap = 64L,
+      zMin = 4, zMax = 18, sampleFraction = 1.0)
+    // the picked zoom must satisfy the cap...
+    def hotAt(zz: Int): Long = pts
+      .groupBy(graft.functions.GeoFunctions.cell_id(col("lon"), col("lat"), zz))
+      .count().agg(max("count")).as[Long].head()
+    assert(hotAt(z) <= 64L, s"picked z=$z violates the cap: ${hotAt(z)}")
+    // ...and be MINIMAL: one level coarser must break it (unless at zMin)
+    if (z > 4) assert(hotAt(z - 1) > 64L, s"z=${z - 1} also fits — z=$z not minimal")
+    // a cap nothing violates picks the coarsest level allowed
+    assert(Knn.pickZoom(pts, "lon", "lat", hotCellCap = 100000L,
+      zMin = 4, zMax = 16, sampleFraction = 1.0) === 4)
+  }
+
   test("k larger than population returns all points ranked") {
     import spark.implicits._
     val tiny = Seq((100L, 1.0, 1.0), (101L, 2.0, 2.0), (102L, 3.0, 3.0))
