@@ -23,16 +23,28 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+val graftJvmHook: Seq[String] = sys.env
+  .get("SPARK_GRAFT_JVM_OPTS")
+  .toSeq
+  .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+// GC: G1, explicitly. ParallelGC was tried in round 4 to avoid G1's heap
+// uncommit/recommit page-fault cost on this hypervisor, but ParallelGC has no
+// concurrent class unloading — Spark's per-stage generated classes accumulate
+// until the JIT stops compiling, making long-lived JVMs cumulatively ~10x
+// slower (41-query gate: 1269 s vs 132 s with G1, same box/heap). The
+// page-fault motivation is instead addressed by pinning -Xms=-Xmx for `run`
+// below: with a fixed-size heap G1 never uncommits regions either, so each
+// page faults exactly once.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // This sandbox's hypervisor services first-touch anon page faults at an
-  // erratic 0.25-1.3 GB/s (virtio free-page reporting hands freed guest
-  // pages back to the VMM; refaults are remote). G1 uncommits heap regions
-  // at every concurrent cycle and recommits them mid-run — measured 41
-  // young GCs x 4.4 s on a bench leg, all fault-service time. A fixed-size
-  // heap + ParallelGC (never uncommits) faults each page exactly once.
-  "-XX:+UseParallelGC",
-) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+  "-XX:+UseG1GC",
+) ++ graftJvmHook
+// -Xms pin only for run/bench mains: test forks stay elastic so concurrent
+// `sbt test` forks on smaller hosts don't fail at startup reserving 8g each.
+// The env hook is re-appended after the pin so it can still override -Xms
+// (the JVM honors the last occurrence of a flag).
+run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+) ++ graftJvmHook

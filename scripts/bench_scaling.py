@@ -89,5 +89,9 @@ lines += [
     "and each executor reads from its own bus/disks, so the kernel number is the "
     "one that extrapolates.",
 ]
-pathlib.Path("BENCH_SCALING.md").write_text("\n".join(lines) + "\n")
+# Prepend the new section; keep prior rounds' sections below for history.
+out_path = pathlib.Path("BENCH_SCALING.md")
+prior = out_path.read_text() if out_path.exists() else ""
+sep = "\n\n---\n\n" if prior.strip() else "\n"
+out_path.write_text("\n".join(lines) + sep + prior)
 print(json.dumps(combined))

@@ -24,6 +24,8 @@ package graft.index
 object CellIndex {
 
   val MaxZ = 29
+  /** Width of the zoom field in a packed cell id (cellId = morton << ZoomBits | z). */
+  val ZoomBits = 5
   val MinLat: Double = -85.05112878
   val MaxLat: Double = 85.05112878
 
@@ -85,6 +87,18 @@ object CellIndex {
   def parent(cell: Long): Long = {
     val z = zOf(cell)
     if (z == 0) cell else (((cell >>> 5) >>> 2) << 5) | (z - 1).toLong
+  }
+
+  /** Column form of [[parent]] for cells whose zoom is known statically to
+    * be `childZ` (> 0). Packed ids are non-negative, so dropping the zoom
+    * field plus one Morton quad is a single shiftright by ZoomBits + 2.
+    * Shares the bit layout with [[pack]]/[[parent]] — do not re-encode it
+    * inline at call sites.
+    */
+  def parentCol(cell: org.apache.spark.sql.Column, childZ: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftright}
+    require(childZ > 0 && childZ <= MaxZ, s"parentCol: childZ $childZ out of (0, $MaxZ]")
+    shiftright(cell, ZoomBits + 2) * lit(1L << ZoomBits) + lit((childZ - 1).toLong)
   }
 
   /** Ancestor at the given zoom (must be <= cell's zoom). */

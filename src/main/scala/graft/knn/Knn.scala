@@ -26,6 +26,13 @@ object Knn {
   def ringCells(cell: Column, k: Column): Column =
     toCol(RingCellsExpr(toExpr(cell), toExpr(k.cast("int"))))
 
+  /** Default no-op [[cellRing]] round hook. Kept as a named value so
+    * `cellRing` can detect "no instrumentation requested" by reference and
+    * skip the exact per-round remaining count (a full count job) in favor of
+    * a limit-1 emptiness probe.
+    */
+  val noopRound: (Int, Long) => Unit = (_, _) => ()
+
   /** Density-derived cell zoom for [[cellRing]]: the SMALLEST z whose
     * hottest cell holds ≤ `hotCellCap` points (estimated from one sampled
     * occupancy pass). The ring join's per-round fanout is
@@ -58,19 +65,23 @@ object Knn {
       .persist()
     counts.count()
     val scale = if (sampleFraction >= 1.0) 1.0 else 1.0 / sampleFraction
+    // coalesce: max over an EMPTY cell frame (empty points table, or a
+    // sampleFraction small enough that sample() returns zero rows) is null,
+    // which would fail decoding into a primitive Long.
+    def hottest(df: DataFrame): Long =
+      df.agg(coalesce(max(col("__cn")), lit(0L))).as[Long].head()
     try {
       var z = zMax
       var picked = zMax
-      var hot = counts.agg(max(col("__cn"))).as[Long].head()
+      var hot = hottest(counts)
       while (z > zMin && hot * scale <= hotCellCap) {
         picked = z
-        // parent cell: shift out the low Morton quad, re-tag the zoom
         val prev = counts
         counts = prev
-          .groupBy((shiftright(col("__cell"), 7) * 32 + lit(z - 1)).as("__cell"))
+          .groupBy(graft.index.CellIndex.parentCol(col("__cell"), z).as("__cell"))
           .agg(sum(col("__cn")).as("__cn"))
           .persist()
-        hot = counts.agg(max(col("__cn"))).as[Long].head()
+        hot = hottest(counts)
         prev.unpersist()
         z -= 1
       }
@@ -94,7 +105,7 @@ object Knn {
   def cellRing(queries: DataFrame, queryIdCol: String, qLonCol: String, qLatCol: String,
                points: DataFrame, pointIdCol: String, lonCol: String, latCol: String,
                k: Int, z: Int = 7, maxRings: Int = 1 << 10, initCap: Int = 8,
-               onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+               onRound: (Int, Long) => Unit = noopRound): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
 
@@ -126,7 +137,13 @@ object Knn {
     val emptyBest = spark.emptyDataFrame
     var best: DataFrame = null
     var round = 0
-    var nRem = remaining.count()
+    // The exact remaining count is a full count job per round; the loop only
+    // needs EMPTINESS (a limit-1 probe on the persisted frame). Pay for the
+    // count only when a caller actually installed an instrumentation hook.
+    val instrumented = onRound ne noopRound
+    def remCount(df: DataFrame): Long =
+      if (instrumented) df.count() else if (df.isEmpty) 0L else 1L
+    var nRem = remCount(remaining)
     onRound(round, nRem)
 
     while (nRem > 0) {
@@ -175,7 +192,7 @@ object Knn {
         .persist()
       prevRemaining.unpersist()
       round += 1
-      nRem = remaining.count()
+      nRem = remCount(remaining)
       onRound(round, nRem)
     }
 

@@ -82,6 +82,37 @@ class KnnSpec extends SparkSpecBase {
       zMin = 4, zMax = 16, sampleFraction = 1.0) === 4)
   }
 
+  test("CellIndex.parentCol matches CellIndex.parent (shared bit layout)") {
+    import spark.implicits._
+    import graft.index.CellIndex
+    val rng = new scala.util.Random(42)
+    for (z <- Seq(1, 5, 12, 20, CellIndex.MaxZ)) {
+      val cells = Seq.fill(50) {
+        val lon = rng.nextDouble() * 360 - 180
+        val lat = rng.nextDouble() * 170 - 85
+        CellIndex.cellId(lon, lat, z)
+      }
+      val got = cells.toDF("cell")
+        .select(CellIndex.parentCol(col("cell"), z).as("p"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === cells.map(CellIndex.parent), s"z=$z")
+    }
+  }
+
+  test("pickZoom survives empty and sampled-to-empty input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double, Double)].toDF("pid", "lon", "lat")
+    // empty frame: max(__cn) is null — must not throw decoding into Long
+    assert(Knn.pickZoom(empty, "lon", "lat", zMin = 4, zMax = 16,
+      sampleFraction = 1.0) === 4)
+    // tiny table + minuscule sample fraction: sample() plausibly returns
+    // zero rows; any answer in [zMin, zMax] is fine, throwing is not
+    val tiny = Seq((1L, 10.0, 45.0), (2L, 10.1, 45.1)).toDF("pid", "lon", "lat")
+    val z = Knn.pickZoom(tiny, "lon", "lat", zMin = 4, zMax = 16,
+      sampleFraction = 1e-9)
+    assert(z >= 4 && z <= 16)
+  }
+
   test("k larger than population returns all points ranked") {
     import spark.implicits._
     val tiny = Seq((100L, 1.0, 1.0), (101L, 2.0, 2.0), (102L, 3.0, 3.0))

@@ -103,6 +103,57 @@ class StreamsSpec extends SparkSpecBase {
       s"idle session must flush via the watermark: $first")
   }
 
+  test("late event past the watermark is dropped, not resurrected into a flushed session") {
+    implicit val sqlCtx = spark.sqlContext
+    // watermarkDelay defaults to "0 seconds": the moment the watermark
+    // passes an event's timestamp, that event is LATE and the state
+    // operator filters it before the session function ever sees it. This
+    // pins the semantics — a late event can neither reopen a flushed
+    // session nor open a phantom new one.
+    val mem = MemoryStream[Event]
+    val out = Streams.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000,
+      streaming = true, idleFlush = true)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    def sessions(): Set[(Long, java.sql.Timestamp, java.sql.Timestamp, Int, Double)] =
+      spark.table("late_out").collect()
+        .map(s => (s.getLong(0), s.getTimestamp(1), s.getTimestamp(2),
+          s.getInt(3), s.getDouble(4))).toSet
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("late_out").count() < n && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    }
+    try {
+      mem.addData(Event(1L, "a", ts(0), 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(2L, "b", ts(40), 4.0)) // watermark advances to ts(40)
+      q.processAllAvailable()
+      awaitCount(1) // user 1's idle session flushes via the event-time timeout
+      assert(sessions().contains((1L, ts(0), ts(0), 1, 1.0)))
+      val afterFlush = spark.table("late_out").count()
+      // LATE: ts(1) is far below the ts(40) watermark — must be dropped
+      mem.addData(Event(1L, "a", ts(1), 9.0))
+      q.processAllAvailable()
+      assert(spark.table("late_out").count() === afterFlush,
+        s"late event must not emit or reopen a session: ${sessions()}")
+      // an on-time event still opens a fresh session; advance the watermark
+      // far enough to flush everything so the late event had every chance
+      // to surface before we assert it never did
+      mem.addData(Event(1L, "a", ts(50), 5.0))
+      q.processAllAvailable()
+      mem.addData(Event(2L, "b", ts(80), 2.0))
+      q.processAllAvailable()
+      awaitCount(3) // user 1 @50 and user 2 @40 both idle-flush
+      val got = sessions()
+      assert(got.contains((1L, ts(50), ts(50), 1, 5.0)),
+        s"on-time event after the late one must session normally: $got")
+      assert(got.contains((2L, ts(40), ts(40), 1, 4.0)), s"$got")
+      assert(!got.exists(s => s._5 == 9.0 || s._2 == ts(1) || s._3 == ts(1)),
+        s"the late ts(1) event leaked into a session: $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicates across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
