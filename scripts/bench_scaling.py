@@ -4,7 +4,20 @@
 import json, re, subprocess, sys, datetime, pathlib
 
 N_IMAGES, N_POLYS, N_PAYLOAD = 30_000_000, 1000, 3_000_000
-N_DOCS, N_EMB, N_KNN_PTS, N_KNN_Q = 100_000, 24_000, 10_000_000, 10_000
+# Corpus sizes are picked so each leg's scalable work dominates its fixed
+# floor (session bring-up + per-stage driver/AQE latency, ~2-6 s —
+# parallelism-independent, so a leg whose @32 time approaches it measures
+# the floor, not the operator; solve T(c) = F + W/c from the two points to
+# see the split):
+# - N_EMB: exact O(n²) triangle join; 24k vectors ran 2.7 s @32 (floor-
+#   bound), 96k gives 16× the pair work (~12 s @32).
+# - N_DOCS: dedupeDecision at 100k docs had W/32 ≈ 18 s against F ≈ 6 s;
+#   300k triples W for the same F.
+# - N_KNN_PTS: the ring loop pays ~6 driver-synchronized stage barriers per
+#   round regardless of data (measured ~2.5-3 s/round at BOTH 8 and 32
+#   cores on 10M points, where total work is only ~70 core-s); 100M points
+#   gives the rounds real work per barrier.
+N_DOCS, N_EMB, N_KNN_PTS, N_KNN_Q = 300_000, 96_000, 100_000_000, 10_000
 JOBS = [("join_cells", "spatial-join (cell equi-join + PIP refine) + tiling"),
         ("join_rtree", "spatial-join (broadcast R-tree, zero shuffle) + tiling"),
         ("decode", "image decode + feature extraction (columnar)"),

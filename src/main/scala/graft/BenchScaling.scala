@@ -99,6 +99,26 @@ object BenchScaling {
       numHashes = 8, rowsPerBand = 2, threshold = 0.5, bucketCap = 1000).count()
   }
 
+  /** Prefix-stage legs of [[dedupeDecisionJob]] (same corpus and params):
+    * each times the pipeline THROUGH the named stage, so consecutive
+    * deltas at a given core count are marginal stage costs and the
+    * per-stage 8-vs-32 ratios attribute any scaling shortfall of the
+    * end-to-end leg to the stage that owns it.
+    */
+  private def dedupePrefix(s: SparkSession, through: String): Long = {
+    import graft.dedup.Dedup
+    val docs = s.read.parquet(s"$dataDir/docs")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 8)
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", 8, 8)
+    if (through == "sig") return sigs.count()
+    val cand = Dedup.lshCandidates(sigs, "doc_id", 8, 2, 1000)
+    if (through == "cand") return cand.count()
+    Dedup.verifyCandidates(sh, "doc_id", cand, 0.5).count()
+  }
+  def dedupeSigJob(s: SparkSession): Long = dedupePrefix(s, "sig")
+  def dedupeCandJob(s: SparkSession): Long = dedupePrefix(s, "cand")
+  def dedupeVerifyJob(s: SparkSession): Long = dedupePrefix(s, "verify")
+
   /** Exact integer-cosine near-dup pairs via the distributed triangle block
     * join — O(n²) compute by contract, so the leg measures how the
     * fixed-compute task grid scales with cores. Returns pair count.
@@ -111,7 +131,7 @@ object BenchScaling {
   /** Trace of the last kNN run: (round, queries remaining) — VERDICT r03 #8
     * straggler instrumentation, reported into BENCH_SCALING.md.
     */
-  private var knnTrace: Seq[(Int, Long)] = Nil
+  private var knnTrace: Seq[(Int, Long, Double)] = Nil
   private var knnZ: Int = -1
 
   /** Cell-ring kNN: mixed dense/sparse queries over the 10M-point table,
@@ -122,12 +142,22 @@ object BenchScaling {
   def knnRingJob(s: SparkSession): Long = {
     val pts = s.read.parquet(s"$dataDir/knn_points")
     val qs = s.read.parquet(s"$dataDir/knn_queries")
+    val t0 = System.nanoTime()
     val z = graft.knn.Knn.pickZoom(pts, "lon", "lat")
     knnZ = z
-    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    // per-round wall clock (delta since the previous hook call, the first
+    // delta including pickZoom + setup): identical round TRACES at 8 and 32
+    // cores mean the plan is parallelism-independent, so the per-round
+    // TIMES are what attribute a scaling shortfall
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    var last = t0
     val n = graft.knn.Knn.cellRing(qs, "query_id", "lon", "lat",
       pts, "point_id", "lon", "lat", k = 10, z = z,
-      onRound = (r, rem) => trace += ((r, rem))).count()
+      onRound = (r, rem) => {
+        val now = System.nanoTime()
+        trace += ((r, rem, (now - last) / 1e9))
+        last = now
+      }).count()
     knnTrace = trace.toSeq
     n
   }
@@ -219,6 +249,9 @@ object BenchScaling {
         case "decode_scan" => decodeScanJob
         case "decode_kernel" => decodeKernelJob
         case "dedupe_decision" => dedupeDecisionJob
+        case "dedupe_sig" => dedupeSigJob
+        case "dedupe_cand" => dedupeCandJob
+        case "dedupe_verify" => dedupeVerifyJob
         case "emb_pairs" => embPairsJob
         case "knn_ring" => knnRingJob
         case other => throw new IllegalArgumentException(s"unknown job $other")
@@ -230,7 +263,7 @@ object BenchScaling {
       s.stop()
       val extra =
         if (knnTrace.isEmpty) ""
-        else knnTrace.map { case (r, n) => s"$r:$n" }
+        else knnTrace.map { case (r, n, sec) => f"$r:$n:$sec%.2fs" }
           .mkString(s""", "knn_z": $knnZ, "knn_rounds": """", ",", "\"")
       println(f"""{"job": "$jobName", "cpus": $cpus, "rows": $rows, "sec": $best%.2f$extra%s}""")
 

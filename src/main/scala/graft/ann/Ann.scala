@@ -87,33 +87,57 @@ object Ann {
     // where n² is off the table use [[embeddingNearDupPairsLsh]].
     val quant = df.select(col(idCol).cast("long").as("vid"),
       transform(col(embCol), x => floor(x.cast("double") * lit(100.0) + lit(0.5)).cast("long")).as("qe"))
-    // default B: B(B+1)/2 pair tasks ≈ 2× the cluster's cores for even
-    // scheduling; raise numBlocks explicitly when 2·n/B vectors outgrow a
-    // task's memory (the O(n²) compute, not this shuffle, is the real cost)
+    // default B: B(B+1)/2 pair tasks ≈ 8× the cluster's cores — with one
+    // task per partition (below), wave quantization is the only balance
+    // loss and it shrinks as 1/waves (measured: 2× cores' worth of tasks
+    // gave 0.61 N→4N efficiency, the last partial wave dominating); raise
+    // numBlocks explicitly when 2·n/B vectors outgrow a task's memory (the
+    // O(n²) compute, not the n·B replication shuffle, is the real cost)
     val b = if (numBlocks > 0) numBlocks
             else math.max(2, math.ceil(math.sqrt(
-              4.0 * spark.sparkContext.defaultParallelism)).toInt)
+              16.0 * spark.sparkContext.defaultParallelism)).toInt)
     val tn2 = tauNum.toLong * tauNum
     val td2 = tauDen.toLong * tauDen
 
-    // one row per (vector, task it participates in): task (min(blk,j), max(blk,j))
+    // one row per (vector, task it participates in). Task ids are DENSE
+    // ranks of the unordered block pairs (lo <= hi):
+    //   dense(lo, hi) = lo*b - lo*(lo-1)/2 + (hi - lo)   in [0, b(b+1)/2)
+    // so each task can own exactly one reduce partition. Hashing task keys
+    // into spark.sql.shuffle.partitions instead (the previous groupByKey
+    // plan) collides ~2× cores' keys into ~cores bins — balls-in-bins puts
+    // 4-6 keys in the worst bin and the whole stage waits on it.
     val tasks = sequence(lit(0), lit(b - 1))
     val blk = pmod(col("vid"), lit(b.toLong)).cast("int")
     val replicated = quant
       .withColumn("blk", blk)
       .select(col("vid"), col("qe"), col("blk"),
-        explode(transform(tasks, j =>
-          least(col("blk"), j) * lit(b) + greatest(col("blk"), j))).as("task"))
+        explode(transform(tasks, j => {
+          val lo = least(col("blk"), j)
+          val hi = greatest(col("blk"), j)
+          // lo*(lo-1) is even, so shiftright(,1) is exact integer /2
+          (lo * lit(b) - shiftright(lo * (lo - lit(1)), 1) + (hi - lo)).cast("int")
+        })).as("task"))
 
-    replicated.select(col("task"), col("blk"), col("vid"), col("qe"))
+    val nTasks = b * (b + 1) / 2
+    val identityPart = new org.apache.spark.Partitioner {
+      def numPartitions: Int = nTasks
+      def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    val byTask = replicated.select(col("task"), col("blk"), col("vid"), col("qe"))
       .as[(Int, Int, Long, Array[Long])]
-      .groupByKey(_._1)
-      .flatMapGroups { (task: Int, it: Iterator[(Int, Int, Long, Array[Long])]) =>
-        val lo = task / b
-        val hi = task % b
+      .rdd.map { case (t, vblk, vid, qe) => (t, (vblk, vid, qe)) }
+      .partitionBy(identityPart)
+
+    byTask.mapPartitionsWithIndex { (task, itKv) =>
+        // invert the dense rank back to the block pair (lo, hi)
+        var lo = 0
+        var base = 0
+        while (base + (b - lo) <= task) { base += b - lo; lo += 1 }
+        val hi = lo + (task - base)
+        val it = itKv.map(_._2)
         val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
         val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
-        it.foreach { case (_, vblk, vid, qe) =>
+        it.foreach { case (vblk, vid, qe) =>
           if (vblk == lo) left += ((vid, qe))
           if (vblk == hi && lo != hi) right += ((vid, qe))
         }

@@ -95,10 +95,20 @@ object CellIndex {
     * Shares the bit layout with [[pack]]/[[parent]] — do not re-encode it
     * inline at call sites.
     */
-  def parentCol(cell: org.apache.spark.sql.Column, childZ: Int): org.apache.spark.sql.Column = {
+  def parentCol(cell: org.apache.spark.sql.Column, childZ: Int): org.apache.spark.sql.Column =
+    ancestorCol(cell, childZ, childZ - 1)
+
+  /** Column form of [[ancestor]] for cells whose zoom is known statically
+    * to be `fromZ`: drop `fromZ - toZ` Morton quads, re-tag the zoom.
+    * Packed ids are non-negative, so this is a single shiftright. Shares
+    * the bit layout with [[pack]] — do not re-encode it inline at call
+    * sites.
+    */
+  def ancestorCol(cell: org.apache.spark.sql.Column, fromZ: Int, toZ: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{lit, shiftright}
-    require(childZ > 0 && childZ <= MaxZ, s"parentCol: childZ $childZ out of (0, $MaxZ]")
-    shiftright(cell, ZoomBits + 2) * lit(1L << ZoomBits) + lit((childZ - 1).toLong)
+    require(toZ >= 0 && toZ <= fromZ && fromZ <= MaxZ,
+      s"ancestorCol: need 0 <= toZ <= fromZ <= $MaxZ, got fromZ=$fromZ toZ=$toZ")
+    shiftright(cell, ZoomBits + 2 * (fromZ - toZ)) * lit(1L << ZoomBits) + lit(toZ.toLong)
   }
 
   /** Ancestor at the given zoom (must be <= cell's zoom). */

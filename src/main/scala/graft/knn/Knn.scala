@@ -59,34 +59,64 @@ object Knn {
     val sampled =
       if (sampleFraction >= 1.0) points.select(col(lonCol), col(latCol))
       else points.select(col(lonCol), col(latCol)).sample(sampleFraction, seed)
-    var counts = sampled
-      .select(cell_id(col(lonCol), col(latCol), zMax).as("__cell"))
-      .groupBy(col("__cell")).agg(count(lit(1)).as("__cn"))
-      .persist()
-    counts.count()
     val scale = if (sampleFraction >= 1.0) 1.0 else 1.0 / sampleFraction
-    // coalesce: max over an EMPTY cell frame (empty points table, or a
-    // sampleFraction small enough that sample() returns zero rows) is null,
-    // which would fail decoding into a primitive Long.
-    def hottest(df: DataFrame): Long =
-      df.agg(coalesce(max(col("__cn")), lit(0L))).as[Long].head()
-    try {
-      var z = zMax
-      var picked = zMax
-      var hot = hottest(counts)
-      while (z > zMin && hot * scale <= hotCellCap) {
-        picked = z
-        val prev = counts
-        counts = prev
-          .groupBy(graft.index.CellIndex.parentCol(col("__cell"), z).as("__cell"))
-          .agg(sum(col("__cn")).as("__cn"))
-          .persist()
-        hot = hottest(counts)
-        prev.unpersist()
-        z -= 1
+    // ONE aggregation job for every level at once: explode each sampled
+    // point's zMax cell to its ancestor at every z in [zMin, zMax], count
+    // per (z, cell), roll up to the hottest cell per z, collect ≤ 26 rows.
+    // (The previous level-by-level roll-up loop ran 2 driver-synchronized
+    // jobs per level — ~20 s of parallelism-independent latency on the
+    // 10M-point scaling leg, dwarfing the actual aggregation work.)
+    val cellAtZMax = cell_id(col(lonCol), col(latCol), zMax)
+    val levels = (zMin to zMax).map(z => struct(lit(z).as("z"),
+      graft.index.CellIndex.ancestorCol(col("__cmax"), zMax, z).as("cell")))
+    val hotByZ: Map[Int, Long] = sampled
+      .select(cellAtZMax.as("__cmax"))
+      .select(explode(array(levels: _*)).as("zc"))
+      .groupBy(col("zc.z").as("z"), col("zc.cell").as("cell"))
+      .agg(count(lit(1)).as("cn"))
+      .groupBy(col("z")).agg(max(col("cn")).as("hot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // hottest-cell count is monotone non-decreasing as z gets coarser, so
+    // the original walk-down-while-cap-holds loop is equivalent to: the
+    // smallest (coarsest) z whose hottest cell fits the cap; zMax if none
+    // does; absent levels (empty/sampled-to-empty input) count 0.
+    val fits = (zMin to zMax).filter(z => hotByZ.getOrElse(z, 0L) * scale <= hotCellCap)
+    if (fits.isEmpty) zMax else fits.min
+  }
+
+  /** Per-partition bounded top-k cut over (query_id, point_id, dist) rows:
+    * keeps each query's k smallest (dist, point_id) within the partition,
+    * deduplicating identical pairs. Runs as mapPartitions in the producing
+    * stage — no sort, no shuffle — so downstream global ranking sees at
+    * most (queries-in-partition × k) rows per partition. Deterministic at
+    * any parallelism: the global top-k is invariant to partition
+    * boundaries because every globally-surviving row survives its own
+    * partition's cut.
+    */
+  private def localTopK(rows: DataFrame, k: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("query_id").cast("long"), col("point_id").cast("long"),
+        col("dist").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val ord = implicitly[Ordering[(Double, Long)]]
+        val heaps = new java.util.HashMap[Long, java.util.TreeSet[(Double, Long)]]()
+        it.foreach { case (q, p, d) =>
+          var s = heaps.get(q)
+          if (s == null) { s = new java.util.TreeSet[(Double, Long)](ord); heaps.put(q, s) }
+          if (s.size < k) s.add((d, p)) // TreeSet drops exact duplicates
+          else if (ord.lt((d, p), s.last)) {
+            s.add((d, p))
+            if (s.size > k) s.pollLast()
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.entrySet().iterator().asScala.flatMap { e =>
+          e.getValue.iterator().asScala.map(v => (e.getKey, v._2, v._1))
+        }
       }
-      if (hot * scale <= hotCellCap) zMin else picked
-    } finally counts.unpersist()
+      .toDF("query_id", "point_id", "dist")
   }
 
   def ringMinSqDist(lon: Column, lat: Column, cell: Column, k: Column): Column =
@@ -105,6 +135,7 @@ object Knn {
   def cellRing(queries: DataFrame, queryIdCol: String, qLonCol: String, qLatCol: String,
                points: DataFrame, pointIdCol: String, lonCol: String, latCol: String,
                k: Int, z: Int = 7, maxRings: Int = 1 << 10, initCap: Int = 8,
+               scanFinishThreshold: Int = 512,
                onRound: (Int, Long) => Unit = noopRound): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -112,6 +143,15 @@ object Knn {
     val pts = points.select(
       col(pointIdCol).as("point_id"), col(lonCol).as("p_lon"), col(latCol).as("p_lat"),
       cell_id(col(lonCol), col(latCol), z).as("__cell"))
+      // ONE shuffle of the point table, up front: every round's candidate
+      // join keys on __cell, and a cached HashPartitioning(__cell) side
+      // satisfies the join's distribution, so each round shuffles only the
+      // (small, shrinking) exploded-straggler side. Without this, every
+      // round re-shuffled all N points — measured on the 10M-point scaling
+      // leg as a per-round floor that got WORSE with more cores (shared
+      // memory bus: 32 writers thrash what 8 stream through). The same
+      // partitioning makes cellCounts below an exchange-free aggregation.
+      .repartition(col("__cell"))
       .persist()
 
     val hardMax = math.min(maxRings, 1 << math.min(z, 20))
@@ -147,6 +187,30 @@ object Knn {
     onRound(round, nRem)
 
     while (nRem > 0) {
+      // STRAGGLER FINISHER: once few queries remain, one exact broadcast-
+      // scan pass replaces the remaining doubling rounds. The tail queries
+      // are the globally-sparse ones whose ring radius doubles into
+      // thousands of (mostly empty) cells per query — O(r²) cell
+      // enumeration per round plus a full round of driver-synchronized
+      // stages for a handful of queries. scan() probes each cached point
+      // against the ≤ threshold stragglers with per-cell pruning: one job,
+      // exact by brute force, and the collected query set is bounded by
+      // the threshold regardless of corpus size.
+      if (scanFinishThreshold > 0 && nRem <= scanFinishThreshold) {
+        val fin = scan(
+          remaining.select(col("query_id"), col("q_lon"), col("q_lat")),
+          "query_id", "q_lon", "q_lat",
+          pts.select(col("point_id"), col("p_lon"), col("p_lat")),
+          "point_id", "p_lon", "p_lat", k)
+        best =
+          if (best == null) fin
+          else best
+            .join(remaining.select(col("query_id")), Seq("query_id"), "left_anti")
+            .unionByName(fin.select(col("query_id"), col("rank"), col("point_id"), col("dist")))
+        round += 1
+        nRem = 0
+        onRound(round, 0L)
+      } else {
       // explore rings __explored+1 .. __next (per query); in later rounds
       // the radius DOUBLES each time, so stragglers converge in O(log r)
       // shuffles instead of one per ring. The termination bound is
@@ -155,8 +219,14 @@ object Knn {
       val ringsHere: Column = flatten(transform(
         sequence(col("__explored") + 1, col("__next")),
         kCol => ringCells(col("__qcell"), kCol)))
+      // shuffle-hash hint with the exploded-straggler side as the BUILD:
+      // sort-merge would re-SORT all N cached points every round (a
+      // bus-bound, parallelism-independent cost measured at ~3.4 s/round
+      // on the 10M-point leg); hash-probing streams the cached partitions
+      // unsorted, and only the small query side shuffles
       val cand = remaining
         .withColumn("__cell", explode(ringsHere))
+        .hint("shuffle_hash")
         .join(pts, "__cell")
         .select(col("query_id"), col("point_id"),
           sq_dist_deg(col("p_lon"), col("p_lat"), col("q_lon"), col("q_lat")).as("dist"))
@@ -165,13 +235,36 @@ object Knn {
         if (best == null) cand
         else best.select("query_id", "point_id", "dist").unionByName(cand)
 
+      // MAP-SIDE partial top-k before anything shuffles: per input
+      // partition, a bounded heap per query keeps its k best (dist,
+      // point_id) — any row in the global top-k is by definition in its
+      // partition's local top-k, so the cut is lossless, and it runs
+      // inside the join's stage with no sort and no exchange. Without it
+      // the full candidate volume (tens of millions of rows when dense
+      // stragglers double their radius) shuffles into the window — the
+      // dominant, bus-bound cost of the 10M-point scaling leg. Duplicate
+      // (query, point) rows from ring wrap-aliasing dedupe locally here
+      // (identical dist) and globally in the window below.
+      val reduced = localTopK(merged, k)
+
       // wrap-aliasing across rings can re-surface a candidate: dedupe, rank,
       // cut. (A single collect_list/array_sort/slice aggregation was
       // measured ~30% slower here — ObjectHashAggregate loses to the
-      // window's unsafe sort on this candidate volume.)
+      // window's unsafe sort on this candidate volume.) ONE explicit
+      // repartition on query_id serves the whole round: both windows
+      // (HashPartitioning(query_id) satisfies their clustering), the stats
+      // aggregation below (partial-only, no exchange), and the remaining
+      // update join (both sides end up query_id-partitioned) — the
+      // previous dropDuplicates shuffled on (query_id, point_id) and then
+      // the window re-shuffled on query_id, two exchanges of the full
+      // candidate volume per round.
+      val wDedup = Window.partitionBy(col("query_id"), col("point_id")).orderBy(col("dist"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("point_id"))
-      val newBest = merged
-        .dropDuplicates("query_id", "point_id")
+      val newBest = reduced
+        .repartition(col("query_id"))
+        .withColumn("__rn", row_number().over(wDedup))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .localCheckpoint(true)
@@ -194,6 +287,7 @@ object Knn {
       round += 1
       nRem = remCount(remaining)
       onRound(round, nRem)
+      }
     }
 
     remaining.unpersist()

@@ -32,8 +32,12 @@ class KnnSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
   }
 
-  private def runCellRing(k: Int, z: Int): Set[(Long, Int, Long)] =
-    Knn.cellRing(queries, "qid", "qlon", "qlat", points, "pid", "lon", "lat", k, z)
+  // scanThreshold = 0 forces the pure ring-expansion path (the default
+  // would scan-finish these few queries immediately); the default-path
+  // tests below cover the finisher
+  private def runCellRing(k: Int, z: Int, scanThreshold: Int = 0): Set[(Long, Int, Long)] =
+    Knn.cellRing(queries, "qid", "qlon", "qlat", points, "pid", "lon", "lat", k, z,
+        scanFinishThreshold = scanThreshold)
       .select(col("query_id"), col("rank"), col("point_id"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
 
@@ -47,6 +51,16 @@ class KnnSpec extends SparkSpecBase {
 
   test("cellRing matches brute force for large k (k=40, z=7)") {
     assert(runCellRing(40, 7) === brute(40))
+  }
+
+  test("cellRing scan finisher: default threshold takes over and stays exact") {
+    assert(runCellRing(5, 7, scanThreshold = 512) === brute(5))
+  }
+
+  test("cellRing scan finisher engages mid-loop (threshold below query count)") {
+    // 7 queries, threshold 3: at least one ring round runs, then the
+    // finisher replaces the straggler tail — result must still be exact
+    assert(runCellRing(5, 7, scanThreshold = 3) === brute(5))
   }
 
   test("scan plan matches brute force (k=7)") {

@@ -78,9 +78,16 @@ class PlanSpec extends SparkSpecBase {
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
-    // the all-pairs work happens inside the task loops after ONE hash
-    // exchange on the block-pair task key
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(3000))
+    // the all-pairs work happens inside the task loops after ONE identity
+    // partitionBy on the dense block-pair rank — one reduce partition per
+    // triangle task (hash-partitioning the task keys instead collides ~2×
+    // cores' keys into ~cores bins and the stage waits on the worst bin),
+    // so the SQL plan carries NO exchange and the RDD partition count is
+    // exactly the triangle task count
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    val b = math.max(2, math.ceil(math.sqrt(
+      16.0 * spark.sparkContext.defaultParallelism)).toInt)
+    assert(pairs.rdd.getNumPartitions === b * (b + 1) / 2)
   }
 
   test("pipeline username rejoin broadcasts the dimension") {
