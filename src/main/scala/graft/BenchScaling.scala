@@ -32,6 +32,11 @@ object BenchScaling {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Tungsten covers every DataFrame exchange; this only changes the one
+      // RDD-level shuffle in the triangle join (Ann.embeddingNearDupPairs
+      // partitionBy), where Kryo beats Java serialization on the
+      // (Int, (Int, Long, Array[Long])) tuples.
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -125,7 +130,13 @@ object BenchScaling {
     */
   def embPairsJob(s: SparkSession): Long = {
     val emb = s.read.parquet(s"$dataDir/embeddings")
-    graft.ann.Ann.embeddingNearDupPairs(emb, "vec_id", "embedding", 9, 10).count()
+    // numBlocks pinned: the production default derives the block count from
+    // the cluster's parallelism, which would give the 8- and 32-core legs
+    // DIFFERENT task grids (12 vs 23 blocks → 1.9× different replication
+    // shuffle volume) — the leg would measure the b-choice policy, not the
+    // operator. b=24 → 300 identical tasks at both core counts.
+    graft.ann.Ann.embeddingNearDupPairs(emb, "vec_id", "embedding", 9, 10,
+      numBlocks = 24).count()
   }
 
   /** Trace of the last kNN run: (round, queries remaining) — VERDICT r03 #8

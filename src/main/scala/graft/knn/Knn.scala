@@ -178,11 +178,20 @@ object Knn {
     var best: DataFrame = null
     var round = 0
     // The exact remaining count is a full count job per round; the loop only
-    // needs EMPTINESS (a limit-1 probe on the persisted frame). Pay for the
-    // count only when a caller actually installed an instrumentation hook.
+    // needs (a) emptiness and (b) whether the count is under the finisher
+    // threshold. The uninstrumented path answers both with a LIMIT-bounded
+    // count — at most threshold+1 rows produced, so the probe's cost is
+    // bounded by the threshold, not the corpus, and any value ≤ threshold is
+    // the EXACT count (the limit didn't cut). An emptiness-only probe here
+    // once returned a sentinel 1, which made `nRem <= scanFinishThreshold`
+    // true for ANY non-empty query set and collapsed the whole operator into
+    // scan()'s driver-side collect of every query — a driver OOM at 10M
+    // queries, and exactly the unbounded collect the finisher comment
+    // promises never happens.
     val instrumented = onRound ne noopRound
+    val probeCap = math.max(1, math.min(scanFinishThreshold, Int.MaxValue - 1) + 1)
     def remCount(df: DataFrame): Long =
-      if (instrumented) df.count() else if (df.isEmpty) 0L else 1L
+      if (instrumented) df.count() else df.limit(probeCap).count()
     var nRem = remCount(remaining)
     onRound(round, nRem)
 
