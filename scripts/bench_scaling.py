@@ -25,7 +25,8 @@ JOBS = [("join_cells", "spatial-join (cell equi-join + PIP refine) + tiling"),
         ("decode_kernel", "decode kernel: columnar scan + inflate only"),
         ("dedupe_decision", f"dedupeDecision end-to-end ({N_DOCS//1000}k docs: LSH+verify+CC)"),
         ("emb_pairs", f"exact embedding near-dup triangle join ({N_EMB//1000}k vectors)"),
-        ("knn_ring", f"cell-ring kNN (k=10, {N_KNN_Q//1000}k queries / {N_KNN_PTS//1_000_000}M points)")]
+        ("knn_ring", f"cell-ring kNN (k=10, {N_KNN_Q//1000}k queries / {N_KNN_PTS//1_000_000}M points)"),
+        ("knn_ring_bucketed", f"cell-ring kNN, bucketBy(cell) ingest layout (same {N_KNN_Q//1000}k/{N_KNN_PTS//1_000_000}M input)")]
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 
 def sbt(cmd):

@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   *       [nDocs nEmb nKnnPts nKnnQueries]
   *   runMain graft.BenchScaling run <job> <cpus> [reps]
   *     job ∈ join_cells | join_rtree | decode | decode_scan | decode_kernel
-  *           | dedupe_decision | emb_pairs | knn_ring
+  *           | dedupe_decision | dedupe_sig | dedupe_cand | dedupe_verify
+  *           | emb_pairs | knn_ring | knn_ring_bucketed
   */
 object BenchScaling {
 
@@ -173,6 +174,38 @@ object BenchScaling {
     n
   }
 
+  /** [[knnRingJob]] over the bucketBy(cell) ingest layout: the external
+    * bucketed table is re-registered from its on-disk location (bucket ids
+    * ride the file names, so a fresh JVM's catalog reconstructs the layout
+    * from DDL alone), and `pointCellCol` tells cellRing to trust the stored
+    * clustering — the one-time repartition+cache that dominates the plain
+    * leg's "round 0" never happens.
+    */
+  def knnRingBucketedJob(s: SparkSession): Long = {
+    val zb = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dataDir/knn_bucket_z")).trim.toInt
+    if (!s.catalog.tableExists("knn_points_b"))
+      s.sql(s"""CREATE TABLE knn_points_b
+                (point_id BIGINT, lon DOUBLE, lat DOUBLE, cell BIGINT)
+                USING PARQUET CLUSTERED BY (cell) INTO 128 BUCKETS
+                LOCATION '$dataDir/knn_points_bucketed'""")
+    val pts = s.table("knn_points_b")
+    val qs = s.read.parquet(s"$dataDir/knn_queries")
+    knnZ = zb
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    var last = System.nanoTime()
+    val n = graft.knn.Knn.cellRing(qs, "query_id", "lon", "lat",
+      pts, "point_id", "lon", "lat", k = 10, z = zb,
+      onRound = (r, rem) => {
+        val now = System.nanoTime()
+        trace += ((r, rem, (now - last) / 1e9))
+        last = now
+      },
+      pointCellCol = Some("cell")).count()
+    knnTrace = trace.toSeq
+    n
+  }
+
   /** Kernel-only leg: columnar scan + PNG inflate/unfilter, no feature
     * extraction and no output rows — isolates the decode kernel's scaling.
     */
@@ -247,6 +280,23 @@ object BenchScaling {
         graft.geo.GeoFixtures.knnQueries(prep, nKnnQ)
           .repartition(16).write.mode("overwrite").parquet(s"$dataDir/knn_queries")
       }
+      once(s"_READY_KNNB_${nKnnPts}_$nKnnQ") { prep =>
+        // The 100 TB ingest layout: points bucketed by their cell at the
+        // density-picked zoom, written ONCE — every later kNN run reads the
+        // clustering straight off the scan (zero point-side shuffle; see
+        // Knn.cellRing's pointCellCol). The zoom is pinned at ingest time
+        // and recorded beside the table for run legs in fresh JVMs.
+        val pts = prep.read.parquet(s"$dataDir/knn_points")
+        val zb = graft.knn.Knn.pickZoom(pts, "lon", "lat")
+        prep.sql("DROP TABLE IF EXISTS knn_points_b")
+        pts.withColumn("cell",
+            graft.functions.GeoFunctions.cell_id(col("lon"), col("lat"), zb))
+          .write.bucketBy(128, "cell").sortBy("cell")
+          .option("path", s"$dataDir/knn_points_bucketed")
+          .format("parquet").saveAsTable("knn_points_b")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dataDir/knn_bucket_z"), zb.toString)
+      }
       println("""{"prep": "ready"}""")
 
     case Some("run") =>
@@ -265,6 +315,7 @@ object BenchScaling {
         case "dedupe_verify" => dedupeVerifyJob
         case "emb_pairs" => embPairsJob
         case "knn_ring" => knnRingJob
+        case "knn_ring_bucketed" => knnRingBucketedJob
         case other => throw new IllegalArgumentException(s"unknown job $other")
       }
       val s = session(cpus)

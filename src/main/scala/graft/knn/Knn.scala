@@ -130,19 +130,33 @@ object Knn {
     *                round with (rounds completed, queries still unfinished)
     *                — separates plan cost (extra rounds = extra shuffles)
     *                from host noise in bench traces; default no-op
+    * @param pointCellCol name of a PRECOMPUTED cell column on `points`
+    *                (must equal `cell_id(lon, lat, z)` for this z). When the
+    *                point table was written `bucketBy(n, cell)` at ingest —
+    *                the 100 TB layout — its scan already satisfies every
+    *                round's join clustering, so the one-time repartition +
+    *                cache below (the single-box prep cost in
+    *                BENCH_SCALING.md's kNN decomposition) is skipped
+    *                entirely: zero point-side shuffle, ever.
     * @return (query_id, rank, point_id, dist) with rank in 1..k
     */
   def cellRing(queries: DataFrame, queryIdCol: String, qLonCol: String, qLatCol: String,
                points: DataFrame, pointIdCol: String, lonCol: String, latCol: String,
                k: Int, z: Int = 7, maxRings: Int = 1 << 10, initCap: Int = 8,
                scanFinishThreshold: Int = 512,
-               onRound: (Int, Long) => Unit = noopRound): DataFrame = {
+               onRound: (Int, Long) => Unit = noopRound,
+               pointCellCol: Option[String] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
 
-    val pts = points.select(
+    val ptsBase = points.select(
       col(pointIdCol).as("point_id"), col(lonCol).as("p_lon"), col(latCol).as("p_lat"),
-      cell_id(col(lonCol), col(latCol), z).as("__cell"))
+      pointCellCol.map(col).getOrElse(cell_id(col(lonCol), col(latCol), z)).as("__cell"))
+    val pts = pointCellCol match {
+      // Bucketed ingest layout: the scan itself reports the join's required
+      // hash clustering, so neither a shuffle nor a cache pays off — each
+      // round re-reads only a cheap vectorized scan (page-cache warm).
+      case Some(_) => ptsBase
       // ONE shuffle of the point table, up front: every round's candidate
       // join keys on __cell, and a cached HashPartitioning(__cell) side
       // satisfies the join's distribution, so each round shuffles only the
@@ -151,8 +165,8 @@ object Knn {
       // leg as a per-round floor that got WORSE with more cores (shared
       // memory bus: 32 writers thrash what 8 stream through). The same
       // partitioning makes cellCounts below an exchange-free aggregation.
-      .repartition(col("__cell"))
-      .persist()
+      case None => ptsBase.repartition(col("__cell")).persist()
+    }
 
     val hardMax = math.min(maxRings, 1 << math.min(z, 20))
 
@@ -300,7 +314,7 @@ object Knn {
     }
 
     remaining.unpersist()
-    pts.unpersist()
+    if (pointCellCol.isEmpty) pts.unpersist()
     if (best == null) emptyBest
     else best.select(col("query_id"), col("rank"), col("point_id"), col("dist"))
   }
