@@ -35,9 +35,10 @@ object BenchScaling {
       .config("spark.ui.enabled", "false")
       // Tungsten covers every DataFrame exchange; this only changes the one
       // RDD-level shuffle in the triangle join (Ann.embeddingNearDupPairs
-      // partitionBy), where Kryo beats Java serialization on the
-      // (Int, (Int, Long, Array[Long])) tuples.
-      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // partitionBy) on the (Int, (Int, Long, Array[Long])) tuples.
+      // Env-switchable so the emb_pairs isolation legs can A/B it.
+      .config("spark.serializer", sys.env.getOrElse("GRAFT_SERIALIZER",
+        "org.apache.spark.serializer.KryoSerializer"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -114,12 +115,13 @@ object BenchScaling {
   private def dedupePrefix(s: SparkSession, through: String): Long = {
     import graft.dedup.Dedup
     val docs = s.read.parquet(s"$dataDir/docs")
-    val sh = Dedup.shingles(docs, "doc_id", "text", 8)
-    val sigs = Dedup.minhashSignatures(sh, "doc_id", 8, 8)
+    // same stages, same shapes as Dedup.dedupeDecision (packed-first path)
+    val packed = Dedup.packedShingles(docs, "doc_id", "text", 8)
+    val sigs = Dedup.minhashSignaturesPacked(packed, "doc_id", 8, 8)
     if (through == "sig") return sigs.count()
     val cand = Dedup.lshCandidates(sigs, "doc_id", 8, 2, 1000)
     if (through == "cand") return cand.count()
-    Dedup.verifyCandidates(sh, "doc_id", cand, 0.5).count()
+    Dedup.verifyCandidatesPacked(packed, "doc_id", cand, 0.5).count()
   }
   def dedupeSigJob(s: SparkSession): Long = dedupePrefix(s, "sig")
   def dedupeCandJob(s: SparkSession): Long = dedupePrefix(s, "cand")
@@ -136,8 +138,10 @@ object BenchScaling {
     // DIFFERENT task grids (12 vs 23 blocks → 1.9× different replication
     // shuffle volume) — the leg would measure the b-choice policy, not the
     // operator. b=24 → 300 identical tasks at both core counts.
+    // GRAFT_EMB_BLOCKS overrides for isolation legs (0 = production default).
+    val b = sys.env.get("GRAFT_EMB_BLOCKS").map(_.toInt).getOrElse(24)
     graft.ann.Ann.embeddingNearDupPairs(emb, "vec_id", "embedding", 9, 10,
-      numBlocks = 24).count()
+      numBlocks = b).count()
   }
 
   /** Trace of the last kNN run: (round, queries remaining) — VERDICT r03 #8

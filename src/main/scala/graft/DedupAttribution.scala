@@ -9,8 +9,8 @@ import graft.dedup.Dedup
 /** Per-stage attribution of the q39 dedupeDecision composition (VERDICT r03
   * #5): times the cumulative prefixes of the pipeline — signatures,
   * LSH banding, exact verify, connected components — and compares the
-  * shipped recompute-shingles plan against a persist-the-shingle-frame
-  * variant (the frame is consumed 3×: signatures, and both verify sides).
+  * shipped recompute plan against a persist-the-packed-shingle-frame
+  * variant (the frame is consumed 2×: signatures and verify).
   * One JSON line per (variant, stage); run on an idle box, fresh JVM.
   *
   *   env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
@@ -55,16 +55,19 @@ object DedupAttribution {
     val stageNames = Seq("prefix_signatures", "prefix_lsh_candidates",
       "prefix_verify", "full_decision")
     def prefix(persistShingles: Boolean, through: String): (Double, Long) = {
-      val sh0 = Dedup.shingles(docs, "doc_id", "text", shingleN)
+      // packed-first pipeline, exactly Dedup.dedupeDecision's stages; the
+      // persist variant caches the PACKED frame (consumed 2×: signatures
+      // and verify) instead of recomputing its one-shuffle build
+      val sh0 = Dedup.packedShingles(docs, "doc_id", "text", shingleN)
       val sh = if (persistShingles) sh0.persist(StorageLevel.MEMORY_AND_DISK) else sh0
       try time {
-        val sigs = Dedup.minhashSignatures(sh, "doc_id", shingleN, numHashes)
+        val sigs = Dedup.minhashSignaturesPacked(sh, "doc_id", shingleN, numHashes)
         if (through == "prefix_signatures") sigs.count()
         else {
           val cand = Dedup.lshCandidates(sigs, "doc_id", numHashes, rowsPerBand, bucketCap)
           if (through == "prefix_lsh_candidates") cand.count()
           else {
-            val verified = Dedup.verifyCandidates(sh, "doc_id", cand, threshold)
+            val verified = Dedup.verifyCandidatesPacked(sh, "doc_id", cand, threshold)
             if (through == "prefix_verify") verified.count()
             else Dedup.clusterLabelsConverged(verified, "id_1", "id_2", docs, "doc_id")
               .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("keep"))

@@ -331,22 +331,23 @@ object SparkEntry {
     }),
 
     // MinHash + LSH banding near-dup pipeline, candidates verified exactly.
-    // The shingle frame feeds signatures AND both sides of the exact
-    // verifier; recomputing the codegen'd explode is cheaper than caching
-    // the 1.5M-row string frame (measured: persist cost +1.9 s at sf0.1)
+    // Packed-first: one shuffle builds the per-doc shingle arrays, which
+    // feed signatures (per-row array expressions) AND the exact verifier;
+    // the packed frame is recomputed rather than cached (BASELINE.md q39
+    // attribution: recompute wins — the build fuses into one codegen stage)
     // Plain banding here: the fixture corpus is homogeneous-size, so the
     // size-bucketed variant (lshCandidatesSizeBucketed — provably lossless
     // above the verification bar, and interchangeable under this oracle)
     // would double band rows without cutting candidates (measured +15%)
     "q25_minhash_lsh" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("source").isin("src6", "src7"))
-      val sh = Dedup.shingles(d, "doc_id", "text", 5)
-      val sigs = Dedup.minhashSignatures(sh, "doc_id", 5, 8)
+      val packed = Dedup.packedShingles(d, "doc_id", "text", 5)
+      val sigs = Dedup.minhashSignaturesPacked(packed, "doc_id", 5, 8)
       val cand = Dedup.lshCandidates(sigs, "doc_id", 8, 2)
-      // candidate-first verification: shingles attach to the linear
-      // candidate list (the oracle's `ver` shape) — never the shingle
-      // self-join whose co-shingled-pairs blowup LSH exists to avoid
-      Dedup.verifyCandidates(sh, "doc_id", cand, 0.25)
+      // candidate-first verification: per-doc packed shingle arrays attach
+      // to the linear candidate list (the oracle's `ver` shape) — never the
+      // shingle self-join whose co-shingled-pairs blowup LSH exists to avoid
+      Dedup.verifyCandidatesPacked(packed, "doc_id", cand, 0.25)
         .select(col("id_1"), col("id_2"), col("n_inter"))
         .orderBy("id_1", "id_2")
     }),

@@ -47,14 +47,37 @@ object Dedup {
     * output (idCol, carry…, shingle).
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int,
-               carry: Seq[String] = Nil): DataFrame = {
+               carry: Seq[String] = Nil): DataFrame =
+    explodedShingles(df, idCol, textCol, n, carry).distinct()
+
+  /** The shared pre-dedup explode of [[shingles]]/[[packedShingles]] — one
+    * (id, carry…, shingle) row per text POSITION, duplicates included.
+    */
+  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+                               n: Int, carry: Seq[String]): DataFrame = {
     val keep = (Seq(idCol, textCol) ++ carry).distinct.map(col)
     df.select(keep: _*)
       .withColumn("i", explode(sequence(lit(1), length(col(textCol)) - (n - 1))))
       .withColumn("shingle", substring_index_pos(col(textCol), col("i"), n))
       .select((Seq(idCol) ++ carry).distinct.map(col) :+ col("shingle"): _*)
-      .distinct()
   }
+
+  /** Per-document PACKED shingle frame: (idCol, __shs) with __shs the
+    * sorted distinct n-gram array — same shingle set as [[shingles]], one
+    * row per document. This is the scale form: the explode keeps a
+    * document's shingles contiguous within its input partition, so
+    * collect_set's map-side partial aggregation dedupes per doc BEFORE the
+    * exchange — ~|docs| packed rows cross the wire instead of the
+    * tens-of-millions-row (id, shingle) frame, and every downstream
+    * consumer ([[minhashSignaturesPacked]], [[verifyCandidatesPacked]])
+    * works per-row with NO further shuffle of shingle data. The row form
+    * shuffles that frame once for its distinct and again for each
+    * downstream groupBy.
+    */
+  def packedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    explodedShingles(df, idCol, textCol, n, Nil)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("shingle"))).as("__shs"))
 
   private def substring_index_pos(text: Column, pos: Column, len: Int): Column =
     text.substr(pos, lit(len))
@@ -79,24 +102,49 @@ object Dedup {
   }
 
   /** Exact Jaccard verification of a CANDIDATE pair list, candidate-first:
-    * the shingle frame attaches to the (linear) candidate list instead of
-    * self-joining on shingle, so cost is O(|candidates| · shingles/doc) —
-    * never the all-co-shingled-pairs blowup of [[jaccardPairs]] (whose
-    * contract is small blocks only; one boilerplate shingle shared by 10^6
-    * docs would give its self-join 10^12 intermediate rows that a later
-    * semi-join cannot prune). Output: id_1, id_2, n_inter, n_1, n_2,
-    * jaccard — pairs clearing `threshold`.
+    * per-doc packed shingle arrays attach to the (linear) candidate list
+    * instead of self-joining on shingle, so cost is
+    * O(|candidates| · shingles/doc) compute with only |docs| + |candidates|
+    * rows shuffled — never the all-co-shingled-pairs blowup of
+    * [[jaccardPairs]] (whose contract is small blocks only; one boilerplate
+    * shingle shared by 10^6 docs would give its self-join 10^12
+    * intermediate rows that a later semi-join cannot prune). Output: id_1,
+    * id_2, n_inter, n_1, n_2, jaccard — pairs clearing `threshold`.
     */
   def verifyCandidates(sh: DataFrame, idCol: String, cand: DataFrame,
-                       threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val a = sh.select(col(idCol).as("id_1"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_2"), col("shingle"))
-    val inter = cand.join(a, "id_1").join(b, Seq("id_2", "shingle"))
-      .groupBy(col("id_1"), col("id_2")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_1"), col("n").as("n_1")), "id_1")
-      .join(sizes.select(col(idCol).as("id_2"), col("n").as("n_2")), "id_2")
+                       threshold: Double): DataFrame =
+    verifyCandidatesPacked(
+      sh.groupBy(col(idCol))
+        .agg(sort_array(collect_set(col("shingle"))).as("__shs")),
+      idCol, cand, threshold)
+
+  /** [[verifyCandidates]] over the packed frame: two id-equi-joins attach
+    * both docs' sorted arrays to each candidate pair, and a codegen
+    * merge-pass intersection ([[graft.expr.SortedIntersectCountExpr]])
+    * decides the pair in-row. Replaces the exploded plan (candidates ×
+    * shingles/doc rows joined on (id_2, shingle), then re-aggregated to
+    * pair counts): at the 300k-doc scaling leg that plan shuffled ~700M
+    * exploded rows into a 4.9M-group aggregation — ~25× the bytes of the
+    * packed frames, and the leg's dominant bus-bound cost. Packed, the
+    * shuffled volume is |docs| arrays + |candidates| pair rows, the
+    * intersection never leaves the row, and there is no re-aggregation.
+    * String bytes (not hashes) are compared — exact for any charset. A
+    * pathological doc is ONE wide row (merge cost O(n_1 + n_2)), not a
+    * join-key hot spot.
+    */
+  def verifyCandidatesPacked(packed: DataFrame, idCol: String, cand: DataFrame,
+                             threshold: Double): DataFrame = {
+    val a = packed.select(col(idCol).as("id_1"), col("__shs").as("__sh1"))
+    val b = packed.select(col(idCol).as("id_2"), col("__shs").as("__sh2"))
+    cand.join(a, "id_1").join(b, "id_2")
+      .select(col("id_1"), col("id_2"),
+        graft.functions.GeoFunctions.sorted_intersect_count(
+          col("__sh1"), col("__sh2")).cast("long").as("n_inter"),
+        size(col("__sh1")).cast("long").as("n_1"),
+        size(col("__sh2")).cast("long").as("n_2"))
+      // the exploded plan never surfaced zero-overlap pairs (inner join on
+      // the shingle): keep that contract independent of the threshold
+      .filter(col("n_inter") > 0)
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_1") + col("n_2") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
@@ -125,6 +173,22 @@ object Dedup {
       min(pmod(lit(HashA(j)) * h + lit(HashB(j)), lit(P))).as(s"mh_$j")
     } :+ count(lit(1)).as("n_sh")
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[minhashSignatures]] over the packed frame — identical output
+    * (min over the same distinct shingle set; n_sh = array size), but
+    * computed per-row with array expressions: zero additional shuffle on
+    * top of [[packedShingles]]'s one.
+    */
+  def minhashSignaturesPacked(packed: DataFrame, idCol: String, shingleN: Int,
+                              numHashes: Int): DataFrame = {
+    require(numHashes <= HashA.length, s"at most ${HashA.length} hashes")
+    val cols = (0 until numHashes).map { j =>
+      array_min(transform(col("__shs"), s =>
+        pmod(lit(HashA(j)) * shingleHash(s, shingleN) + lit(HashB(j)), lit(P))))
+        .as(s"mh_$j")
+    } :+ size(col("__shs")).cast("long").as("n_sh")
+    packed.select(col(idCol) +: cols: _*)
   }
 
   /** LSH banding: bands of `rowsPerBand` signature components; docs sharing
@@ -399,10 +463,19 @@ object Dedup {
   def dedupeDecision(docs: DataFrame, idCol: String, textCol: String,
                      shingleN: Int, numHashes: Int, rowsPerBand: Int,
                      threshold: Double, bucketCap: Int = 0): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, shingleN)
-    val sigs = minhashSignatures(sh, idCol, shingleN, numHashes)
+    // packed-first: ONE shuffle builds the per-doc shingle arrays (map-side
+    // collect_set dedup), signatures are per-row array expressions on top,
+    // and verification attaches the same arrays to the candidate list. The
+    // row-frame path (shingles → minhashSignatures → verifyCandidates)
+    // computes identical results with 3 full shuffles of the exploded
+    // (id, shingle) frame; it remains the right shape only when a caller
+    // already has the row frame. The packed frame is rebuilt for verify
+    // rather than persisted — BASELINE.md's q39 attribution (recompute vs
+    // persist) was re-run over this path and recompute still won.
+    val packed = packedShingles(docs, idCol, textCol, shingleN)
+    val sigs = minhashSignaturesPacked(packed, idCol, shingleN, numHashes)
     val cand = lshCandidates(sigs, idCol, numHashes, rowsPerBand, bucketCap)
-    val verified = verifyCandidates(sh, idCol, cand, threshold)
+    val verified = verifyCandidatesPacked(packed, idCol, cand, threshold)
     clusterLabelsConverged(verified, "id_1", "id_2", docs, idCol)
       .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("keep"))
   }

@@ -37,6 +37,12 @@ object GeoFunctions {
   def hamming64(a: Column, b: Column): Column =
     toCol(Hamming64Expr(toExpr(a), toExpr(b)))
 
+  /** |a ∩ b| for two sorted, duplicate-free array<string> columns —
+    * the packed exact-Jaccard verification kernel (codegen merge pass).
+    */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toCol(SortedIntersectCountExpr(toExpr(a), toExpr(b)))
+
   /** Ancestor cell id at a lower zoom, composed from builtin bit ops so it
     * rides whole-stage codegen. `fromZ` must be the cells' actual zoom.
     */

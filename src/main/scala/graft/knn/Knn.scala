@@ -134,10 +134,11 @@ object Knn {
     *                (must equal `cell_id(lon, lat, z)` for this z). When the
     *                point table was written `bucketBy(n, cell)` at ingest —
     *                the 100 TB layout — its scan already satisfies every
-    *                round's join clustering, so the one-time repartition +
-    *                cache below (the single-box prep cost in
-    *                BENCH_SCALING.md's kNN decomposition) is skipped
-    *                entirely: zero point-side shuffle, ever.
+    *                round's join clustering, so the one-time repartition
+    *                (the single-box prep cost in BENCH_SCALING.md's kNN
+    *                decomposition) is skipped entirely: zero point-side
+    *                shuffle, ever. The frame is still cached (partitioning-
+    *                preserving) so later rounds skip the parquet re-scan.
     * @return (query_id, rank, point_id, dist) with rank in 1..k
     */
   def cellRing(queries: DataFrame, queryIdCol: String, qLonCol: String, qLatCol: String,
@@ -154,9 +155,13 @@ object Knn {
       pointCellCol.map(col).getOrElse(cell_id(col(lonCol), col(latCol), z)).as("__cell"))
     val pts = pointCellCol match {
       // Bucketed ingest layout: the scan itself reports the join's required
-      // hash clustering, so neither a shuffle nor a cache pays off — each
-      // round re-reads only a cheap vectorized scan (page-cache warm).
-      case Some(_) => ptsBase
+      // hash clustering, so no shuffle ever happens — and InMemoryRelation
+      // preserves the scan's HashPartitioning (alias-aware through the
+      // project), so caching keeps the zero-exchange property while saving
+      // the per-round parquet re-scan. Measured on the 100M-point leg: the
+      // uncached re-scan cost ~10.4 s per round flat at 32 cores (bus-bound,
+      // parallelism-independent) vs ~8 s cached rounds on the plain path.
+      case Some(_) => ptsBase.persist()
       // ONE shuffle of the point table, up front: every round's candidate
       // join keys on __cell, and a cached HashPartitioning(__cell) side
       // satisfies the join's distribution, so each round shuffles only the
@@ -314,7 +319,7 @@ object Knn {
     }
 
     remaining.unpersist()
-    if (pointCellCol.isEmpty) pts.unpersist()
+    pts.unpersist()
     if (best == null) emptyBest
     else best.select(col("query_id"), col("rank"), col("point_id"), col("dist"))
   }

@@ -69,6 +69,36 @@ class BucketedKnnSpec extends SparkSpecBase {
     }
   }
 
+  test("cached bucketed scan keeps the layout: still no point-side exchange") {
+    // cellRing's bucketed path persists the projected scan so rounds 2+ read
+    // from memory; InMemoryRelation must preserve the scan's
+    // HashPartitioning (alias-aware through the project) or every round
+    // would silently pay a full point-side shuffle.
+    withBucketedTable {
+      val pts = spark.table("knn_points_spec")
+        .select(col("point_id"), col("cell").as("__cell")).persist()
+      val probe = queries
+        .withColumn("__cell",
+          graft.functions.GeoFunctions.cell_id(col("qlon"), col("qlat"), z))
+        .hint("shuffle_hash")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        pts.count() // materialize the cache before planning the join
+        val joined = probe.join(pts, "__cell")
+        joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+        assert(exchanges == 1, s"expected only the query-side exchange:\n$plan")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        pts.unpersist()
+      }
+    }
+  }
+
   test("ring-round join over the bucketed table has no point-side exchange") {
     withBucketedTable {
       val pts = spark.table("knn_points_spec")

@@ -62,6 +62,74 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(found >= 32, s"LSH recall too low: $found/40")
   }
 
+  test("packed shingles/signatures equal the row-frame forms") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val packed = Dedup.packedShingles(docs, "doc_id", "text", 5)
+    // packed array contents == the row frame's distinct shingle set per doc
+    val fromRows = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("shingle"))).as("__shs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val fromPacked = packed
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fromPacked === fromRows)
+    // signatures: identical rows from both forms
+    def sigSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id") +: ((0 until 8).map(j => col(s"mh_$j")) :+ col("n_sh")): _*)
+      .collect().map(_.toSeq).toSet
+    assert(sigSet(Dedup.minhashSignaturesPacked(packed, "doc_id", 5, 8)) ===
+      sigSet(Dedup.minhashSignatures(sh, "doc_id", 5, 8)))
+  }
+
+  test("sorted_intersect_count matches a Set-intersection oracle") {
+    // random sorted distinct arrays incl. empties, non-ascii, shared prefixes
+    val rows = (0 until 200).map { i =>
+      val r = new scala.util.Random(i)
+      def arr() = (0 until r.nextInt(12)).map { _ =>
+        val pool = Seq("a", "ab", "abc", "ü", "üx", "日本", "z1", "z2", "", "qq")
+        pool(r.nextInt(pool.length))
+      }.distinct.sorted
+      (arr(), arr())
+    }
+    val df = rows.toDF("a", "b")
+      .select(sort_array(col("a")).as("a"), sort_array(col("b")).as("b"))
+    val got = df.select(GeoFunctions.sorted_intersect_count(col("a"), col("b")))
+      .collect().map(_.getInt(0))
+    val want = rows.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+    assert(got.toSeq === want)
+    // null in, null out (nullIntolerant)
+    val n = Seq((Some(Seq("a")), Option.empty[Seq[String]])).toDF("a", "b")
+      .select(GeoFunctions.sorted_intersect_count(col("a"), col("b")))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("packed verifyCandidates equals the exploded-join reference") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", 5, 8)
+    val cand = Dedup.lshCandidates(sigs, "doc_id", 8, 2)
+    // reference: the pre-packed formulation — explode candidates against the
+    // (id, shingle) frame, count matches, re-attach sizes
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("id_1"), col("shingle"))
+    val b = sh.select(col("doc_id").as("id_2"), col("shingle"))
+    val want = cand.join(a, "id_1").join(b, Seq("id_2", "shingle"))
+      .groupBy(col("id_1"), col("id_2")).agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("id_1"), col("n").as("n_1")), "id_1")
+      .join(sizes.select(col("doc_id").as("id_2"), col("n").as("n_2")), "id_2")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_1") + col("n_2") - col("n_inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select("id_1", "id_2", "n_inter", "n_1", "n_2", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val got = Dedup.verifyCandidates(sh, "doc_id", cand, 0.3)
+      .select("id_1", "id_2", "n_inter", "n_1", "n_2", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("cluster labels collapse planted near-dup groups to the minimum id") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 5)
     val pairs = Dedup.jaccardPairs(sh, "doc_id", Nil).filter(col("jaccard") >= 0.6)
