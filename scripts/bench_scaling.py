@@ -52,6 +52,16 @@ for job, _ in JOBS:
         res[(job, cpus)] = leg
         print(json.dumps(leg), flush=True)
 
+# dedupe per-stage attribution legs (cumulative prefixes of dedupe_decision;
+# consecutive deltas at a core count are marginal stage costs). One rep:
+# these exist to attribute the end-to-end number, not to be one.
+DEDUPE_STAGES = ["dedupe_sig", "dedupe_cand", "dedupe_verify"]
+for job in DEDUPE_STAGES:
+    for cpus in (8, 32):
+        leg = sbt(f"runMain graft.BenchScaling run {job} {cpus} 1")
+        res[(job, cpus)] = leg
+        print(json.dumps(leg), flush=True)
+
 combined = {"bench": "scaling", "n_images": N_IMAGES, "n_polys": N_POLYS,
             "n_payload": N_PAYLOAD, "n_docs": N_DOCS, "n_emb": N_EMB,
             "n_knn_pts": N_KNN_PTS, "n_knn_q": N_KNN_Q}
@@ -103,6 +113,22 @@ lines += [
     "and each executor reads from its own bus/disks, so the kernel number is the "
     "one that extrapolates.",
 ]
+# dedupeDecision decomposition: cumulative prefixes -> marginal stage costs.
+d = {(j, c): res[(j, c)]["sec"] for j in DEDUPE_STAGES + ["dedupe_decision"]
+     for c in (8, 32)}
+lines += ["\ndedupeDecision decomposition (cumulative stage prefixes; marginal = delta):",
+          "| stage (marginal) | T(8) | T(32) | efficiency |", "|---|---|---|---|"]
+prev8, prev32 = 0.0, 0.0
+for j, label in [("dedupe_sig", "shingle pack + minhash signatures"),
+                 ("dedupe_cand", "LSH banding → candidate pairs"),
+                 ("dedupe_verify", "exact Jaccard verify (packed)"),
+                 ("dedupe_decision", "connected components + keep flags")]:
+    m8, m32 = d[(j, 8)] - prev8, d[(j, 32)] - prev32
+    eff = (m8 / m32) / 4 if m32 > 0 else float("nan")
+    lines.append(f"| {label} | {m8:.2f} s | {m32:.2f} s | {eff:.3f} |")
+    prev8, prev32 = d[(j, 8)], d[(j, 32)]
+lines.append("\n(Single-rep prefixes vs a min-of-N end-to-end leg: a stage's marginal"
+             " time can carry one rep's host noise — read efficiencies, not seconds.)")
 # Prepend the new section; keep prior rounds' sections below for history.
 out_path = pathlib.Path("BENCH_SCALING.md")
 prior = out_path.read_text() if out_path.exists() else ""

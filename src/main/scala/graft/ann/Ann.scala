@@ -85,8 +85,16 @@ object Ann {
     // memory is bounded at 2·n/B vectors. O(n²) compute is inherent to the
     // exact mode and dominates the n·B replication shuffle; for corpora
     // where n² is off the table use [[embeddingNearDupPairsLsh]].
+    // repartition BEFORE the ×B replication explode: a small corpus parquet
+    // arrives as 1-2 input splits, and without this the entire replication
+    // (quantize, explode, serialize, shuffle-write n·B rows) runs on 1-2
+    // tasks no matter how many cores exist — measured as a ~18 s
+    // parallelism-independent floor on the 96k-vector scaling leg (fitting
+    // T(c) = F + W/c to the 8/32-core points). The pre-explode frame is
+    // tiny (n rows), so this exchange costs ~nothing.
     val quant = df.select(col(idCol).cast("long").as("vid"),
       transform(col(embCol), x => floor(x.cast("double") * lit(100.0) + lit(0.5)).cast("long")).as("qe"))
+      .repartition(math.max(2, spark.sparkContext.defaultParallelism))
     // default B: B(B+1)/2 pair tasks ≈ 8× the cluster's cores — with one
     // task per partition (below), wave quantization is the only balance
     // loss and it shrinks as 1/waves (measured: 2× cores' worth of tasks
@@ -123,9 +131,26 @@ object Ann {
       def numPartitions: Int = nTasks
       def getPartition(key: Any): Int = key.asInstanceOf[Int]
     }
+    // the replication shuffle ships each vector B times — pack the
+    // quantized components into shorts before it (4× fewer bytes than the
+    // long array; the factor-100 quantization of unit-scale embeddings is
+    // two orders of magnitude inside Short range, and the cast validates
+    // rather than truncates so an out-of-contract embedding fails loudly)
     val byTask = replicated.select(col("task"), col("blk"), col("vid"), col("qe"))
       .as[(Int, Int, Long, Array[Long])]
-      .rdd.map { case (t, vblk, vid, qe) => (t, (vblk, vid, qe)) }
+      .rdd.map { case (t, vblk, vid, qe) =>
+        val s = new Array[Short](qe.length)
+        var i = 0
+        while (i < s.length) {
+          val v = qe(i)
+          require(v >= Short.MinValue && v <= Short.MaxValue,
+            s"embeddingNearDupPairs: quantized component $v out of Short range " +
+              "(expected unit-scale embeddings; factor-100 quantization)")
+          s(i) = v.toShort
+          i += 1
+        }
+        (t, (vblk, vid, s))
+      }
       .partitionBy(identityPart)
 
     byTask.mapPartitionsWithIndex { (task, itKv) =>
@@ -135,26 +160,26 @@ object Ann {
         while (base + (b - lo) <= task) { base += b - lo; lo += 1 }
         val hi = lo + (task - base)
         val it = itKv.map(_._2)
-        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
-        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Short])]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Short])]
         it.foreach { case (vblk, vid, qe) =>
           if (vblk == lo) left += ((vid, qe))
           if (vblk == hi && lo != hi) right += ((vid, qe))
         }
-        def normOf(v: Array[Long]): Long = {
+        def normOf(v: Array[Short]): Long = {
           var s = 0L; var i = 0
-          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          while (i < v.length) { s += v(i).toLong * v(i); i += 1 }
           s
         }
         val ln = left.map(p => normOf(p._2)).toArray
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        def emit(id1: Long, e1: Array[Long], n1: Long,
-                 id2: Long, e2: Array[Long], n2: Long): Unit = {
+        def emit(id1: Long, e1: Array[Short], n1: Long,
+                 id2: Long, e2: Array[Short], n2: Long): Unit = {
           if (id1 == id2) return // duplicate input ids: never emit a self-pair
           val (a, ea, na, bId, eb, nb) =
             if (id1 < id2) (id1, e1, n1, id2, e2, n2) else (id2, e2, n2, id1, e1, n1)
           var dot = 0L; var d = 0
-          while (d < ea.length) { dot += ea(d) * eb(d); d += 1 }
+          while (d < ea.length) { dot += ea(d).toLong * eb(d); d += 1 }
           if (dot > 0 && dot * dot * td2 >= tn2 * na * nb) out += ((a, bId, dot))
         }
         if (lo == hi) {

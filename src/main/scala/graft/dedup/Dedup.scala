@@ -183,12 +183,23 @@ object Dedup {
   def minhashSignaturesPacked(packed: DataFrame, idCol: String, shingleN: Int,
                               numHashes: Int): DataFrame = {
     require(numHashes <= HashA.length, s"at most ${HashA.length} hashes")
+    // hash each shingle ONCE into a materialized array, then derive every
+    // mh_j from the hashes. Embedding shingleHash inside each mh_j's own
+    // lambda instead re-runs the char-level hashing numHashes× per doc —
+    // and a consumer that references the signature frame from several
+    // branches (lshCandidates' banding used to) multiplies it again;
+    // measured as a 2.2× blowup of the candidate stage at the 300k-doc
+    // scaling leg. The separate projection is deliberate: __hh is
+    // referenced numHashes times, so CollapseProject keeps it materialized
+    // rather than inlining the transform into every mh_j.
+    val withHashes = packed.withColumn("__hh",
+      transform(col("__shs"), s => shingleHash(s, shingleN)))
     val cols = (0 until numHashes).map { j =>
-      array_min(transform(col("__shs"), s =>
-        pmod(lit(HashA(j)) * shingleHash(s, shingleN) + lit(HashB(j)), lit(P))))
+      array_min(transform(col("__hh"), h =>
+        pmod(lit(HashA(j)) * h + lit(HashB(j)), lit(P))))
         .as(s"mh_$j")
     } :+ size(col("__shs")).cast("long").as("n_sh")
-    packed.select(col(idCol) +: cols: _*)
+    withHashes.select(col(idCol) +: cols: _*)
   }
 
   /** LSH banding: bands of `rowsPerBand` signature components; docs sharing
@@ -210,11 +221,17 @@ object Dedup {
                     numHashes: Int, rowsPerBand: Int,
                     bucketCap: Int = 0): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val banded = (0 until numBands).map { b =>
-      val key = concat_ws("_",
+    // ONE pass over the signature frame: every band key evaluated in a
+    // single projection and exploded. The previous union-of-selects shape
+    // evaluated the sigs plan once PER BAND — free when signatures were a
+    // plain aggregation output, a numBands× re-run of the per-row hash
+    // transforms once the packed form arrived (each band key's lit(b)
+    // prefix already disambiguates bands, so explode ≡ that union).
+    val keys = (0 until numBands).map { b =>
+      concat_ws("_",
         lit(b) +: (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
-      sigs.select(col(idCol), key.as("band_key"))
-    }.reduce(_.unionByName(_))
+    }
+    val banded = sigs.select(col(idCol), explode(array(keys: _*)).as("band_key"))
     bandedPairs(banded, idCol, Seq("band_key"), bucketCap)
   }
 
@@ -301,12 +318,17 @@ object Dedup {
     val base = 1.0 / threshold
     val bucket = floor(log(col(sizeCol).cast("double")) / math.log(base)).cast("long")
     val numBands = numHashes / rowsPerBand
-    val banded = (0 until numBands).map { b =>
+    // one pass over sigs (see lshCandidates): every (band key × {own, next}
+    // size bucket) pair from a single exploded projection
+    val entries = (0 until numBands).flatMap { b =>
       val key = concat_ws("_",
         lit(b) +: (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
-      sigs.select(col(idCol), key.as("band_key"),
-        explode(array(bucket, bucket + 1)).as("size_bucket"))
-    }.reduce(_.unionByName(_))
+      Seq(struct(key.as("band_key"), bucket.as("size_bucket")),
+        struct(key.as("band_key"), (bucket + 1).as("size_bucket")))
+    }
+    val banded = sigs
+      .select(col(idCol), explode(array(entries: _*)).as("e"))
+      .select(col(idCol), col("e.band_key"), col("e.size_bucket"))
     bandedPairs(banded, idCol, Seq("band_key", "size_bucket"), bucketCap)
   }
 
@@ -326,8 +348,12 @@ object Dedup {
     */
   def clusterLabels(pairs: DataFrame, idCol1: String, idCol2: String,
                     ids: DataFrame, idCol: String, rounds: Int): DataFrame = {
-    val edges = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
-      .unionByName(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
+    // single-evaluation symmetric edges (see clusterLabelsConverged)
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idCol1).as("src"), col(idCol2).as("dst")),
+        struct(col(idCol2).as("src"), col(idCol1).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
     (0 until rounds).foreach { _ =>
       val fromNeighbors = edges
@@ -362,8 +388,16 @@ object Dedup {
                              maxRounds: Int = 64,
                              driverEdgeThreshold: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
-      .unionByName(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
+    // both edge directions from ONE evaluation of the pair plan: the
+    // union-of-two-selects shape re-runs everything upstream of the last
+    // reusable exchange once per direction — for LSH-verified pairs that
+    // is the whole candidate-verification tail (measured ~40% of the
+    // dedupe_decision leg's end-to-end time on top of the verify prefix)
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idCol1).as("src"), col(idCol2).as("dst")),
+        struct(col(idCol2).as("src"), col(idCol1).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     // SMALL-GRAPH FAST PATH: the near-dup edge set is tiny relative to the
     // corpus (that is the point of dedup) — when it fits the driver, exact

@@ -144,7 +144,7 @@ object Knn {
   def cellRing(queries: DataFrame, queryIdCol: String, qLonCol: String, qLatCol: String,
                points: DataFrame, pointIdCol: String, lonCol: String, latCol: String,
                k: Int, z: Int = 7, maxRings: Int = 1 << 10, initCap: Int = 8,
-               scanFinishThreshold: Int = 512,
+               scanFinishThreshold: Int = 4096,
                onRound: (Int, Long) => Unit = noopRound,
                pointCellCol: Option[String] = None): DataFrame = {
     val spark = queries.sparkSession
@@ -224,6 +224,15 @@ object Knn {
       // against the ≤ threshold stragglers with per-cell pruning: one job,
       // exact by brute force, and the collected query set is bounded by
       // the threshold regardless of corpus size.
+      //
+      // Default 4096: a ring round costs a near-fixed ~10 s of join +
+      // window + checkpoint machinery on the 100M-point leg (independent
+      // of how few stragglers it serves), while the finisher's tight
+      // primitive pass over the same cached table served 331 queries in
+      // 0.21 s — so hand whole round-tails to it as early as its bounds
+      // allow. At 4096 those bounds stay trivial: driver collect 4096×24 B
+      // ≈ 100 KB, per-task heaps 4096×k×16 B ≈ 0.7 MB (k=10), occupied
+      // query-grid cells ≤ ~512 by scan()'s own zoom pick.
       if (scanFinishThreshold > 0 && nRem <= scanFinishThreshold) {
         val fin = scan(
           remaining.select(col("query_id"), col("q_lon"), col("q_lat")),

@@ -81,13 +81,26 @@ class PlanSpec extends SparkSpecBase {
     // the all-pairs work happens inside the task loops after ONE identity
     // partitionBy on the dense block-pair rank — one reduce partition per
     // triangle task (hash-partitioning the task keys instead collides ~2×
-    // cores' keys into ~cores bins and the stage waits on the worst bin),
-    // so the SQL plan carries NO exchange and the RDD partition count is
-    // exactly the triangle task count
-    assert(!plan.contains("Exchange"), plan.take(3000))
+    // cores' keys into ~cores bins and the stage waits on the worst bin)
     val b = math.max(2, math.ceil(math.sqrt(
       16.0 * spark.sparkContext.defaultParallelism)).toInt)
-    assert(pairs.rdd.getNumPartitions === b * (b + 1) / 2)
+    val nTasks = b * (b + 1) / 2
+    assert(pairs.rdd.getNumPartitions === nTasks)
+    // the map side of that identity shuffle must run at cluster
+    // parallelism: without the pre-explode round-robin repartition the
+    // whole ×B replication (quantize, explode, serialize, shuffle-write)
+    // runs on however few input splits the corpus arrived as — measured as
+    // a ~18 s parallelism-independent floor on the 96k-vector scaling leg
+    def shuffles(r: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.ShuffleDependency[_, _, _]] =
+      r.dependencies.flatMap {
+        case s: org.apache.spark.ShuffleDependency[_, _, _] => s +: shuffles(s.rdd)
+        case d => shuffles(d.rdd)
+      }.toSeq
+    val identityShuffle = shuffles(pairs.rdd)
+      .find(_.partitioner.numPartitions == nTasks)
+      .getOrElse(fail("identity partitionBy shuffle not found in lineage"))
+    assert(identityShuffle.rdd.getNumPartitions ===
+      math.max(2, spark.sparkContext.defaultParallelism))
   }
 
   test("pipeline username rejoin broadcasts the dimension") {
