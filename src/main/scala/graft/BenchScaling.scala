@@ -118,7 +118,14 @@ object BenchScaling {
     // same stages, same shapes as Dedup.dedupeDecision (packed-first path)
     val packed = Dedup.packedShingles(docs, "doc_id", "text", 8)
     val sigs = Dedup.minhashSignaturesPacked(packed, "doc_id", 8, 8)
-    if (through == "sig") return sigs.count()
+    if (through == "sig") {
+      // count() alone lets column pruning delete the minhash transforms —
+      // the leg would time only the shingle pack. Aggregate every mh_j so
+      // the stage's real work executes; returns the signature row count.
+      val aggs = count(lit(1)).as("n") +:
+        (0 until 8).map(j => sum(col(s"mh_$j")).as(s"s_$j"))
+      return sigs.agg(aggs.head, aggs.tail: _*).collect()(0).getLong(0)
+    }
     val cand = Dedup.lshCandidates(sigs, "doc_id", 8, 2, 1000)
     if (through == "cand") return cand.count()
     Dedup.verifyCandidatesPacked(packed, "doc_id", cand, 0.5).count()
