@@ -225,25 +225,47 @@ object Knn {
       // exact by brute force, and the collected query set is bounded by
       // the threshold regardless of corpus size.
       //
-      // Default 4096: a ring round costs a near-fixed ~10 s of join +
-      // window + checkpoint machinery on the 100M-point leg (independent
-      // of how few stragglers it serves), while the finisher's tight
-      // primitive pass over the same cached table served 331 queries in
-      // 0.21 s — so hand whole round-tails to it as early as its bounds
-      // allow. At 4096 those bounds stay trivial: driver collect 4096×24 B
-      // ≈ 100 KB, per-task heaps 4096×k×16 B ≈ 0.7 MB (k=10), occupied
-      // query-grid cells ≤ ~512 by scan()'s own zoom pick.
+      // Default 4096: after the first round nearly every straggler already
+      // HOLDS k real candidates (merely unproven), so the finisher runs
+      // warm-started — each straggler's current kth distance seeds scan()'s
+      // per-query threshold and the pass prunes from its first point,
+      // costing roughly the table-stream floor. A ring round, by contrast,
+      // costs a near-fixed ~10 s of join + window + checkpoint machinery
+      // on the 100M-point leg no matter how few stragglers it serves
+      // (measured cold finisher for comparison: ~50 s @8 for 331 queries —
+      // the cold start prunes nothing until heaps fill organically, which
+      // is why the pre-seed default was 512). Bounds at 4096 stay trivial:
+      // driver collect 4096×24 B ≈ 100 KB, per-task heaps 4096×k×16 B
+      // ≈ 0.7 MB (k=10), occupied query-grid cells ≤ ~512 by scan()'s own
+      // zoom pick.
       if (scanFinishThreshold > 0 && nRem <= scanFinishThreshold) {
+        // seed thresholds from the ring phase: for each straggler with a
+        // full k candidates, its current kth distance is a valid upper
+        // bound on the true kth (collect bounded by the threshold)
+        val seeds: Map[Long, Double] =
+          if (best == null) Map.empty
+          else best
+            .join(remaining.select(col("query_id")), Seq("query_id"), "left_semi")
+            .groupBy(col("query_id"))
+            .agg(count(lit(1)).as("__n"), max(col("dist")).as("__kth"))
+            .filter(col("__n") >= k)
+            .select(col("query_id"), col("__kth"))
+            .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
         val fin = scan(
           remaining.select(col("query_id"), col("q_lon"), col("q_lat")),
           "query_id", "q_lon", "q_lat",
           pts.select(col("point_id"), col("p_lon"), col("p_lat")),
-          "point_id", "p_lon", "p_lat", k)
+          "point_id", "p_lon", "p_lat", k, initThr = seeds)
         best =
-          if (best == null) fin
-          else best
-            .join(remaining.select(col("query_id")), Seq("query_id"), "left_anti")
-            .unionByName(fin.select(col("query_id"), col("rank"), col("point_id"), col("dist")))
+          (if (best == null) fin
+           else best
+             .join(remaining.select(col("query_id")), Seq("query_id"), "left_anti")
+             .unionByName(fin.select(col("query_id"), col("rank"), col("point_id"), col("dist"))))
+            // eager: the scan executes HERE, inside the loop, so onRound's
+            // trace covers it (lazily it landed in the consumer's first
+            // action, invisible to instrumentation); the consumer then
+            // reads ≤ |queries|·k checkpointed rows
+            .localCheckpoint(true)
         round += 1
         nRem = 0
         onRound(round, 0L)
@@ -346,13 +368,26 @@ object Knn {
     */
   def scan(queries: DataFrame, queryIdCol: String, qLonCol: String, qLatCol: String,
            points: DataFrame, pointIdCol: String, lonCol: String, latCol: String,
-           k: Int, gridZ: Int = -1, refreshEvery: Int = 256): DataFrame = {
+           k: Int, gridZ: Int = -1, refreshEvery: Int = 256,
+           initThr: Map[Long, Double] = Map.empty): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
 
     val qs: Array[(Long, Double, Double)] = queries
       .select(col(queryIdCol).cast("long"), col(qLonCol), col(qLatCol))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // optional WARM START (`initThr`: query id → any valid UPPER bound on
+    // that query's true kth distance, e.g. the kth distance of k real
+    // candidates already in hand). Seeding keeps the scan exact: every
+    // true top-k member lies within the bound (true kth ≤ bound), the
+    // prune below admits equality, and at least the k candidates that
+    // produced the bound stream past it again — so the heap always fills
+    // and displaced entries are never in the true top-k. Without seeds a
+    // query prunes nothing until its heap fills organically; measured on
+    // the 100M-point leg the cold start made the finisher pass ~50 s @8
+    // for 331 queries vs a seeded pass at roughly the table-stream floor.
+    val thr0: Array[Double] =
+      qs.map(q => initThr.getOrElse(q._1, Double.MaxValue))
 
     // grid zoom: coarsest level where occupied cells average <= ~8 queries
     val g =
@@ -365,14 +400,81 @@ object Knn {
     val grouped: Array[(Long, Array[Int])] = qs.indices
       .groupBy(i => graft.index.CellIndex.cellId(qs(i)._2, qs(i)._3, g))
       .map { case (c, is) => (c, is.toArray) }.toArray
-    val bc = spark.sparkContext.broadcast((qs, grouped))
+
+    // GRID INDEX over the query cells (driver-built, broadcast): without
+    // it every point bbox-checks every occupied query cell — an
+    // O(points × cells) outer loop that dominated the seeded finisher
+    // (measured 17.8 s @32 for 2601 queries / 100M points, ~325 cells).
+    // Each seeded query cell's reach is bounded: a point farther than
+    // r_c = √(max seeded thr of c's members) from c's bbox cannot beat any
+    // member's bound, so c only needs to be checked by points whose OWN
+    // grid-g cell intersects c's bbox expanded by r_c. Enumerate those
+    // point-cells once (driver, tile-rectangle at zoom g) → map
+    // point-cell → query-cell indices; cells with an unseeded member or a
+    // reach wider than `reachCap` point-cells fall back to an
+    // always-check list. Built from the INITIAL bounds — thresholds only
+    // tighten afterwards, so the index is never wrong, only loose.
+    val reachCap = 4096
+    val alwaysB = Array.newBuilder[Int]
+    val byPointCell = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+    locally {
+      val n = 1L << g
+      var c = 0
+      while (c < grouped.length) {
+        val members = grouped(c)._2
+        var worst = 0.0
+        var j = 0
+        while (j < members.length && worst < Double.MaxValue) {
+          val t = thr0(members(j))
+          if (t > worst) worst = t
+          j += 1
+        }
+        if (worst == Double.MaxValue) { alwaysB += c }
+        else {
+          val (mnLon, mnLat, mxLon, mxLat) = graft.index.CellIndex.bounds(grouped(c)._1)
+          val r = math.sqrt(worst)
+          val x0 = graft.index.CellIndex.tileX(math.max(-180.0, mnLon - r), g)
+          val x1 = graft.index.CellIndex.tileX(math.min(180.0, mxLon + r), g)
+          // tileY grows southward: the EXPANDED north edge gives the min y
+          val y0 = graft.index.CellIndex.tileY(math.min(90.0, mxLat + r), g)
+          val y1 = graft.index.CellIndex.tileY(math.max(-90.0, mnLat - r), g)
+          // antimeridian wrap of the lon range: cover both edge strips
+          val wraps = mnLon - r < -180.0 || mxLon + r > 180.0
+          val span = (x1 - x0 + 1).max(1) * (y1 - y0 + 1).max(1)
+          if (span > reachCap || wraps) alwaysB += c
+          else {
+            var y = y0
+            while (y <= y1) {
+              var x = x0
+              while (x <= x1) {
+                val pc = graft.index.CellIndex.pack(x.min(n - 1).max(0), y.min(n - 1).max(0), g)
+                var lst = byPointCell.get(pc)
+                if (lst == null) {
+                  lst = scala.collection.mutable.ArrayBuffer.empty[Int]
+                  byPointCell.put(pc, lst)
+                }
+                lst += c
+                x += 1
+              }
+              y += 1
+            }
+          }
+        }
+        c += 1
+      }
+    }
+    val always: Array[Int] = alwaysB.result()
+    val pointCellIdx = new java.util.HashMap[Long, Array[Int]](byPointCell.size() * 2)
+    byPointCell.forEach((k, v) => pointCellIdx.put(k, v.toArray))
+
+    val bc = spark.sparkContext.broadcast((qs, grouped, thr0, pointCellIdx, always, g))
 
     val partials = points
       .select(col(pointIdCol).cast("long").as("point_id"),
         col(lonCol).as("p_lon"), col(latCol).as("p_lat"))
       .as[(Long, Double, Double)]
       .mapPartitions { it =>
-        val (queries, cells) = bc.value
+        val (queries, cells, seeds, cellIdx, alwaysCells, gz) = bc.value
         // per-query bounded max-heap ordered by (dist desc, id desc)
         val heaps = Array.fill(queries.length)(
           new java.util.PriorityQueue[(Double, Long)](k,
@@ -380,10 +482,18 @@ object Knn {
               val c = java.lang.Double.compare(b._1, a._1)
               if (c != 0) c else java.lang.Long.compare(b._2, a._2)
             }))
-        // current kth-distance per query (+inf while the heap is filling)
-        val thr = Array.fill(queries.length)(Double.MaxValue)
-        // per-cell upper bound on members' thresholds; refreshed lazily
-        val cellMax = Array.fill(cells.length)(Double.MaxValue)
+        // current kth-distance per query (seeded bound or +inf while the
+        // heap is filling; only ever tightens)
+        val thr = seeds.clone()
+        // per-cell upper bound on members' thresholds, active from the
+        // FIRST point when seeded; refreshed lazily thereafter
+        val cellMax = Array.tabulate(cells.length) { c =>
+          var m = 0.0
+          val idx = cells(c)._2
+          var j = 0
+          while (j < idx.length) { if (thr(idx(j)) > m) m = thr(idx(j)); j += 1 }
+          m
+        }
         var sinceRefresh = 0
         // cell bboxes decoded ONCE (CellIndex.bounds does inverse-Mercator
         // trig — far too hot for the per-point loop)
@@ -414,8 +524,7 @@ object Knn {
             }
             sinceRefresh = 0
           }
-          var c = 0
-          while (c < cells.length) {
+          def checkCell(c: Int): Unit = {
             // squared distance to the cell bbox, inline (0 inside)
             val dx = if (plon < cMinX(c)) cMinX(c) - plon
                      else if (plon > cMaxX(c)) plon - cMaxX(c) else 0.0
@@ -429,8 +538,8 @@ object Knn {
               while (j < idx.length) {
                 val i = idx(j)
                 val q = queries(i)
-                val dx = plon - q._2; val dy = plat - q._3
-                val d = dx * dx + dy * dy
+                val qdx = plon - q._2; val qdy = plat - q._3
+                val d = qdx * qdx + qdy * qdy
                 if (d <= thr(i)) {
                   val h = heaps(i)
                   if (h.size < k) {
@@ -446,8 +555,18 @@ object Knn {
                 j += 1
               }
             }
-            c += 1
           }
+          // only the query cells this point can possibly matter to: its
+          // own grid-g cell's precomputed reach list + the always-check
+          // tail (unseeded or wide-reach cells) — O(1)-ish per point
+          // instead of the full occupied-cell loop
+          val near = cellIdx.get(graft.index.CellIndex.cellId(plon, plat, gz))
+          if (near != null) {
+            var ci = 0
+            while (ci < near.length) { checkCell(near(ci)); ci += 1 }
+          }
+          var ai = 0
+          while (ai < alwaysCells.length) { checkCell(alwaysCells(ai)); ai += 1 }
         }
         heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
           val qid = queries(i)._1

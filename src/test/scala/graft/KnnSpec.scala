@@ -70,6 +70,29 @@ class KnnSpec extends SparkSpecBase {
     assert(got === brute(7))
   }
 
+  test("seeded scan with EXACT kth bounds (tightest legal seeds) stays exact") {
+    // the adversarial warm start: initThr = each query's true kth distance
+    // — every true top-k point sits ON or inside the bound, so any off-by-
+    // one in the <=/< prune or heap tie-breaks would drop a result. A
+    // partially-seeded map also exercises the mixed always-check path.
+    val k = 7
+    val exactKth: Map[Long, Double] = points.crossJoin(queries)
+      .select(col("qid"),
+        ((col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
+          (col("lat") - col("qlat")) * (col("lat") - col("qlat"))).as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"))))
+      .filter(col("rank") === k)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def run(seeds: Map[Long, Double]) =
+      Knn.scan(queries, "qid", "qlon", "qlat", points, "pid", "lon", "lat", k,
+          initThr = seeds)
+        .select(col("query_id"), col("rank"), col("point_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run(exactKth) === brute(k))
+    assert(run(exactKth.filter(_._1 % 2 == 0)) === brute(k)) // mixed seeded/unseeded
+  }
+
   test("pickZoom: smallest zoom whose hottest cell is under the cap") {
     import spark.implicits._
     import graft.index.CellIndex
