@@ -53,10 +53,11 @@ for job, _ in JOBS:
         print(json.dumps(leg), flush=True)
 
 # dedupe per-stage attribution legs (cumulative prefixes of dedupe_decision;
-# consecutive deltas at a core count are marginal stage costs). One rep:
-# these exist to attribute the end-to-end number, not to be one.
+# consecutive deltas at a core count are marginal stage costs) + the
+# emb_pairs replication/shuffle isolation leg. One rep: these exist to
+# attribute the end-to-end numbers, not to be one.
 DEDUPE_STAGES = ["dedupe_sig", "dedupe_cand", "dedupe_verify"]
-for job in DEDUPE_STAGES:
+for job in DEDUPE_STAGES + ["emb_repl"]:
     for cpus in (8, 32):
         leg = sbt(f"runMain graft.BenchScaling run {job} {cpus} 1")
         res[(job, cpus)] = leg
@@ -129,6 +130,21 @@ for j, label in [("dedupe_sig", "shingle pack + minhash signatures"),
     prev8, prev32 = d[(j, 8)], d[(j, 32)]
 lines.append("\n(Single-rep prefixes vs a min-of-N end-to-end leg: a stage's marginal"
              " time can carry one rep's host noise — read efficiencies, not seconds.)")
+# emb_pairs decomposition: replication+shuffle leg (no kernel) vs end-to-end.
+r8 = res[("emb_repl", 8)]["sec"]; r32 = res[("emb_repl", 32)]["sec"]
+e8 = res[("emb_pairs", 8)]["sec"]; e32 = res[("emb_pairs", 32)]["sec"]
+k_eff = ((e8 - r8) / (e32 - r32)) / 4 if e32 > r32 else float("nan")
+combined["emb_repl"] = {"sec_8": r8, "sec_32": r32,
+                        "efficiency": round((r8 / r32) / 4, 3)}
+lines += [
+    "\nemb_pairs decomposition (replication/shuffle leg = same quantize →"
+    " short-pack → ×B fan-out → identity-partitioned shuffle, fully read"
+    " back, no pair kernel):",
+    f"- replication+shuffle alone: {r8:.2f} s @8 vs {r32:.2f} s @32 "
+    f"(efficiency {(r8/r32)/4:.3f}).",
+    f"- O(n²) kernel minus that wire: ({e8:.2f}−{r8:.2f}) / ({e32:.2f}−{r32:.2f}) s "
+    f"→ work-scaling efficiency **{k_eff:.3f}**.",
+]
 # Prepend the new section; keep prior rounds' sections below for history.
 out_path = pathlib.Path("BENCH_SCALING.md")
 prior = out_path.read_text() if out_path.exists() else ""

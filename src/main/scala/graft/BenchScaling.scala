@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.BenchScaling run <job> <cpus> [reps]
   *     job ∈ join_cells | join_rtree | decode | decode_scan | decode_kernel
   *           | dedupe_decision | dedupe_sig | dedupe_cand | dedupe_verify
-  *           | emb_pairs | knn_ring | knn_ring_bucketed
+  *           | emb_pairs | emb_repl | knn_ring | knn_ring_bucketed
   */
 object BenchScaling {
 
@@ -149,6 +149,26 @@ object BenchScaling {
     val b = sys.env.get("GRAFT_EMB_BLOCKS").map(_.toInt).getOrElse(24)
     graft.ann.Ann.embeddingNearDupPairs(emb, "vec_id", "embedding", 9, 10,
       numBlocks = b).count()
+  }
+
+  /** Replication + shuffle half of [[embPairsJob]] in isolation (same
+    * quantize → short-pack → ×B fan-out → identity-partitioned shuffle,
+    * fully read back, but NO pair kernel): the 8-vs-32 ratio of this leg
+    * attributes any emb_pairs scaling shortfall to the wire vs the O(n²)
+    * compute. Returns replicated row count (= n·B).
+    */
+  def embReplJob(s: SparkSession): Long = {
+    val emb = s.read.parquet(s"$dataDir/embeddings")
+    val b = sys.env.get("GRAFT_EMB_BLOCKS").map(_.toInt).getOrElse(24)
+    val quant = graft.ann.Ann.triangleQuantized(emb, "vec_id", "embedding")
+    graft.ann.Ann.triangleTasks(quant, b)
+      .mapPartitions { it =>
+        // consume (deserialize) every row so the shuffle read is fully paid
+        var n = 0L; var touched = 0L
+        it.foreach { case (_, (_, vid, qe)) => n += 1; touched += vid + qe.length }
+        if (touched == Long.MinValue) Iterator.empty else Iterator.single(n)
+      }
+      .treeReduce(_ + _)
   }
 
   /** Trace of the last kNN run: (round, queries remaining) — VERDICT r03 #8
@@ -325,6 +345,7 @@ object BenchScaling {
         case "dedupe_cand" => dedupeCandJob
         case "dedupe_verify" => dedupeVerifyJob
         case "emb_pairs" => embPairsJob
+        case "emb_repl" => embReplJob
         case "knn_ring" => knnRingJob
         case "knn_ring_bucketed" => knnRingBucketedJob
         case other => throw new IllegalArgumentException(s"unknown job $other")

@@ -85,16 +85,14 @@ object Ann {
     // memory is bounded at 2·n/B vectors. O(n²) compute is inherent to the
     // exact mode and dominates the n·B replication shuffle; for corpora
     // where n² is off the table use [[embeddingNearDupPairsLsh]].
-    // repartition BEFORE the ×B replication explode: a small corpus parquet
-    // arrives as 1-2 input splits, and without this the entire replication
-    // (quantize, explode, serialize, shuffle-write n·B rows) runs on 1-2
-    // tasks no matter how many cores exist — measured as a ~18 s
-    // parallelism-independent floor on the 96k-vector scaling leg (fitting
-    // T(c) = F + W/c to the 8/32-core points). The pre-explode frame is
-    // tiny (n rows), so this exchange costs ~nothing.
-    val quant = df.select(col(idCol).cast("long").as("vid"),
-      transform(col(embCol), x => floor(x.cast("double") * lit(100.0) + lit(0.5)).cast("long")).as("qe"))
-      .repartition(math.max(2, spark.sparkContext.defaultParallelism))
+    // triangleQuantized repartitions BEFORE the ×B replication fan-out: a
+    // small corpus parquet arrives as 1-2 input splits, and without it the
+    // entire replication (quantize, pack, serialize, shuffle-write n·B
+    // rows) runs on 1-2 tasks no matter how many cores exist — measured as
+    // a ~18 s parallelism-independent floor on the 96k-vector scaling leg
+    // (fitting T(c) = F + W/c to the 8/32-core points). The pre-fan-out
+    // frame is tiny (n rows), so this exchange costs ~nothing.
+    val quant = triangleQuantized(df, idCol, embCol)
     // default B: B(B+1)/2 pair tasks ≈ 8× the cluster's cores — with one
     // task per partition (below), wave quantization is the only balance
     // loss and it shrinks as 1/waves (measured: 2× cores' worth of tasks
@@ -107,38 +105,126 @@ object Ann {
     val tn2 = tauNum.toLong * tauNum
     val td2 = tauDen.toLong * tauDen
 
-    // one row per (vector, task it participates in). Task ids are DENSE
-    // ranks of the unordered block pairs (lo <= hi):
-    //   dense(lo, hi) = lo*b - lo*(lo-1)/2 + (hi - lo)   in [0, b(b+1)/2)
-    // so each task can own exactly one reduce partition. Hashing task keys
-    // into spark.sql.shuffle.partitions instead (the previous groupByKey
-    // plan) collides ~2× cores' keys into ~cores bins — balls-in-bins puts
-    // 4-6 keys in the worst bin and the whole stage waits on it.
-    val tasks = sequence(lit(0), lit(b - 1))
-    val blk = pmod(col("vid"), lit(b.toLong)).cast("int")
-    val replicated = quant
-      .withColumn("blk", blk)
-      .select(col("vid"), col("qe"), col("blk"),
-        explode(transform(tasks, j => {
-          val lo = least(col("blk"), j)
-          val hi = greatest(col("blk"), j)
-          // lo*(lo-1) is even, so shiftright(,1) is exact integer /2
-          (lo * lit(b) - shiftright(lo * (lo - lit(1)), 1) + (hi - lo)).cast("int")
-        })).as("task"))
+    triangleTasks(quant, b).mapPartitionsWithIndex { (task, itKv) =>
+        // invert the dense rank back to the block pair (lo, hi)
+        var lo = 0
+        var base = 0
+        while (base + (b - lo) <= task) { base += b - lo; lo += 1 }
+        val hi = lo + (task - base)
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Short])]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Short])]
+        itKv.foreach { case (_, (vblk, vid, qe)) =>
+          if (vblk == lo) left += ((vid, qe))
+          if (vblk == hi && lo != hi) right += ((vid, qe))
+        }
+        // Snapshot each side into PARALLEL PRIMITIVE ARRAYS and run the
+        // O(n²) loop allocation-free: the previous shape routed every pair
+        // through an emit((Long, Array[Short], Long) × 2) helper whose
+        // ordered-pair destructuring built a boxed Tuple6 PER PAIR — at the
+        // 96k-vector scaling leg that is 4.6e9 tuple+box allocations, and
+        // the allocation/GC bandwidth (shared across all cores of the one
+        // socket) was what broke N→4N scaling (0.60 efficiency; ~120 ns per
+        // 64-dim pair vs ~25 ns for the bare dot loop).
+        def sideOf(buf: scala.collection.mutable.ArrayBuffer[(Long, Array[Short])])
+            : (Array[Long], Array[Array[Short]], Array[Long]) = {
+          val n = buf.length
+          val ids = new Array[Long](n)
+          val vecs = new Array[Array[Short]](n)
+          val norms = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val (vid, v) = buf(i)
+            ids(i) = vid; vecs(i) = v
+            var s = 0L; var d = 0
+            while (d < v.length) { s += v(d) * v(d); d += 1 }
+            norms(i) = s
+            i += 1
+          }
+          (ids, vecs, norms)
+        }
+        val (lIds, lVecs, lNorms) = sideOf(left)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        // per-component products fit Int (|q| ≤ Short.MaxValue ⇒ q² < 2³⁰);
+        // the accumulator widens to Long per add. dot²·td2 stays inside
+        // Long by the factor-100 quantization contract (scaladoc above).
+        def scan(idI: Long, eI: Array[Short], nI: Long,
+                 ids: Array[Long], vecs: Array[Array[Short]], norms: Array[Long],
+                 from: Int): Unit = {
+          var j = from
+          while (j < ids.length) {
+            val idJ = ids(j)
+            if (idI != idJ) { // duplicate input ids: never emit a self-pair
+              val eJ = vecs(j)
+              var dot = 0L; var d = 0
+              while (d < eI.length) { dot += eI(d) * eJ(d); d += 1 }
+              if (dot > 0 && dot * dot * td2 >= tn2 * nI * norms(j)) {
+                if (idI < idJ) out += ((idI, idJ, dot))
+                else out += ((idJ, idI, dot))
+              }
+            }
+            j += 1
+          }
+        }
+        if (lo == hi) {
+          var i = 0
+          while (i < lIds.length) {
+            scan(lIds(i), lVecs(i), lNorms(i), lIds, lVecs, lNorms, i + 1)
+            i += 1
+          }
+        } else {
+          val (rIds, rVecs, rNorms) = sideOf(right)
+          var i = 0
+          while (i < lIds.length) {
+            scan(lIds(i), lVecs(i), lNorms(i), rIds, rVecs, rNorms, 0)
+            i += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("id_1", "id_2", "dot")
+  }
 
+  /** Replication + shuffle half of [[embeddingNearDupPairs]], factored so
+    * the scaling bench can time it in isolation from the O(n²) kernel:
+    * each vector is short-packed ONCE (the pack + its range-validation used
+    * to run per REPLICA on a 24×-exploded Dataset frame — 24× redundant
+    * work and a 2.3M-row Dataset decode, all before any pair math), then
+    * fanned to its b task keys in an RDD flatMap where every replica shares
+    * the same packed array reference (the shuffle write still copies b
+    * times — that is the wire — but the CPU-side pack happens once).
+    *
+    * Task ids are DENSE ranks of the unordered block pairs (lo <= hi):
+    *   dense(lo, hi) = lo*b - lo*(lo-1)/2 + (hi - lo)   in [0, b(b+1)/2)
+    * so each task owns exactly one reduce partition (identity partitioner).
+    * Hashing task keys into spark.sql.shuffle.partitions instead (the
+    * original groupByKey plan) collides ~2× cores' keys into ~cores bins —
+    * balls-in-bins puts 4-6 keys in the worst bin and the stage waits on it.
+    *
+    * Packing to shorts before the shuffle ships 4× fewer bytes than the
+    * long arrays; the factor-100 quantization of unit-scale embeddings is
+    * two orders of magnitude inside Short range, and the check validates
+    * rather than truncates so an out-of-contract embedding fails loudly.
+    */
+  /** Factor-100 integer quantization + round-robin spread of the corpus,
+    * shared by [[embeddingNearDupPairs]] and the bench isolation leg.
+    */
+  private[graft] def triangleQuantized(df: DataFrame, idCol: String,
+                                       embCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("vid"),
+      transform(col(embCol), x => floor(x.cast("double") * lit(100.0) + lit(0.5)).cast("long")).as("qe"))
+      .repartition(math.max(2, df.sparkSession.sparkContext.defaultParallelism))
+
+  private[graft] def triangleTasks(quant: DataFrame, b: Int)
+      : org.apache.spark.rdd.RDD[(Int, (Int, Long, Array[Short]))] = {
+    val spark = quant.sparkSession
+    import spark.implicits._
     val nTasks = b * (b + 1) / 2
     val identityPart = new org.apache.spark.Partitioner {
       def numPartitions: Int = nTasks
       def getPartition(key: Any): Int = key.asInstanceOf[Int]
     }
-    // the replication shuffle ships each vector B times — pack the
-    // quantized components into shorts before it (4× fewer bytes than the
-    // long array; the factor-100 quantization of unit-scale embeddings is
-    // two orders of magnitude inside Short range, and the cast validates
-    // rather than truncates so an out-of-contract embedding fails loudly)
-    val byTask = replicated.select(col("task"), col("blk"), col("vid"), col("qe"))
-      .as[(Int, Int, Long, Array[Long])]
-      .rdd.map { case (t, vblk, vid, qe) =>
+    quant.as[(Long, Array[Long])].rdd
+      .flatMap { case (vid, qe) =>
         val s = new Array[Short](qe.length)
         var i = 0
         while (i < s.length) {
@@ -149,64 +235,15 @@ object Ann {
           s(i) = v.toShort
           i += 1
         }
-        (t, (vblk, vid, s))
+        val blk = java.lang.Math.floorMod(vid, b.toLong).toInt
+        val row = (blk, vid, s)
+        (0 until b).iterator.map { j =>
+          val lo = math.min(blk, j)
+          val hi = math.max(blk, j)
+          (lo * b - lo * (lo - 1) / 2 + (hi - lo), row)
+        }
       }
       .partitionBy(identityPart)
-
-    byTask.mapPartitionsWithIndex { (task, itKv) =>
-        // invert the dense rank back to the block pair (lo, hi)
-        var lo = 0
-        var base = 0
-        while (base + (b - lo) <= task) { base += b - lo; lo += 1 }
-        val hi = lo + (task - base)
-        val it = itKv.map(_._2)
-        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Short])]
-        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Short])]
-        it.foreach { case (vblk, vid, qe) =>
-          if (vblk == lo) left += ((vid, qe))
-          if (vblk == hi && lo != hi) right += ((vid, qe))
-        }
-        def normOf(v: Array[Short]): Long = {
-          var s = 0L; var i = 0
-          while (i < v.length) { s += v(i).toLong * v(i); i += 1 }
-          s
-        }
-        val ln = left.map(p => normOf(p._2)).toArray
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        def emit(id1: Long, e1: Array[Short], n1: Long,
-                 id2: Long, e2: Array[Short], n2: Long): Unit = {
-          if (id1 == id2) return // duplicate input ids: never emit a self-pair
-          val (a, ea, na, bId, eb, nb) =
-            if (id1 < id2) (id1, e1, n1, id2, e2, n2) else (id2, e2, n2, id1, e1, n1)
-          var dot = 0L; var d = 0
-          while (d < ea.length) { dot += ea(d).toLong * eb(d); d += 1 }
-          if (dot > 0 && dot * dot * td2 >= tn2 * na * nb) out += ((a, bId, dot))
-        }
-        if (lo == hi) {
-          var i = 0
-          while (i < left.length) {
-            var j = i + 1
-            while (j < left.length) {
-              emit(left(i)._1, left(i)._2, ln(i), left(j)._1, left(j)._2, ln(j))
-              j += 1
-            }
-            i += 1
-          }
-        } else {
-          val rn = right.map(p => normOf(p._2)).toArray
-          var i = 0
-          while (i < left.length) {
-            var j = 0
-            while (j < right.length) {
-              emit(left(i)._1, left(i)._2, ln(i), right(j)._1, right(j)._2, rn(j))
-              j += 1
-            }
-            i += 1
-          }
-        }
-        out.iterator
-      }
-      .toDF("id_1", "id_2", "dot")
   }
 
   /** Approximate near-dup pairs via sign-LSH blocking — the path for
