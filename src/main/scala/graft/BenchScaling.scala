@@ -163,9 +163,15 @@ object BenchScaling {
     val quant = graft.ann.Ann.triangleQuantized(emb, "vec_id", "embedding")
     graft.ann.Ann.triangleTasks(quant, b)
       .mapPartitions { it =>
-        // consume (deserialize) every row so the shuffle read is fully paid
+        // consume (deserialize) every blob so the shuffle read is fully
+        // paid; count the VECTORS each blob carries (header int) so the
+        // reported rows stay comparable to the per-vector-row era (= n·B)
         var n = 0L; var touched = 0L
-        it.foreach { case (_, (_, vid, qe)) => n += 1; touched += vid + qe.length }
+        it.foreach { case (_, (blk, blob)) =>
+          n += java.nio.ByteBuffer.wrap(blob)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+          touched += blk + blob.length
+        }
         if (touched == Long.MinValue) Iterator.empty else Iterator.single(n)
       }
       .treeReduce(_ + _)

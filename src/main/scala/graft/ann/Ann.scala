@@ -111,100 +111,70 @@ object Ann {
         var base = 0
         while (base + (b - lo) <= task) { base += b - lo; lo += 1 }
         val hi = lo + (task - base)
-        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Short])]
-        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Short])]
-        itKv.foreach { case (_, (vblk, vid, qe)) =>
-          if (vblk == lo) left += ((vid, qe))
-          if (vblk == hi && lo != hi) right += ((vid, qe))
+        var loBlob: Array[Byte] = null
+        var hiBlob: Array[Byte] = null
+        itKv.foreach { case (_, (vblk, blob)) =>
+          if (vblk == lo) loBlob = blob
+          if (vblk == hi) hiBlob = blob
         }
-        // Snapshot each side into PARALLEL PRIMITIVE ARRAYS and run the
-        // O(n²) loop allocation-free: the previous shape routed every pair
-        // through an emit((Long, Array[Short], Long) × 2) helper whose
-        // ordered-pair destructuring built a boxed Tuple6 PER PAIR — at the
-        // 96k-vector scaling leg that is 4.6e9 tuple+box allocations, and
-        // the allocation/GC bandwidth (shared across all cores of the one
-        // socket) was what broke N→4N scaling (0.60 efficiency; ~120 ns per
-        // 64-dim pair vs ~25 ns for the bare dot loop).
-        def sideOf(buf: scala.collection.mutable.ArrayBuffer[(Long, Array[Short])])
-            : (Array[Long], Array[Array[Short]], Array[Long]) = {
-          val n = buf.length
+        // Unpack each side into PARALLEL PRIMITIVE ARRAYS (ids / flat
+        // vector shorts / norms) and run the O(n²) loop allocation-free:
+        // an earlier shape routed every pair through an emit((Long,
+        // Array[Short], Long) × 2) helper whose ordered-pair destructuring
+        // built a boxed Tuple6 PER PAIR — at the 96k-vector scaling leg
+        // that is 4.6e9 tuple+box allocations. The kernel floor after
+        // that fix is the scalar dot loop itself (~55-70 ns per 64-dim
+        // pair on this host's JIT — no auto-vectorization of the
+        // short-mul/long-add reduction; measured standalone, BASELINE.md).
+        def unpack(blob: Array[Byte]): (Int, Array[Long], Array[Short], Array[Long]) = {
+          if (blob == null) return (0, new Array[Long](0), new Array[Short](0), new Array[Long](0))
+          val bb = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bb.getInt(); val d = bb.getInt()
           val ids = new Array[Long](n)
-          val vecs = new Array[Array[Short]](n)
-          val norms = new Array[Long](n)
           var i = 0
+          while (i < n) { ids(i) = bb.getLong(); i += 1 }
+          val flat = new Array[Short](n * d)
+          bb.asShortBuffer().get(flat)
+          val norms = new Array[Long](n)
+          i = 0
           while (i < n) {
-            val (vid, v) = buf(i)
-            ids(i) = vid; vecs(i) = v
-            var s = 0L; var d = 0
-            while (d < v.length) { s += v(d) * v(d); d += 1 }
-            norms(i) = s
-            i += 1
+            var s = 0L; var k = i * d; val end = k + d
+            while (k < end) { s += flat(k) * flat(k); k += 1 }
+            norms(i) = s; i += 1
           }
-          (ids, vecs, norms)
+          (d, ids, flat, norms)
         }
-        val (lIds, lVecs, lNorms) = sideOf(left)
+        val (d0, lIds, lFlat, lNorms) = unpack(loBlob)
+        val diag = lo == hi
+        val (_, rIds, rFlat, rNorms) = if (diag) (d0, lIds, lFlat, lNorms) else unpack(hiBlob)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
         // per-component products fit Int (|q| ≤ Short.MaxValue ⇒ q² < 2³⁰);
         // the accumulator widens to Long per add. dot²·td2 stays inside
         // Long by the factor-100 quantization contract (scaladoc above).
-        def scan(idI: Long, eI: Array[Short], nI: Long,
-                 ids: Array[Long], vecs: Array[Array[Short]], norms: Array[Long],
-                 from: Int): Unit = {
-          var j = from
-          while (j < ids.length) {
-            val idJ = ids(j)
+        var i = 0
+        while (i < lIds.length) {
+          val idI = lIds(i); val nI = lNorms(i); val offI = i * d0
+          var j = if (diag) i + 1 else 0
+          while (j < rIds.length) {
+            val idJ = rIds(j)
             if (idI != idJ) { // duplicate input ids: never emit a self-pair
-              val eJ = vecs(j)
-              var dot = 0L; var d = 0
-              while (d < eI.length) { dot += eI(d) * eJ(d); d += 1 }
-              if (dot > 0 && dot * dot * td2 >= tn2 * nI * norms(j)) {
+              val offJ = j * d0
+              var dot = 0L; var k = 0
+              while (k < d0) { dot += lFlat(offI + k) * rFlat(offJ + k); k += 1 }
+              if (dot > 0 && dot * dot * td2 >= tn2 * nI * rNorms(j)) {
                 if (idI < idJ) out += ((idI, idJ, dot))
                 else out += ((idJ, idI, dot))
               }
             }
             j += 1
           }
-        }
-        if (lo == hi) {
-          var i = 0
-          while (i < lIds.length) {
-            scan(lIds(i), lVecs(i), lNorms(i), lIds, lVecs, lNorms, i + 1)
-            i += 1
-          }
-        } else {
-          val (rIds, rVecs, rNorms) = sideOf(right)
-          var i = 0
-          while (i < lIds.length) {
-            scan(lIds(i), lVecs(i), lNorms(i), rIds, rVecs, rNorms, 0)
-            i += 1
-          }
+          i += 1
         }
         out.iterator
       }
       .toDF("id_1", "id_2", "dot")
   }
 
-  /** Replication + shuffle half of [[embeddingNearDupPairs]], factored so
-    * the scaling bench can time it in isolation from the O(n²) kernel:
-    * each vector is short-packed ONCE (the pack + its range-validation used
-    * to run per REPLICA on a 24×-exploded Dataset frame — 24× redundant
-    * work and a 2.3M-row Dataset decode, all before any pair math), then
-    * fanned to its b task keys in an RDD flatMap where every replica shares
-    * the same packed array reference (the shuffle write still copies b
-    * times — that is the wire — but the CPU-side pack happens once).
-    *
-    * Task ids are DENSE ranks of the unordered block pairs (lo <= hi):
-    *   dense(lo, hi) = lo*b - lo*(lo-1)/2 + (hi - lo)   in [0, b(b+1)/2)
-    * so each task owns exactly one reduce partition (identity partitioner).
-    * Hashing task keys into spark.sql.shuffle.partitions instead (the
-    * original groupByKey plan) collides ~2× cores' keys into ~cores bins —
-    * balls-in-bins puts 4-6 keys in the worst bin and the stage waits on it.
-    *
-    * Packing to shorts before the shuffle ships 4× fewer bytes than the
-    * long arrays; the factor-100 quantization of unit-scale embeddings is
-    * two orders of magnitude inside Short range, and the check validates
-    * rather than truncates so an out-of-contract embedding fails loudly.
-    */
   /** Factor-100 integer quantization + round-robin spread of the corpus,
     * shared by [[embeddingNearDupPairs]] and the bench isolation leg.
     */
@@ -214,8 +184,39 @@ object Ann {
       transform(col(embCol), x => floor(x.cast("double") * lit(100.0) + lit(0.5)).cast("long")).as("qe"))
       .repartition(math.max(2, df.sparkSession.sparkContext.defaultParallelism))
 
+  /** Replication + shuffle half of [[embeddingNearDupPairs]], factored so
+    * the scaling bench can time it in isolation from the O(n²) kernel.
+    *
+    * The wire unit is a PER-BLOCK PACKED BLOB, not a per-vector row: each
+    * of the b blocks is packed once into one byte blob
+    * ([int n][int d][n × long vid][n·d × short], little-endian) and fanned
+    * to the b tasks that hold it — b² blob rows total instead of n·b
+    * vector rows. Same payload bytes on the wire, but the per-row
+    * serializer overhead (nested tuple + array headers × n·b — measured as
+    * an anti-scaling 2.6 s @8 → 4.1 s @32 isolation leg on 2.3M rows)
+    * collapses to b² ≈ hundreds of rows, and the pack + its
+    * range-validation run once per VECTOR, not once per replica.
+    *
+    * Task ids are DENSE ranks of the unordered block pairs (lo <= hi):
+    *   dense(lo, hi) = lo*b - lo*(lo-1)/2 + (hi - lo)   in [0, b(b+1)/2)
+    * so each task owns exactly one reduce partition (identity partitioner).
+    * Hashing task keys into spark.sql.shuffle.partitions instead (the
+    * original groupByKey plan) collides ~2× cores' keys into ~cores bins —
+    * balls-in-bins puts 4-6 keys in the worst bin and the stage waits on it.
+    *
+    * Packing to shorts ships 4× fewer bytes than the long arrays; the
+    * factor-100 quantization of unit-scale embeddings is two orders of
+    * magnitude inside Short range, and the check validates rather than
+    * truncates so an out-of-contract embedding fails loudly.
+    *
+    * A block blob is (n/b)·(2d+8)+16 bytes — the same data the kernel task
+    * must hold anyway (task memory is bounded at 2·n/b vectors by design);
+    * raise b when blocks outgrow a task. The b-way groupByKey stage is the
+    * only full pass over vector rows and its parallelism is b (≥ the
+    * default's 8×-cores task budget after the square root).
+    */
   private[graft] def triangleTasks(quant: DataFrame, b: Int)
-      : org.apache.spark.rdd.RDD[(Int, (Int, Long, Array[Short]))] = {
+      : org.apache.spark.rdd.RDD[(Int, (Int, Array[Byte]))] = {
     val spark = quant.sparkSession
     import spark.implicits._
     val nTasks = b * (b + 1) / 2
@@ -224,19 +225,35 @@ object Ann {
       def getPartition(key: Any): Int = key.asInstanceOf[Int]
     }
     quant.as[(Long, Array[Long])].rdd
-      .flatMap { case (vid, qe) =>
-        val s = new Array[Short](qe.length)
+      .map { case (vid, qe) => (java.lang.Math.floorMod(vid, b.toLong).toInt, (vid, qe)) }
+      .groupByKey(b)
+      .flatMap { case (blk, vecs) =>
+        val rows = vecs.toArray
+        val n = rows.length
+        val d = if (n == 0) 0 else rows(0)._2.length
+        val bb = java.nio.ByteBuffer.allocate(8 + n * (8 + 2 * d))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(n); bb.putInt(d)
         var i = 0
-        while (i < s.length) {
-          val v = qe(i)
-          require(v >= Short.MinValue && v <= Short.MaxValue,
-            s"embeddingNearDupPairs: quantized component $v out of Short range " +
-              "(expected unit-scale embeddings; factor-100 quantization)")
-          s(i) = v.toShort
+        while (i < n) { bb.putLong(rows(i)._1); i += 1 }
+        i = 0
+        while (i < n) {
+          val qe = rows(i)._2
+          require(qe.length == d,
+            s"embeddingNearDupPairs: ragged embedding lengths (${qe.length} vs $d)")
+          var k = 0
+          while (k < d) {
+            val v = qe(k)
+            require(v >= Short.MinValue && v <= Short.MaxValue,
+              s"embeddingNearDupPairs: quantized component $v out of Short range " +
+                "(expected unit-scale embeddings; factor-100 quantization)")
+            bb.putShort(v.toShort)
+            k += 1
+          }
           i += 1
         }
-        val blk = java.lang.Math.floorMod(vid, b.toLong).toInt
-        val row = (blk, vid, s)
+        val blob = bb.array()
+        val row = (blk, blob)
         (0 until b).iterator.map { j =>
           val lo = math.min(blk, j)
           val hi = math.max(blk, j)

@@ -86,11 +86,14 @@ class PlanSpec extends SparkSpecBase {
       16.0 * spark.sparkContext.defaultParallelism)).toInt)
     val nTasks = b * (b + 1) / 2
     assert(pairs.rdd.getNumPartitions === nTasks)
-    // the map side of that identity shuffle must run at cluster
-    // parallelism: without the pre-explode round-robin repartition the
-    // whole ×B replication (quantize, explode, serialize, shuffle-write)
-    // runs on however few input splits the corpus arrived as — measured as
-    // a ~18 s parallelism-independent floor on the 96k-vector scaling leg
+    // lineage shape: round-robin repartition (cluster parallelism) →
+    // b-way groupByKey (block pack) → identity partitionBy (nTasks).
+    // The identity shuffle's map side is the b-partition pack stage; the
+    // pack stage's own map side must run at CLUSTER parallelism — without
+    // the pre-fan-out round-robin repartition the whole per-vector pass
+    // (quantize, serialize) runs on however few input splits the corpus
+    // arrived as — measured as a ~18 s parallelism-independent floor on
+    // the 96k-vector scaling leg
     def shuffles(r: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.ShuffleDependency[_, _, _]] =
       r.dependencies.flatMap {
         case s: org.apache.spark.ShuffleDependency[_, _, _] => s +: shuffles(s.rdd)
@@ -99,7 +102,12 @@ class PlanSpec extends SparkSpecBase {
     val identityShuffle = shuffles(pairs.rdd)
       .find(_.partitioner.numPartitions == nTasks)
       .getOrElse(fail("identity partitionBy shuffle not found in lineage"))
-    assert(identityShuffle.rdd.getNumPartitions ===
+    assert(identityShuffle.rdd.getNumPartitions === b,
+      "identity shuffle map side must be the b-partition block-pack stage")
+    val packShuffle = shuffles(identityShuffle.rdd)
+      .find(_.partitioner.numPartitions == b)
+      .getOrElse(fail("b-way groupByKey (block pack) shuffle not found in lineage"))
+    assert(packShuffle.rdd.getNumPartitions ===
       math.max(2, spark.sparkContext.defaultParallelism))
   }
 
