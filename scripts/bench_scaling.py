@@ -59,13 +59,15 @@ for job, _ in JOBS:
 DEDUPE_STAGES = ["dedupe_sig", "dedupe_cand", "dedupe_verify"]
 for job in DEDUPE_STAGES + ["emb_repl"]:
     for cpus in (8, 32):
-        leg = sbt(f"runMain graft.BenchScaling run {job} {cpus} 1")
+        # min-of-2: a single rep's host noise can make a cumulative-prefix
+        # MARGINAL go negative (observed on the CC stage)
+        leg = sbt(f"runMain graft.BenchScaling run {job} {cpus} 2")
         res[(job, cpus)] = leg
         print(json.dumps(leg), flush=True)
 # host ALU-scaling floor (pure thread pool, zero Spark): the ceiling any
 # ALU-saturated leg (emb_pairs) can reach on ONE socket at 8 vs 32 threads.
 for cpus in (8, 32):
-    leg = sbt(f"runMain graft.AluFloor {cpus} 3")
+    leg = sbt(f"runMain graft.AluFloor {cpus} 2")
     res[("alu_floor", cpus)] = leg
     print(json.dumps(leg), flush=True)
 

@@ -27,7 +27,12 @@ object AluFloor {
   def main(args: Array[String]): Unit = {
     val threads = args.headOption.map(_.toInt).getOrElse(32)
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
-    val n = 30000
+    // n sized so a rep SUSTAINS the ALU for tens of seconds: a sub-second
+    // burst rides turbo clocks a multi-second Spark stage never sees
+    // (measured: 0.77 s burst → 54 ns/pair/core @32; the same kernel
+    // sustained 13 s inside the emb_pairs stage → ~90 ns/pair/core), so a
+    // short floor run OVERSTATES the ceiling the operator is held to.
+    val n = 60000
     val d = 64
     val rnd = new java.util.Random(7)
     val v = Array.fill(n)(Array.fill(d)((rnd.nextInt(200) - 100).toShort))

@@ -285,6 +285,22 @@ class DedupAnnSpec extends SparkSpecBase {
     }
   }
 
+  test("blocked-exact near-dup: corpus smaller than the block count (empty blocks)") {
+    // 3 vectors, 24 blocks: most blocks are empty, so most tasks receive
+    // no blob at all and off-diagonal tasks can see exactly one side —
+    // the kernel must treat missing blobs as empty sides, not NPE.
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Ann.embeddingNearDupPairs(tiny, "vec_id", "embedding",
+      tauNum = 9, tauDen = 10, numBlocks = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L)))
+  }
+
   test("LSH-blocked near-dup is a subset of exact with high planted recall") {
     val exact = nearDupOracle(9, 10)
     val lsh = Ann.embeddingNearDupPairsLsh(nearDupCorpus, "vec_id", "embedding",
