@@ -388,6 +388,39 @@ object Knn {
     // for 331 queries vs a seeded pass at roughly the table-stream floor.
     val thr0: Array[Double] =
       qs.map(q => initThr.getOrElse(q._1, Double.MaxValue))
+    // TRIANGLE-SEED the unseeded: for any seeded query q' (bound b', in
+    // squared degrees), the ≥k points inside √b' of q' are all within
+    // d(q,q') + √b' of q, so (d(q,q') + √b')² is a valid upper bound on
+    // q's true squared kth — the warm-start exactness argument below holds
+    // verbatim (≥k points lie within the seeded bound, so the heap always
+    // fills). Without this, ONE unseeded member forces its whole grid cell
+    // onto the always-check list, and every point bbox-checks it: measured
+    // on the 100M-point leg, 2601 stragglers left 690 of 874 cells
+    // unseeded-or-wide → 69.3e9 cell checks ≈ 830 core-s — the entire
+    // finisher cost. O(unseeded × seeded) driver work, both ≤ the caller's
+    // collect threshold.
+    if (initThr.nonEmpty) {
+      val seeded = qs.indices.filter(i => thr0(i) < Double.MaxValue)
+      if (seeded.nonEmpty) {
+        var i = 0
+        while (i < thr0.length) {
+          if (thr0(i) == Double.MaxValue) {
+            var b = Double.MaxValue
+            var j = 0
+            while (j < seeded.length) {
+              val s = seeded(j)
+              val dx = qs(i)._2 - qs(s)._2
+              val dy = qs(i)._3 - qs(s)._3
+              val r = math.sqrt(dx * dx + dy * dy) + math.sqrt(thr0(s))
+              if (r * r < b) b = r * r
+              j += 1
+            }
+            thr0(i) = b
+          }
+          i += 1
+        }
+      }
+    }
 
     // grid zoom: coarsest level where occupied cells average <= ~8 queries
     val g =
@@ -438,10 +471,15 @@ object Knn {
           // tileY grows southward: the EXPANDED north edge gives the min y
           val y0 = graft.index.CellIndex.tileY(math.min(90.0, mxLat + r), g)
           val y1 = graft.index.CellIndex.tileY(math.max(-90.0, mnLat - r), g)
-          // antimeridian wrap of the lon range: cover both edge strips
-          val wraps = mnLon - r < -180.0 || mxLon + r > 180.0
+          // The kNN metric is PLAIN euclidean in degree space (GeoMath
+          // .sqDistDeg — no antimeridian wrap), so clamping the expanded
+          // range to [-180,180]/[-90,90] is exact: no points exist beyond
+          // the edges and distances never wrap around. (An earlier
+          // wraps→always fallback here put every edge-touching cell on the
+          // always list: 67 cells × 100M points ≈ 6.7e9 useless bbox
+          // checks on the scaling leg.)
           val span = (x1 - x0 + 1).max(1) * (y1 - y0 + 1).max(1)
-          if (span > reachCap || wraps) alwaysB += c
+          if (span > reachCap) alwaysB += c
           else {
             var y = y0
             while (y <= y1) {

@@ -91,6 +91,12 @@ class KnnSpec extends SparkSpecBase {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(run(exactKth) === brute(k))
     assert(run(exactKth.filter(_._1 % 2 == 0)) === brute(k)) // mixed seeded/unseeded
+    // one seeded query only: every other query gets a TRIANGLE-derived
+    // bound (d(q,q') + √thr_q')² from that single seed — including the
+    // polar/antimeridian queries farthest from it, whose derived bounds
+    // are huge but must stay valid upper bounds (exactness, not pruning,
+    // is what's asserted)
+    assert(run(exactKth.filter(_._1 == 1L)) === brute(k))
   }
 
   test("pickZoom: smallest zoom whose hottest cell is under the cap") {
