@@ -17,7 +17,13 @@ N_IMAGES, N_POLYS, N_PAYLOAD = 30_000_000, 1000, 3_000_000
 #   round regardless of data (measured ~2.5-3 s/round at BOTH 8 and 32
 #   cores on 10M points, where total work is only ~70 core-s); 100M points
 #   gives the rounds real work per barrier.
-N_DOCS, N_EMB, N_KNN_PTS, N_KNN_Q = 300_000, 96_000, 100_000_000, 10_000
+# N_KNN_Q at 100k (was 10k): the triangle-seeded finisher + warm kNN path
+# made the whole 10k-query leg run in 14-20 s @32, i.e. at the per-round
+# machinery floor (~5 s/round of driver barriers + cached-scan streams at
+# EITHER core count) — the efficiency metric was measuring the floor, not
+# the operator. 10x the queries gives every round query-proportional work
+# that dwarfs the floor, per the sizing rule above.
+N_DOCS, N_EMB, N_KNN_PTS, N_KNN_Q = 300_000, 96_000, 100_000_000, 100_000
 JOBS = [("join_cells", "spatial-join (cell equi-join + PIP refine) + tiling"),
         ("join_rtree", "spatial-join (broadcast R-tree, zero shuffle) + tiling"),
         ("decode", "image decode + feature extraction (columnar)"),

@@ -205,6 +205,8 @@ object BenchScaling {
       onRound = (r, rem) => {
         val now = System.nanoTime()
         trace += ((r, rem, (now - last) / 1e9))
+        if (sys.env.contains("GRAFT_KNN_DEBUG"))
+          System.err.println(f"[knn-round] $r rem=$rem ${(now - last) / 1e9}%.2fs")
         last = now
       }).count()
     knnTrace = trace.toSeq
@@ -326,6 +328,12 @@ object BenchScaling {
         val pts = prep.read.parquet(s"$dataDir/knn_points")
         val zb = graft.knn.Knn.pickZoom(pts, "lon", "lat")
         prep.sql("DROP TABLE IF EXISTS knn_points_b")
+        // a re-prep at a new size runs in a fresh catalog, so DROP TABLE
+        // can't clear a previous prep's external location — CTAS refuses
+        // non-empty dirs; delete it directly
+        val bucketedPath = new org.apache.hadoop.fs.Path(s"$dataDir/knn_points_bucketed")
+        bucketedPath.getFileSystem(prep.sparkContext.hadoopConfiguration)
+          .delete(bucketedPath, true)
         pts.withColumn("cell",
             graft.functions.GeoFunctions.cell_id(col("lon"), col("lat"), zb))
           .write.bucketBy(128, "cell").sortBy("cell")

@@ -96,27 +96,130 @@ object Knn {
   private def localTopK(rows: DataFrame, k: Int): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
-    rows.select(col("query_id").cast("long"), col("point_id").cast("long"),
-        col("dist").cast("double"))
-      .as[(Long, Long, Double)]
-      .mapPartitions { it =>
-        val ord = implicitly[Ordering[(Double, Long)]]
-        val heaps = new java.util.HashMap[Long, java.util.TreeSet[(Double, Long)]]()
-        it.foreach { case (q, p, d) =>
-          var s = heaps.get(q)
-          if (s == null) { s = new java.util.TreeSet[(Double, Long)](ord); heaps.put(q, s) }
-          if (s.size < k) s.add((d, p)) // TreeSet drops exact duplicates
-          else if (ord.lt((d, p), s.last)) {
-            s.add((d, p))
-            if (s.size > k) s.pollLast()
+    val prepared = rows.select(col("query_id").cast("long"),
+      col("point_id").cast("long"), col("dist").cast("double"))
+    // InternalRow iteration + primitive open-addressing state: the former
+    // Dataset decoder + HashMap[Long, TreeSet[(Double, Long)]] allocated a
+    // tuple and boxes per CANDIDATE row — at web-scale round-0 volumes
+    // (hundreds of millions of join rows) the allocation rate, not the
+    // arithmetic, bounded the stage's 8→32 scaling. Flat max-heaps (root =
+    // worst kept) replace the TreeSet; exact (dist, point_id) duplicates
+    // from ring wrap-aliasing are dropped by a ≤ k linear probe of the
+    // heap slots, preserving the TreeSet's dedup semantics.
+    val out = prepared.queryExecution.toRdd.mapPartitions { rowIt =>
+      var cap = 1 << 10
+      var mask = cap - 1
+      var keys = new Array[Long](cap)
+      var live = new Array[Boolean](cap)
+      var slotOf = new Array[Int](cap)
+      var nQ = 0
+      var hD = new Array[Double](cap * k)
+      var hP = new Array[Long](cap * k)
+      var hN = new Array[Int](cap)
+      @inline def worse(d1: Double, p1: Long, d2: Double, p2: Long): Boolean =
+        d1 > d2 || (d1 == d2 && p1 > p2)
+      def grow(): Unit = {
+        val oldCap = cap
+        cap <<= 1; mask = cap - 1
+        val nk = new Array[Long](cap); val nl = new Array[Boolean](cap)
+        val ns = new Array[Int](cap)
+        var i = 0
+        while (i < oldCap) {
+          if (live(i)) {
+            var h = (java.lang.Long.hashCode(keys(i)) & 0x7fffffff) & mask
+            while (nl(h)) h = (h + 1) & mask
+            nk(h) = keys(i); nl(h) = true; ns(h) = slotOf(i)
+          }
+          i += 1
+        }
+        keys = nk; live = nl; slotOf = ns
+        hD = java.util.Arrays.copyOf(hD, cap * k)
+        hP = java.util.Arrays.copyOf(hP, cap * k)
+        hN = java.util.Arrays.copyOf(hN, cap)
+      }
+      // insert as its own small method (see scan(): a single huge loop
+      // method falls off the JIT and runs interpreted)
+      def insert(q: Long, p: Long, d: Double): Unit = {
+        var h = (java.lang.Long.hashCode(q) & 0x7fffffff) & mask
+        while (live(h) && keys(h) != q) h = (h + 1) & mask
+        val slot =
+          if (live(h)) slotOf(h)
+          else {
+            if ((nQ + 1) * 2 > cap) {
+              grow()
+              h = (java.lang.Long.hashCode(q) & 0x7fffffff) & mask
+              while (live(h)) h = (h + 1) & mask
+            }
+            keys(h) = q; live(h) = true; slotOf(h) = nQ
+            nQ += 1
+            nQ - 1
+          }
+        val base = slot * k
+        val n = hN(slot)
+        val admit =
+          if (n < k) true
+          else worse(hD(base), hP(base), d, p)
+        if (admit) {
+          // dedup probe (≤ k slots): ring wrap-aliasing can re-surface the
+          // identical (dist, point) pair within one partition
+          var dup = false
+          var j = 0
+          while (j < n && !dup) {
+            if (hP(base + j) == p && hD(base + j) == d) dup = true
+            j += 1
+          }
+          if (!dup) {
+            if (n < k) {
+              hD(base + n) = d; hP(base + n) = p
+              // sift up
+              var c = n
+              while (c > 0) {
+                val par = (c - 1) >> 1
+                if (worse(hD(base + c), hP(base + c), hD(base + par), hP(base + par))) {
+                  val td = hD(base + c); val tp = hP(base + c)
+                  hD(base + c) = hD(base + par); hP(base + c) = hP(base + par)
+                  hD(base + par) = td; hP(base + par) = tp
+                  c = par
+                } else c = 0
+              }
+              hN(slot) = n + 1
+            } else {
+              hD(base) = d; hP(base) = p
+              // sift down
+              var c = 0
+              var done = false
+              while (!done) {
+                val l = 2 * c + 1; val r = l + 1
+                var m = c
+                if (l < k && worse(hD(base + l), hP(base + l), hD(base + m), hP(base + m))) m = l
+                if (r < k && worse(hD(base + r), hP(base + r), hD(base + m), hP(base + m))) m = r
+                if (m == c) done = true
+                else {
+                  val td = hD(base + c); val tp = hP(base + c)
+                  hD(base + c) = hD(base + m); hP(base + c) = hP(base + m)
+                  hD(base + m) = td; hP(base + m) = tp
+                  c = m
+                }
+              }
+            }
           }
         }
-        import scala.jdk.CollectionConverters._
-        heaps.entrySet().iterator().asScala.flatMap { e =>
-          e.getValue.iterator().asScala.map(v => (e.getKey, v._2, v._1))
-        }
       }
-      .toDF("query_id", "point_id", "dist")
+      while (rowIt.hasNext) {
+        val row = rowIt.next()
+        insert(row.getLong(0), row.getLong(1), row.getDouble(2))
+      }
+      val qIdOfSlot = new Array[Long](nQ)
+      locally {
+        var i = 0
+        while (i < cap) { if (live(i)) qIdOfSlot(slotOf(i)) = keys(i); i += 1 }
+      }
+      (0 until nQ).iterator.flatMap { slot =>
+        val base = slot * k
+        (0 until hN(slot)).iterator.map(j => (qIdOfSlot(slot), hP(base + j), hD(base + j)))
+      }
+    }
+    spark.createDataset(out).toDF("query_id", "point_id", "dist")
   }
 
   def ringMinSqDist(lon: Column, lat: Column, cell: Column, k: Column): Column =
@@ -139,6 +242,12 @@ object Knn {
     *                decomposition) is skipped entirely: zero point-side
     *                shuffle, ever. The frame is still cached (partitioning-
     *                preserving) so later rounds skip the parquet re-scan.
+    * @param finisherStateBudget per-task memory budget (bytes) for the WARM
+    *                finisher's per-query heap state; sets how many seeded
+    *                stragglers one scan() pass may absorb in place of
+    *                further doubling rounds (~90k at k=10 for the 64 MB
+    *                default — each avoided round is one full stream of the
+    *                cached point table)
     * @return (query_id, rank, point_id, dist) with rank in 1..k
     */
   def cellRing(queries: DataFrame, queryIdCol: String, qLonCol: String, qLatCol: String,
@@ -146,9 +255,16 @@ object Knn {
                k: Int, z: Int = 7, maxRings: Int = 1 << 10, initCap: Int = 8,
                scanFinishThreshold: Int = 4096,
                onRound: (Int, Long) => Unit = noopRound,
-               pointCellCol: Option[String] = None): DataFrame = {
+               pointCellCol: Option[String] = None,
+               finisherStateBudget: Long = 64L << 20): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+
+    val hardMaxPre = math.min(maxRings, 1 << math.min(z, 20))
+    val r0Max = math.min(initCap, hardMaxPre)
+    // one cheap count of the (small-by-contract) query table, reused for
+    // the plain path's partition sizing and the r0-join strategy choice
+    val nQueries = queries.count()
 
     val ptsBase = points.select(
       col(pointIdCol).as("point_id"), col(lonCol).as("p_lon"), col(latCol).as("p_lat"),
@@ -170,25 +286,74 @@ object Knn {
       // leg as a per-round floor that got WORSE with more cores (shared
       // memory bus: 32 writers thrash what 8 stream through). The same
       // partitioning makes cellCounts below an exchange-free aggregation.
-      case None => ptsBase.repartition(col("__cell")).persist()
+      //
+      // The partition COUNT is sized from the query count, not left at
+      // spark.sql.shuffle.partitions: the ring join's hash build is the
+      // CO-PARTITIONED exploded-straggler side, whose high-water mark is
+      // round 0 (every query explodes ≤ (2·r0+1)² cells). At web-scale
+      // query counts that side is no longer "small" — measured at 100k
+      // queries: 29M exploded build rows over 8 partitions = 3.6M rows
+      // ≈ 260 MB per hash build, which OOM'd a 12 g heap. ~400k build rows
+      // per partition (≈ 20 MB) keeps every round's build trivially
+      // memory-safe; later rounds explode more cells per straggler but
+      // serve ≥4× fewer of them (and the warm finisher below takes the
+      // tail entirely).
+      case None =>
+        val r0Cells = (2L * r0Max + 1) * (2L * r0Max + 1)
+        val p0 = math.max(spark.sessionState.conf.numShufflePartitions,
+          math.min(4096L, nQueries * r0Cells / 400000L + 1).toInt)
+        // round up to a multiple of the core count: the finisher coalesces
+        // this frame to one task per core, and a non-divisible count gives
+        // some tasks an extra storage partition (73→32 left a 1.3× skew on
+        // the pass's critical path)
+        val par = math.max(1, spark.sparkContext.defaultParallelism)
+        val p = ((p0 + par - 1) / par) * par
+        ptsBase.repartition(p, col("__cell")).persist()
     }
+    // partition count of the cached point side = the ring join's task count
+    // (the exploded side co-partitions to it); fixed for the whole run
+    val ptsParts = math.max(1, pts.rdd.getNumPartitions)
 
-    val hardMax = math.min(maxRings, 1 << math.min(z, 20))
+    val hardMax = hardMaxPre
 
     // PER-QUERY adaptive initial radius from the query cell's own occupancy
-    // (one count pass over the already-persisted points): a query in a
-    // sparse cell starts with enough rings to expect ~4k candidates, so the
-    // straggler tail — exactly the sparse-region queries — finishes in the
-    // FIRST round instead of costing whole extra shuffle+checkpoint rounds
-    // that rerank everyone's accumulated top-k for a handful of queries.
+    // (one count pass over the already-persisted points): the SMALLEST
+    // r ≥ 0 whose rings 0..r are expected to hold ~4k candidates,
+    // r = ⌈(√(4k/cn) − 1)/2⌉ from (2r+1)²·cn ≥ 4k. Sparse queries start
+    // wide enough that the straggler tail — exactly the sparse-region
+    // queries — finishes in the FIRST round; dense queries start at r0 = 0
+    // (their OWN cell already over-fills the target: with pickZoom capping
+    // hot cells at ~4096 points, every city query's cell alone holds ~400×
+    // k=10, and the earlier ⌈√(4k/cn)⌉-with-floor-1 formula dragged 8
+    // neighbor cells of ~4k points each through round 0 — a 9× candidate-
+    // volume overshoot that dominated the round at 100k city-skewed
+    // queries).
     val cellCounts = pts.groupBy(col("__cell")).agg(count(lit(1)).as("__cn"))
-    val r0: Column = least(lit(math.min(initCap, hardMax)), greatest(lit(1),
-      ceil(sqrt(lit(4.0 * k) /
-        greatest(coalesce(col("__cn"), lit(0L)).cast("double"), lit(1.0)))).cast("int")))
-    var remaining = queries.select(
+    val r0: Column = least(lit(r0Max), greatest(lit(0),
+      ceil((sqrt(lit(4.0 * k) /
+        greatest(coalesce(col("__cn"), lit(0L)).cast("double"), lit(1.0))) - 1.0) / 2.0)
+        .cast("int")))
+    val qFrame = queries.select(
       col(queryIdCol).as("query_id"), col(qLonCol).as("q_lon"), col(qLatCol).as("q_lat"),
       cell_id(col(qLonCol), col(qLatCol), z).as("__qcell"))
-      .join(cellCounts.withColumnRenamed("__cell", "__qcell"), Seq("__qcell"), "left")
+    // r0 join: the occupancy frame has one row per OCCUPIED POINT CELL
+    // (~20M at the 100M-point leg) but queries only need the ≤ |distinct
+    // query cells| rows they sit in. Semi-filter it by the broadcast query-
+    // cell set (an exchange-free filter — cellCounts rides the cached point
+    // partitioning), then broadcast the filtered result into the join:
+    // zero shuffles on either side, vs the legacy plan's full two-sided
+    // shuffle of 20M occupancy rows against the query frame. Falls back to
+    // that legacy plan when the query set is too large to broadcast.
+    val joined =
+      if (nQueries <= 2000000L) {
+        val qcells = qFrame.select(col("__qcell").as("__cell")).distinct()
+        val qCellCounts = cellCounts
+          .join(broadcast(qcells), Seq("__cell"), "left_semi")
+          .withColumnRenamed("__cell", "__qcell")
+        qFrame.join(broadcast(qCellCounts), Seq("__qcell"), "left")
+      } else qFrame.join(
+        cellCounts.withColumnRenamed("__cell", "__qcell"), Seq("__qcell"), "left")
+    var remaining = joined
       .select(col("query_id"), col("q_lon"), col("q_lat"), col("__qcell"),
         lit(-1).as("__explored"), r0.as("__next"))
       .persist()
@@ -196,22 +361,61 @@ object Knn {
     val emptyBest = spark.emptyDataFrame
     var best: DataFrame = null
     var round = 0
+    // WARM-FINISHER threshold: once any ring round has run, nearly every
+    // straggler holds k real-but-unproven candidates, so one seeded scan()
+    // pass beats ANY further doubling round (each of which re-streams the
+    // whole cached point table — a per-round floor that at 100M points
+    // cost ~10-17 s regardless of how few stragglers it served). The only
+    // real bound on how many stragglers scan() can absorb is its per-task
+    // state (a bounded heap per query), so the warm threshold derives from
+    // a memory budget — ~64 MB ≈ 90k stragglers at k=10 — instead of the
+    // cold default. Round 0 keeps the caller's `scanFinishThreshold`: a
+    // COLD finisher (no seeds) prunes nothing until heaps fill organically
+    // and was measured ~7× slower than seeded, so only genuinely tiny
+    // query sets should skip the ring phase entirely.
+    val autoThr: Int =
+      if (scanFinishThreshold <= 0) 0
+      else math.max(scanFinishThreshold,
+        math.min(Int.MaxValue - 2L, finisherStateBudget / (k.toLong * 56L + 160L)).toInt)
     // The exact remaining count is a full count job per round; the loop only
-    // needs (a) emptiness and (b) whether the count is under the finisher
-    // threshold. The uninstrumented path answers both with a LIMIT-bounded
-    // count — at most threshold+1 rows produced, so the probe's cost is
-    // bounded by the threshold, not the corpus, and any value ≤ threshold is
-    // the EXACT count (the limit didn't cut). An emptiness-only probe here
-    // once returned a sentinel 1, which made `nRem <= scanFinishThreshold`
-    // true for ANY non-empty query set and collapsed the whole operator into
-    // scan()'s driver-side collect of every query — a driver OOM at 10M
-    // queries, and exactly the unbounded collect the finisher comment
-    // promises never happens.
+    // needs (a) emptiness, (b) whether the count is under the finisher
+    // threshold, and (c) when a ring round WILL run, the exploded-cell sum
+    // that sizes its hash build. The uninstrumented path answers (a)+(b)
+    // with a LIMIT-bounded count — at most threshold+1 rows produced, so
+    // the probe's cost is bounded by the threshold, not the corpus, and any
+    // value ≤ threshold is the EXACT count (the limit didn't cut). An
+    // emptiness-only probe here once returned a sentinel 1, which made
+    // `nRem <= scanFinishThreshold` true for ANY non-empty query set and
+    // collapsed the whole operator into scan()'s driver-side collect of
+    // every query — a driver OOM at 10M queries, and exactly the unbounded
+    // collect the finisher comment promises never happens.
     val instrumented = onRound ne noopRound
-    val probeCap = math.max(1, math.min(scanFinishThreshold, Int.MaxValue - 1) + 1)
-    def remCount(df: DataFrame): Long =
-      if (instrumented) df.count() else df.limit(probeCap).count()
-    var nRem = remCount(remaining)
+    val probeCap = math.max(1, math.min(autoThr, Int.MaxValue - 1) + 1)
+    // rings __explored+1..__next explode to (2·__next+1)² − (2·__explored+1)²
+    // cells per straggler (±1 at __explored = -1 — sizing only)
+    val cellsOf: Column = {
+      val a = lit(2L) * col("__next") + 1L
+      val b = lit(2L) * col("__explored") + 1L
+      (a * a - b * b).cast("long")
+    }
+    /** (remaining count, exploded-cell sum; -1 = not computed). */
+    def remStats(df: DataFrame): (Long, Long) =
+      if (instrumented) {
+        val r = df.agg(count(lit(1)), sum(cellsOf)).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      } else {
+        val c = df.limit(probeCap).count()
+        // probe hit the cap → a ring round will run over an unbounded
+        // straggler set: pay one exact agg over the persisted frame to
+        // size the build side (O(|remaining|), the cost the probe was
+        // avoiding — but only on rounds that do unbounded work anyway)
+        if (c < probeCap) (c, -1L)
+        else {
+          val r = df.agg(count(lit(1)), sum(cellsOf)).head()
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
+      }
+    var (nRem, sumCells) = remStats(remaining)
     onRound(round, nRem)
 
     while (nRem > 0) {
@@ -225,24 +429,27 @@ object Knn {
       // exact by brute force, and the collected query set is bounded by
       // the threshold regardless of corpus size.
       //
-      // Default 4096: after the first round nearly every straggler already
-      // HOLDS k real candidates (merely unproven), so the finisher runs
-      // warm-started — each straggler's current kth distance seeds scan()'s
-      // per-query threshold and the pass prunes from its first point,
-      // costing roughly the table-stream floor. A ring round, by contrast,
-      // costs a near-fixed ~10 s of join + window + checkpoint machinery
-      // on the 100M-point leg no matter how few stragglers it serves
-      // (measured cold finisher for comparison: ~50 s @8 for 331 queries —
-      // the cold start prunes nothing until heaps fill organically, which
-      // is why the pre-seed default was 512). Bounds at 4096 stay trivial:
-      // driver collect 4096×24 B ≈ 100 KB, per-task heaps 4096×k×16 B
-      // ≈ 0.7 MB (k=10), occupied query-grid cells ≤ ~512 by scan()'s own
-      // zoom pick.
-      if (scanFinishThreshold > 0 && nRem <= scanFinishThreshold) {
+      // After the first round nearly every straggler already HOLDS k real
+      // candidates (merely unproven), so the finisher runs warm-started —
+      // each straggler's current kth distance seeds scan()'s per-query
+      // threshold and the pass prunes from its first point, costing
+      // roughly the table-stream floor. A ring round, by contrast, costs a
+      // near-fixed ~10 s of join + window + checkpoint machinery on the
+      // 100M-point leg no matter how few stragglers it serves (measured
+      // cold finisher for comparison: ~50 s @8 for 331 queries — the cold
+      // start prunes nothing until heaps fill organically). Hence the
+      // two-tier threshold: cold (round 0, best == null) takes only ≤
+      // `scanFinishThreshold` queries; warm takes up to `autoThr`, whose
+      // budget derivation bounds everything that scales with straggler
+      // count — driver collect autoThr×24 B (~2 MB at 90k), per-task heap
+      // state ≈ finisherStateBudget by construction, and the triangle-seed
+      // loop is stride-subsampled inside scan().
+      if (scanFinishThreshold > 0 &&
+          nRem <= (if (best == null) scanFinishThreshold else autoThr)) {
         // seed thresholds from the ring phase: for each straggler with a
         // full k candidates, its current kth distance is a valid upper
         // bound on the true kth (collect bounded by the threshold)
-        val seeds: Map[Long, Double] =
+        val realSeeds: Map[Long, Double] =
           if (best == null) Map.empty
           else best
             .join(remaining.select(col("query_id")), Seq("query_id"), "left_semi")
@@ -251,6 +458,53 @@ object Knn {
             .filter(col("__n") >= k)
             .select(col("query_id"), col("__kth"))
             .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        // OCCUPANCY-DERIVED upper bounds for EVERY straggler: a query
+        // inside a cell that holds ≥ k points has its true kth within
+        // that cell's diagonal — so the smallest enclosing cell (own z,
+        // then every 2 levels coarser) with ≥ k points gives a tight,
+        // EXACT bound from occupancy alone, no candidates needed. This is
+        // what keeps the finisher's reach index sane for the sparse tail:
+        // an under-filled straggler (ocean query with < k ring candidates)
+        // otherwise falls back to a triangle bound whose radius is the
+        // distance to the nearest SEEDED straggler — measured 22° median /
+        // 110° max on the 100M-point leg, which put thousands of grid
+        // cells in every point's reach list (21M reach entries) and made
+        // the pass all-pairs. Occupancy bounds the same queries at the
+        // ~0.2-0.5° diagonal of their first non-empty coarse cell. One
+        // extra aggregation of the (already cell-partitioned) occupancy
+        // frame, semi-filtered to the ≤ autoThr straggler ancestor cells.
+        val stragglerCells: Array[(Long, Long)] = remaining
+          .select(col("query_id"), col("__qcell"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val zLevels: Seq[Int] = (z to math.max(1, z - 10) by -2)
+        val occSeeds: Map[Long, Double] = if (stragglerCells.isEmpty) Map.empty else {
+          val needed = stragglerCells.iterator.flatMap { case (_, qc) =>
+            zLevels.iterator.map(zz => graft.index.CellIndex.ancestor(qc, zz))
+          }.toSet
+          val neededDf = spark.createDataset(needed.toSeq).toDF("__anc")
+          val levelCols = zLevels.map(zz =>
+            graft.index.CellIndex.ancestorCol(col("__cell"), z, zz))
+          val coarse: Map[Long, Long] = cellCounts
+            .select(col("__cn"), explode(array(levelCols: _*)).as("__anc"))
+            .join(broadcast(neededDf), Seq("__anc"), "left_semi")
+            .groupBy(col("__anc")).agg(sum(col("__cn")).as("__n"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          stragglerCells.iterator.flatMap { case (qid, qc) =>
+            zLevels.iterator
+              .map(zz => graft.index.CellIndex.ancestor(qc, zz))
+              .find(ac => coarse.getOrElse(ac, 0L) >= k)
+              .map { ac =>
+                val (mnLon, mnLat, mxLon, mxLat) = graft.index.CellIndex.bounds(ac)
+                val dx = mxLon - mnLon; val dy = mxLat - mnLat
+                qid -> (dx * dx + dy * dy)
+              }
+          }.toMap
+        }
+        val seeds: Map[Long, Double] =
+          (occSeeds.keySet ++ realSeeds.keySet).iterator.map { q =>
+            q -> math.min(occSeeds.getOrElse(q, Double.MaxValue),
+              realSeeds.getOrElse(q, Double.MaxValue))
+          }.toMap
         val fin = scan(
           remaining.select(col("query_id"), col("q_lon"), col("q_lat")),
           "query_id", "q_lon", "q_lat",
@@ -282,11 +536,25 @@ object Knn {
       // sort-merge would re-SORT all N cached points every round (a
       // bus-bound, parallelism-independent cost measured at ~3.4 s/round
       // on the 10M-point leg); hash-probing streams the cached partitions
-      // unsorted, and only the small query side shuffles
-      val cand = remaining
+      // unsorted, and only the query side shuffles. The build side is
+      // projected to the 4 columns the round needs (≈ 48 B/row), and the
+      // hint is applied ONLY when the per-partition build fits a ~32 MB
+      // budget — at web-scale query counts the exploded side can reach
+      // tens of millions of rows (measured OOM at 100k queries × 289
+      // round-0 cells over 8 partitions), and an over-budget round falls
+      // back to sort-merge, which spills instead of dying. sumCells is
+      // exact when the round serves an unbounded straggler set (remStats
+      // pays the agg exactly then); -1 only on a bounded round-0 set,
+      // where the analytic per-query cap bounds the build.
+      val exploded = remaining
         .withColumn("__cell", explode(ringsHere))
-        .hint("shuffle_hash")
-        .join(pts, "__cell")
+        .select(col("query_id"), col("q_lon"), col("q_lat"), col("__cell"))
+      val estCells =
+        if (sumCells >= 0L) sumCells
+        else nRem * (2L * r0Max + 1) * (2L * r0Max + 1)
+      val hintFits = estCells * 48L / ptsParts <= (32L << 20)
+      val cand = (if (hintFits) exploded.hint("shuffle_hash").join(pts, "__cell")
+                  else exploded.join(pts, "__cell"))
         .select(col("query_id"), col("point_id"),
           sq_dist_deg(col("p_lon"), col("p_lat"), col("q_lon"), col("q_lat")).as("dist"))
 
@@ -344,7 +612,8 @@ object Knn {
         .persist()
       prevRemaining.unpersist()
       round += 1
-      nRem = remCount(remaining)
+      val st = remStats(remaining)
+      nRem = st._1; sumCells = st._2
       onRound(round, nRem)
       }
     }
@@ -402,6 +671,15 @@ object Knn {
     if (initThr.nonEmpty) {
       val seeded = qs.indices.filter(i => thr0(i) < Double.MaxValue)
       if (seeded.nonEmpty) {
+        // STRIDE-SUBSAMPLE the seeded set to ≤ ~512 per unseeded query:
+        // the full double loop is O(unseeded × seeded) driver work — fine
+        // at the old 4096 collect cap, ~30 s single-threaded at the warm
+        // 90k cap. Subsampling is LOSSLESS for the result: any seeded
+        // query yields a valid upper bound, bounds only affect how much
+        // the scan prunes (exactness never depends on tightness), and a
+        // ~512-sample nearest seed is within a few percent of the true
+        // nearest for any spatially-mixed collect order.
+        val stride = math.max(1, seeded.length / 512)
         var i = 0
         while (i < thr0.length) {
           if (thr0(i) == Double.MaxValue) {
@@ -413,7 +691,7 @@ object Knn {
               val dy = qs(i)._3 - qs(s)._3
               val r = math.sqrt(dx * dx + dy * dy) + math.sqrt(thr0(s))
               if (r * r < b) b = r * r
-              j += 1
+              j += stride
             }
             thr0(i) = b
           }
@@ -422,17 +700,31 @@ object Knn {
       }
     }
 
-    // grid zoom: coarsest level where occupied cells average <= ~8 queries
+    // grid zoom: smallest level whose HOTTEST query cell holds ≤ 64
+    // members — a cap on the max, not the average (the old average-≥8
+    // rule left one 2.8° cell holding an entire city blob's 3852 member
+    // queries, and the per-point member window over that blob dominated
+    // the whole pass; same lesson as pickZoom's hot-cell cap)
     val g =
       if (gridZ >= 0) gridZ
       else (0 to 12).find { z =>
-        val occupied = qs.iterator.map(q => graft.index.CellIndex.cellId(q._2, q._3, z))
-          .toSet.size
-        occupied.toLong * 8 >= qs.length
+        val m = new java.util.HashMap[Long, Int]()
+        var hot = 0
+        var i = 0
+        while (i < qs.length) {
+          val c = graft.index.CellIndex.cellId(qs(i)._2, qs(i)._3, z)
+          val n = m.merge(c, 1, (a, b) => a + b)
+          if (n > hot) hot = n
+          i += 1
+        }
+        hot <= 64
       }.getOrElse(12)
+    // members sorted by longitude inside each cell — the per-point member
+    // probe below binary-searches a ±√cellMax lon window instead of
+    // scanning the whole list (see checkCell)
     val grouped: Array[(Long, Array[Int])] = qs.indices
       .groupBy(i => graft.index.CellIndex.cellId(qs(i)._2, qs(i)._3, g))
-      .map { case (c, is) => (c, is.toArray) }.toArray
+      .map { case (c, is) => (c, is.toArray.sortBy(i => qs(i)._2)) }.toArray
 
     // GRID INDEX over the query cells (driver-built, broadcast): without
     // it every point bbox-checks every occupied query cell — an
@@ -485,7 +777,9 @@ object Knn {
             while (y <= y1) {
               var x = x0
               while (x <= x1) {
-                val pc = graft.index.CellIndex.pack(x.min(n - 1).max(0), y.min(n - 1).max(0), g)
+                // flat (y << g | x) key — becomes a direct array index on
+                // the worker, replacing a boxed-key HashMap probe per point
+                val pc = (y.min(n - 1).max(0) << g) | x.min(n - 1).max(0)
                 var lst = byPointCell.get(pc)
                 if (lst == null) {
                   lst = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -502,24 +796,105 @@ object Knn {
       }
     }
     val always: Array[Int] = alwaysB.result()
-    val pointCellIdx = new java.util.HashMap[Long, Array[Int]](byPointCell.size() * 2)
-    byPointCell.forEach((k, v) => pointCellIdx.put(k, v.toArray))
+    // DENSE grid index: one slot per grid-g cell (≤ 4^12 = 16M ints =
+    // 64 MB at the g cap, 17 MB at the common g=11) — the per-point
+    // lookup is two tile transforms + one array load, vs a boxed-Long
+    // HashMap probe (allocation + pointer chases) that showed up as
+    // contention at 32 threads on the 100M-point leg
+    val cellSlot = new Array[Int](1 << (2 * g)); java.util.Arrays.fill(cellSlot, -1)
+    val reachLists = new Array[Array[Int]](byPointCell.size())
+    locally {
+      var s = 0
+      val it0 = byPointCell.entrySet().iterator()
+      while (it0.hasNext) {
+        val e = it0.next()
+        cellSlot(e.getKey.toInt) = s
+        reachLists(s) = e.getValue.toArray
+        s += 1
+      }
+    }
+    if (sys.env.contains("GRAFT_KNN_DEBUG")) {
+      val seededN = thr0.count(_ < Double.MaxValue)
+      val radii = thr0.filter(_ < Double.MaxValue).map(math.sqrt).sorted
+      def pct(p: Double) =
+        if (radii.isEmpty) -1.0 else radii(math.min(radii.length - 1, (p * radii.length).toInt))
+      var listEntries = 0L
+      var maxList = 0
+      byPointCell.forEach((_, v) => { listEntries += v.length; if (v.length > maxList) maxList = v.length })
+      val memberMax = grouped.map(_._2.length).foldLeft(0)(math.max)
+      // scalastyle:off println
+      System.err.println(
+        f"[knn-scan-debug] q=${qs.length} seeded=$seededN g=$g cells=${grouped.length} " +
+        f"memberMax=$memberMax always=${always.length} pointCells=${byPointCell.size()} " +
+        f"listEntries=$listEntries maxList=$maxList " +
+        f"boundRadius p50=${pct(0.5)}%.4f p90=${pct(0.9)}%.4f p99=${pct(0.99)}%.4f max=${pct(1.0)}%.4f")
+      // scalastyle:on println
+    }
 
-    val bc = spark.sparkContext.broadcast((qs, grouped, thr0, pointCellIdx, always, g))
+    val bc = spark.sparkContext.broadcast((qs, grouped, thr0, cellSlot, reachLists, always, g))
 
-    val partials = points
+    // one scan TASK per core, not per storage partition: every task emits
+    // ≤ k partial rows PER QUERY it touched (hash-scattered cells mean
+    // nearly all of them), so the partial volume into the final ranking
+    // is tasks × queries × k — at 128 bucket-partitions and 61k warm
+    // stragglers that was 78M rows of shuffle+sort for a 610k-row answer.
+    // coalesce reads the same cached/bucketed blocks without a shuffle
+    // and pins the partial volume to cores × queries × k.
+    val targetTasks = math.max(1, spark.sparkContext.defaultParallelism)
+    val src0 = points
       .select(col(pointIdCol).cast("long").as("point_id"),
         col(lonCol).as("p_lon"), col(latCol).as("p_lat"))
-      .as[(Long, Double, Double)]
-      .mapPartitions { it =>
-        val (queries, cells, seeds, cellIdx, alwaysCells, gz) = bc.value
-        // per-query bounded max-heap ordered by (dist desc, id desc)
-        val heaps = Array.fill(queries.length)(
-          new java.util.PriorityQueue[(Double, Long)](k,
-            (a: (Double, Long), b: (Double, Long)) => {
-              val c = java.lang.Double.compare(b._1, a._1)
-              if (c != 0) c else java.lang.Long.compare(b._2, a._2)
-            }))
+    val src = if (src0.rdd.getNumPartitions > targetTasks) src0.coalesce(targetTasks) else src0
+    // InternalRow iteration (queryExecution.toRdd): the Dataset tuple
+    // decoder allocates a Tuple3 + two boxed Doubles PER POINT — ~400M
+    // allocations on the 100M-point leg, and the resulting GC pressure
+    // was the main reason the pass did 2.6× more core-work at 32 threads
+    // than at 8. Primitive getters allocate nothing.
+    val partialsRdd = src.queryExecution.toRdd.mapPartitions { rowIt =>
+        val (queries, cells, seeds, slot, reach, alwaysCells, gz) = bc.value
+        // per-query bounded max-heap ordered by (dist desc, id desc), laid
+        // out as FLAT PRIMITIVE ARRAYS (k slots per query, root = current
+        // worst): a boxed PriorityQueue[(Double, Long)] allocates a tuple
+        // per insert/replace, and at warm-finisher straggler counts the
+        // city-point heap churn made the pass GC-bound (poor 8→32 scaling)
+        // — same allocation-free-kernel treatment as the embedding
+        // triangle join. State: queries × (8+8)·k bytes + 4·queries, the
+        // budget cellRing's autoThr is derived from.
+        val hD = new Array[Double](queries.length * k)
+        val hP = new Array[Long](queries.length * k)
+        val hN = new Array[Int](queries.length)
+        // (d1,p1) sorts WORSE than (d2,p2): larger dist, then larger id
+        @inline def worse(d1: Double, p1: Long, d2: Double, p2: Long): Boolean =
+          d1 > d2 || (d1 == d2 && p1 > p2)
+        def siftUp(base: Int, pos: Int): Unit = {
+          var c = pos
+          while (c > 0) {
+            val par = (c - 1) >> 1
+            if (worse(hD(base + c), hP(base + c), hD(base + par), hP(base + par))) {
+              val td = hD(base + c); val tp = hP(base + c)
+              hD(base + c) = hD(base + par); hP(base + c) = hP(base + par)
+              hD(base + par) = td; hP(base + par) = tp
+              c = par
+            } else c = 0
+          }
+        }
+        def siftDown(base: Int, n: Int): Unit = {
+          var c = 0
+          var done = false
+          while (!done) {
+            val l = 2 * c + 1; val r = l + 1
+            var m = c
+            if (l < n && worse(hD(base + l), hP(base + l), hD(base + m), hP(base + m))) m = l
+            if (r < n && worse(hD(base + r), hP(base + r), hD(base + m), hP(base + m))) m = r
+            if (m == c) done = true
+            else {
+              val td = hD(base + c); val tp = hP(base + c)
+              hD(base + c) = hD(base + m); hP(base + c) = hP(base + m)
+              hD(base + m) = td; hP(base + m) = tp
+              c = m
+            }
+          }
+        }
         // current kth-distance per query (seeded bound or +inf while the
         // heap is filling; only ever tightens)
         val thr = seeds.clone()
@@ -532,7 +907,18 @@ object Knn {
           while (j < idx.length) { if (thr(idx(j)) > m) m = thr(idx(j)); j += 1 }
           m
         }
+        // refresh cost is O(total queries) of RANDOM access (per-cell
+        // member arrays) — ~1-2 ms per refresh at warm-finisher scale, so
+        // amortize to ≤ ~1 op per streamed point (measured: refreshing
+        // every queries/32 points cost ~10 s of a 40 s task). Bounds now
+        // START tight (occupancy + real kth seeds), so the refresh only
+        // trims the tail; stale bounds are only ever too HIGH —
+        // correctness is unaffected.
+        val refreshN = math.max(refreshEvery, queries.length)
         var sinceRefresh = 0
+        val dbg = sys.env.contains("GRAFT_KNN_DEBUG")
+        var nPts = 0L; var nRefresh = 0L; var nCellChecks = 0L
+        var nGatePass = 0L; var nMemberChecks = 0L; var nAdmits = 0L
         // cell bboxes decoded ONCE (CellIndex.bounds does inverse-Mercator
         // trig — far too hot for the per-point loop)
         val cMinX = new Array[Double](cells.length)
@@ -547,73 +933,118 @@ object Knn {
             c += 1
           }
         }
+        // per-cell member longitudes, in the (sorted) member order
+        val cLon = Array.tabulate(cells.length) { c =>
+          cells(c)._2.map(i => queries(i)._2)
+        }
 
-        it.foreach { case (pid, plon, plat) =>
-          sinceRefresh += 1
-          if (sinceRefresh >= refreshEvery) {
-            var c = 0
-            while (c < cells.length) {
-              var m = 0.0
-              val idx = cells(c)._2
-              var j = 0
-              while (j < idx.length) { if (thr(idx(j)) > m) m = thr(idx(j)); j += 1 }
-              cellMax(c) = m
-              c += 1
-            }
-            sinceRefresh = 0
+        def refreshBounds(): Unit = {
+          var c = 0
+          while (c < cells.length) {
+            var m = 0.0
+            val idx = cells(c)._2
+            var j = 0
+            while (j < idx.length) { if (thr(idx(j)) > m) m = thr(idx(j)); j += 1 }
+            cellMax(c) = m
+            c += 1
           }
-          def checkCell(c: Int): Unit = {
-            // squared distance to the cell bbox, inline (0 inside)
-            val dx = if (plon < cMinX(c)) cMinX(c) - plon
-                     else if (plon > cMaxX(c)) plon - cMaxX(c) else 0.0
-            val dy = if (plat < cMinY(c)) cMinY(c) - plat
-                     else if (plat > cMaxY(c)) plat - cMaxY(c) else 0.0
-            // a stale-high cellMax only wastes work; never skips wrongly.
-            // <=: an equal-distance smaller-id point can still enter.
-            if (dx * dx + dy * dy <= cellMax(c)) {
-              val idx = cells(c)._2
-              var j = 0
-              while (j < idx.length) {
-                val i = idx(j)
-                val q = queries(i)
-                val qdx = plon - q._2; val qdy = plat - q._3
-                val d = qdx * qdx + qdy * qdy
-                if (d <= thr(i)) {
-                  val h = heaps(i)
-                  if (h.size < k) {
-                    h.add((d, pid))
-                    if (h.size == k) thr(i) = h.peek()._1
-                  } else {
-                    val top = h.peek()
-                    if (d < top._1 || (d == top._1 && pid < top._2)) {
-                      h.poll(); h.add((d, pid)); thr(i) = h.peek()._1
-                    }
-                  }
+          nRefresh += 1
+        }
+        def checkCell(c: Int, plon: Double, plat: Double, pid: Long): Unit = {
+          nCellChecks += 1
+          // squared distance to the cell bbox, inline (0 inside)
+          val dx = if (plon < cMinX(c)) cMinX(c) - plon
+                   else if (plon > cMaxX(c)) plon - cMaxX(c) else 0.0
+          val dy = if (plat < cMinY(c)) cMinY(c) - plat
+                   else if (plat > cMaxY(c)) plat - cMaxY(c) else 0.0
+          // a stale-high cellMax only wastes work; never skips wrongly.
+          // <=: an equal-distance smaller-id point can still enter.
+          if (dx * dx + dy * dy <= cellMax(c)) {
+            nGatePass += 1
+            val idx = cells(c)._2
+            val lons = cLon(c)
+            // members are lon-sorted: any member with |q_lon − p_lon| >
+            // √cellMax(c) fails its own threshold on the dx term alone
+            // (d ≥ dx² > cellMax ≥ thr), so binary-search the window
+            // instead of scanning every member. A dense city grid-cell
+            // holds hundreds of tightly-bounded member queries and (at
+            // coarse grid zooms) ~10⁵ interior points — the full member
+            // scan made the warm finisher quadratic in exactly that
+            // blob case. Stale-high cellMax only widens the window.
+            val rc = math.sqrt(cellMax(c))
+            val loB = plon - rc
+            val hiB = plon + rc
+            var lo = 0; var hi = idx.length
+            while (lo < hi) {
+              val m = (lo + hi) >>> 1
+              if (lons(m) < loB) lo = m + 1 else hi = m
+            }
+            var j = lo
+            while (j < idx.length && lons(j) <= hiB) {
+              nMemberChecks += 1
+              val i = idx(j)
+              val q = queries(i)
+              val qdx = plon - q._2; val qdy = plat - q._3
+              val d = qdx * qdx + qdy * qdy
+              if (d <= thr(i)) {
+                nAdmits += 1
+                val base = i * k
+                val n = hN(i)
+                if (n < k) {
+                  hD(base + n) = d; hP(base + n) = pid
+                  siftUp(base, n)
+                  hN(i) = n + 1
+                  if (n + 1 == k) thr(i) = hD(base)
+                } else if (worse(hD(base), hP(base), d, pid)) {
+                  hD(base) = d; hP(base) = pid
+                  siftDown(base, k)
+                  thr(i) = hD(base)
                 }
-                j += 1
               }
+              j += 1
             }
           }
+        }
+        // per-point body as its OWN small method: an earlier revision
+        // inlined refresh + cell checks into the partition loop, producing
+        // one huge interpreter-bound method (HotSpot refuses to compile
+        // past the huge-method limit, including its loops via OSR) — the
+        // identical op counts ran ~50× slower. Small named methods JIT
+        // individually.
+        def processPoint(pid: Long, plon: Double, plat: Double): Unit = {
+          nPts += 1
+          sinceRefresh += 1
+          if (sinceRefresh >= refreshN) { refreshBounds(); sinceRefresh = 0 }
           // only the query cells this point can possibly matter to: its
-          // own grid-g cell's precomputed reach list + the always-check
-          // tail (unseeded or wide-reach cells) — O(1)-ish per point
-          // instead of the full occupied-cell loop
-          val near = cellIdx.get(graft.index.CellIndex.cellId(plon, plat, gz))
-          if (near != null) {
+          // own grid-g cell's precomputed reach list (a direct dense-array
+          // slot) + the always-check tail (unseeded or wide-reach cells)
+          // — O(1)-ish per point instead of the full occupied-cell loop
+          val s = slot((
+            (graft.index.CellIndex.tileY(plat, gz) << gz) |
+              graft.index.CellIndex.tileX(plon, gz)).toInt)
+          if (s >= 0) {
+            val near = reach(s)
             var ci = 0
-            while (ci < near.length) { checkCell(near(ci)); ci += 1 }
+            while (ci < near.length) { checkCell(near(ci), plon, plat, pid); ci += 1 }
           }
           var ai = 0
-          while (ai < alwaysCells.length) { checkCell(alwaysCells(ai)); ai += 1 }
+          while (ai < alwaysCells.length) { checkCell(alwaysCells(ai), plon, plat, pid); ai += 1 }
         }
-        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+
+        while (rowIt.hasNext) {
+          val row = rowIt.next()
+          processPoint(row.getLong(0), row.getDouble(1), row.getDouble(2))
+        }
+        if (dbg) System.err.println(
+          s"[knn-task-debug] pts=$nPts refresh=$nRefresh cellChecks=$nCellChecks " +
+          s"gatePass=$nGatePass memberChecks=$nMemberChecks admits=$nAdmits")
+        queries.indices.iterator.flatMap { i =>
           val qid = queries(i)._1
-          val it2 = h.iterator()
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          while (it2.hasNext) { val (d, pid) = it2.next(); buf += ((qid, pid, d)) }
-          buf
+          val base = i * k
+          (0 until hN(i)).iterator.map(s => (qid, hP(base + s), hD(base + s)))
         }
-      }.toDF("query_id", "point_id", "dist")
+      }
+    val partials = spark.createDataset(partialsRdd).toDF("query_id", "point_id", "dist")
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("point_id"))
     partials

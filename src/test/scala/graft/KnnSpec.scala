@@ -63,6 +63,24 @@ class KnnSpec extends SparkSpecBase {
     assert(runCellRing(5, 7, scanThreshold = 3) === brute(5))
   }
 
+  test("warm finisher takes the WHOLE straggler set after round 0 (two-tier threshold)") {
+    // cold threshold 1 admits nobody at round 0 (7 queries > 1), but once
+    // round 0 has seeded kth bounds the budget-derived warm threshold
+    // absorbs every straggler in ONE seeded scan: the trace must show ring
+    // round 0 and then a single finisher round ending at 0 remaining — no
+    // doubling rounds — and the result must still be exact
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val got = Knn.cellRing(queries, "qid", "qlon", "qlat", points, "pid", "lon", "lat",
+        k = 5, z = 7, scanFinishThreshold = 1,
+        onRound = (r, n) => trace += ((r, n)))
+      .select(col("query_id"), col("rank"), col("point_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === brute(5))
+    assert(trace.last === ((trace.length - 1, 0L)))
+    assert(trace.length <= 3,
+      s"expected round 0 + one warm finisher round, got trace $trace")
+  }
+
   test("scan plan matches brute force (k=7)") {
     val got = Knn.scan(queries, "qid", "qlon", "qlat", points, "pid", "lon", "lat", 7)
       .select(col("query_id"), col("rank"), col("point_id"))
