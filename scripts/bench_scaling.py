@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Orchestrate the two-parallelism scaling bench: one fresh JVM per
 (job, cpus) leg, aggregate to BENCH_SCALING.md + one JSON line."""
-import json, re, subprocess, sys, datetime, pathlib
+import json, os, re, subprocess, sys, datetime, pathlib
 
 N_IMAGES, N_POLYS, N_PAYLOAD = 30_000_000, 1000, 3_000_000
 # Corpus sizes are picked so each leg's scalable work dominates its fixed
@@ -41,7 +41,7 @@ def sbt(cmd):
         # 12g fixed heap: large enough for every leg, small enough that the
         # one-time first-touch fault cost (this host's hypervisor services
         # anon faults at 0.25-1.3 GB/s) stays out of the measured reps.
-        env={**__import__("os").environ, "SPARK_DRIVER_MEM": "12g"}).stdout
+        env={**os.environ, "SPARK_DRIVER_MEM": "12g"}).stdout
     m = re.findall(r'\{.*\}', out)
     if not m:
         print(out[-3000:], file=sys.stderr)
@@ -76,6 +76,106 @@ for cpus in (8, 32):
     leg = sbt(f"runMain graft.AluFloor {cpus} 2")
     res[("alu_floor", cpus)] = leg
     print(json.dumps(leg), flush=True)
+
+# kNN executor-shaped scale-OUT (weak scaling). The (T8/T32)/4 column
+# conflates operator scaling with one socket's shared DRAM bus + L3 (32
+# threads share what 8 had — see the ALU-floor note), but the north rule's
+# N->4N criterion is about adding EXECUTORS, each with its own memory
+# system. Closest sandbox emulation, biased AGAINST us (the 4 JVMs still
+# share the one socket a real cluster would not): 1 JVM local[8] answering
+# ALL queries over a quarter of the points (GRAFT_KNN_SHARD = point_id mod
+# 4) vs 4 CONCURRENT JVMs local[8] over the four disjoint quarters. 4x the
+# data in the same wall-clock is perfect weak scaling; a real 4N cluster
+# would add one ~(queries x k x 4)-row merge shuffle of the partial top-ks.
+# Each emulated executor-JVM is PINNED to its own 8-core cpuset (what
+# YARN/k8s gives a real executor). Unpinned, every "8-core" JVM sees
+# availableProcessors=32 and sizes G1/JIT/netty helper pools for the whole
+# socket — 4 JVMs spawn ~4x oversized helper fleets a real cluster never
+# has, and threads migrate across all 32 cores.
+CPUSETS = ["0-7", "8-15", "16-23", "24-31"]
+
+def shard_leg(shard, cpuset, log):
+    f = open(log, "w")
+    # 6g pre-touched heap: the quarter-shard leg needs ~4g, and
+    # AlwaysPreTouch moves ALL heap fault service before the measured
+    # region — a long-lived executor faults its heap once at startup, but
+    # a fresh benchmark JVM otherwise pays it mid-job, and this
+    # hypervisor SERIALIZES fault service across concurrent JVMs (it was
+    # most of the 4-way round-0 gap: 14-19 s vs 6.8 s solo unpre-touched,
+    # 8.7-12.1 s vs 6.3 s pre-touched).
+    return subprocess.Popen(
+        ["taskset", "-c", cpuset, "sbt", "-batch",
+         "runMain graft.BenchScaling run knn_ring 8 1"],
+        stdout=f, stderr=subprocess.STDOUT,
+        env={**os.environ, "SPARK_DRIVER_MEM": "6g",
+             "SPARK_GRAFT_JVM_OPTS": "-XX:+AlwaysPreTouch",
+             "GRAFT_KNN_SHARD": shard})
+
+def shard_json(log):
+    m = re.findall(r'\{.*\}', open(log).read())
+    if not m:
+        print(open(log).read()[-3000:], file=sys.stderr)
+        sys.exit(1)
+    return json.loads(m[-1])
+
+SHARD_REPS = 2
+ladder = {}  # ways -> min over reps of (max wall over the concurrent JVMs)
+for ways in (1, 2, 4):
+    secs = []
+    for r in range(SHARD_REPS):
+        logs = [f"/tmp/knn_scaleout_{ways}w_{i}_{r}.log" for i in range(ways)]
+        procs = [shard_leg(f"{i}/4", CPUSETS[i], logs[i]) for i in range(ways)]
+        for p in procs:
+            p.wait()
+        secs.append(max(shard_json(l)["sec"] for l in logs))
+    ladder[ways] = min(secs)
+    print(json.dumps({"job": "knn_scale_out", "ways": ways,
+                      "max_wall_secs": secs}), flush=True)
+scale_out_eff = ladder[1] / ladder[4]
+# Pure-compute multi-process control: the same AluFloor kernel as 1 process
+# @8 threads vs 4 concurrent processes @8 threads. The 4 processes share
+# nothing but the socket, so THIS ratio is the host's own ceiling for ANY
+# 4-process run (all-core sustained frequency + shared core resources) —
+# read the kNN ladder against it, not against 1.0.
+def alu_leg(cpuset, log):
+    f = open(log, "w")
+    return subprocess.Popen(["taskset", "-c", cpuset, "sbt", "-batch",
+                             "runMain graft.AluFloor 8 2"],
+                            stdout=f, stderr=subprocess.STDOUT,
+                            env={**os.environ, "SPARK_DRIVER_MEM": "12g"})
+alu_leg(CPUSETS[0], "/tmp/alu_scaleout_1w.log").wait()
+alu_solo = shard_json("/tmp/alu_scaleout_1w.log")["sec"]
+alu_procs = [alu_leg(CPUSETS[i], f"/tmp/alu_scaleout_4w_{i}.log")
+             for i in range(4)]
+for p in alu_procs:
+    p.wait()
+alu_four = max(shard_json(f"/tmp/alu_scaleout_4w_{i}.log")["sec"]
+               for i in range(4))
+alu_ceiling = alu_solo / alu_four
+print(json.dumps({"job": "alu_scale_out", "solo_sec": alu_solo,
+                  "four_way_max_sec": alu_four,
+                  "ceiling": round(alu_ceiling, 3)}), flush=True)
+# Streaming control: same 1-proc vs 4-proc shape, private 256 MB/thread
+# sequential sums (graft.MemFloor) — caps what table STREAMING can reach.
+def mem_leg(cpuset, log):
+    f = open(log, "w")
+    return subprocess.Popen(["taskset", "-c", cpuset, "sbt", "-batch",
+                             "runMain graft.MemFloor 8 2"],
+                            stdout=f, stderr=subprocess.STDOUT,
+                            env={**os.environ, "SPARK_DRIVER_MEM": "12g"})
+mem_leg(CPUSETS[0], "/tmp/mem_scaleout_1w.log").wait()
+mem_solo = shard_json("/tmp/mem_scaleout_1w.log")
+mem_procs = [mem_leg(CPUSETS[i], f"/tmp/mem_scaleout_4w_{i}.log")
+             for i in range(4)]
+for p in mem_procs:
+    p.wait()
+mem_four = max(shard_json(f"/tmp/mem_scaleout_4w_{i}.log")["sec"]
+               for i in range(4))
+mem_ceiling = mem_solo["sec"] / mem_four
+print(json.dumps({"job": "mem_scale_out", "solo_sec": mem_solo["sec"],
+                  "four_way_max_sec": mem_four,
+                  "gb_per_s_solo": mem_solo["gb_per_s"],
+                  "ceiling": round(mem_ceiling, 3)}), flush=True)
 
 combined = {"bench": "scaling", "n_images": N_IMAGES, "n_polys": N_POLYS,
             "n_payload": N_PAYLOAD, "n_docs": N_DOCS, "n_emb": N_EMB,
@@ -114,6 +214,43 @@ for cpus in (8, 32):
                          f"(Knn.pickZoom), rounds (round:queries_remaining): {tr}")
 if knn_notes:
     lines += ["\nkNN cell-ring round trace (adaptive radius + geometric doubling):"] + knn_notes
+combined["knn_scale_out"] = {
+    "solo_sec": ladder[1], "two_way_sec": ladder[2], "four_way_sec": ladder[4],
+    "efficiency_2way": round(ladder[1] / ladder[2], 3),
+    "efficiency_4way": round(scale_out_eff, 3),
+    "alu_4proc_ceiling": round(alu_ceiling, 3)}
+lines += [
+    "\nkNN executor-shaped scale-out (weak scaling — the N vs 4N executor shape):",
+    "- The table's (T8/T32)/4 column conflates operator scaling with this single"
+    " socket's shared DRAM bus and L3 (32 threads share what 8 had; see the"
+    " ALU-floor note below). The north rule's N→4N criterion is about adding"
+    " executors, each bringing its own memory system — so the honest sandbox"
+    " emulation is more JVMs, not more threads in one JVM.",
+    "- Harness (biased AGAINST us — the JVMs still share the one socket's L3 +"
+    " DRAM bus a real cluster would not): each JVM is `local[8]`, pinned to its"
+    " own 8-core cpuset (as YARN/k8s pins a real executor), answering all 100k"
+    " queries over its own PHYSICAL quarter of the points (pre-split shard"
+    " directories, as a real executor reads only its own partition;"
+    " `GRAFT_KNN_SHARD`). The JVMs share nothing logically — no common driver,"
+    " no shuffle, no lock — so any departure from flat wall-clock is hardware"
+    " contention, not the operator. A real 4N cluster adds one"
+    " ~(queries × k × 4)-row merge shuffle of the partial top-ks.",
+    "\n| concurrent 8-core JVMs | points processed | max wall | weak-scaling eff vs solo |",
+    "|---|---|---|---|",
+    f"| 1 | 25M | {ladder[1]:.1f} s | 1.000 |",
+    f"| 2 | 50M | {ladder[2]:.1f} s | {ladder[1]/ladder[2]:.3f} |",
+    f"| 4 | 100M | {ladder[4]:.1f} s | {scale_out_eff:.3f} |",
+    f"\n- Pure-compute control (`graft.AluFloor`, zero Spark, fixed workload per"
+    f" process): 1 process @8 threads = {alu_solo:.1f} s vs max over 4 concurrent"
+    f" = {alu_four:.1f} s → the host's own 4-process compute ceiling is"
+    f" **{alu_ceiling:.3f}** — no 4-process run of ANY kind scales past it on"
+    " this socket. On a real N→4N cluster each node keeps its own clock, L3"
+    " and DRAM bus, so the ceiling term vanishes there.",
+    f"- Streaming control (`graft.MemFloor`, zero Spark, private 256 MB/thread"
+    f" sequential sums): 1 process @8 threads = {mem_solo['gb_per_s']:.0f} GB/s;"
+    f" 4 concurrent processes → 4-process streaming ceiling"
+    f" **{mem_ceiling:.3f}**.",
+]
 lines += [
     "\nThroughput-column caveats: `dedupe_decision` rows = corpus docs (one",
     "decision per doc); `emb_pairs` rows = near-dup pairs found over fixed",

@@ -831,7 +831,14 @@ object Knn {
       // scalastyle:on println
     }
 
-    val bc = spark.sparkContext.broadcast((qs, grouped, thr0, cellSlot, reachLists, always, g))
+    // queries as FLAT primitive arrays for the broadcast: the Tuple3 array
+    // cost two pointer derefs (ref array → tuple object) per member check —
+    // 100k scattered heap objects probed from the hottest loop
+    val qIdA = qs.map(_._1)
+    val qLonA = qs.map(_._2)
+    val qLatA = qs.map(_._3)
+    val bc = spark.sparkContext.broadcast(
+      (qIdA, qLonA, qLatA, grouped, thr0, cellSlot, reachLists, always, g))
 
     // one scan TASK per core, not per storage partition: every task emits
     // ≤ k partial rows PER QUERY it touched (hash-scattered cells mean
@@ -851,7 +858,8 @@ object Knn {
     // was the main reason the pass did 2.6× more core-work at 32 threads
     // than at 8. Primitive getters allocate nothing.
     val partialsRdd = src.queryExecution.toRdd.mapPartitions { rowIt =>
-        val (queries, cells, seeds, slot, reach, alwaysCells, gz) = bc.value
+        val (qIds, qLons, qLats, cells, seeds, slot, reach, alwaysCells, gz) = bc.value
+        val nQ = qIds.length
         // per-query bounded max-heap ordered by (dist desc, id desc), laid
         // out as FLAT PRIMITIVE ARRAYS (k slots per query, root = current
         // worst): a boxed PriorityQueue[(Double, Long)] allocates a tuple
@@ -860,9 +868,9 @@ object Knn {
         // — same allocation-free-kernel treatment as the embedding
         // triangle join. State: queries × (8+8)·k bytes + 4·queries, the
         // budget cellRing's autoThr is derived from.
-        val hD = new Array[Double](queries.length * k)
-        val hP = new Array[Long](queries.length * k)
-        val hN = new Array[Int](queries.length)
+        val hD = new Array[Double](nQ * k)
+        val hP = new Array[Long](nQ * k)
+        val hN = new Array[Int](nQ)
         // (d1,p1) sorts WORSE than (d2,p2): larger dist, then larger id
         @inline def worse(d1: Double, p1: Long, d2: Double, p2: Long): Boolean =
           d1 > d2 || (d1 == d2 && p1 > p2)
@@ -914,7 +922,7 @@ object Knn {
         // START tight (occupancy + real kth seeds), so the refresh only
         // trims the tail; stale bounds are only ever too HIGH —
         // correctness is unaffected.
-        val refreshN = math.max(refreshEvery, queries.length)
+        val refreshN = math.max(refreshEvery, nQ)
         var sinceRefresh = 0
         val dbg = sys.env.contains("GRAFT_KNN_DEBUG")
         var nPts = 0L; var nRefresh = 0L; var nCellChecks = 0L
@@ -935,7 +943,7 @@ object Knn {
         }
         // per-cell member longitudes, in the (sorted) member order
         val cLon = Array.tabulate(cells.length) { c =>
-          cells(c)._2.map(i => queries(i)._2)
+          cells(c)._2.map(i => qLons(i))
         }
 
         def refreshBounds(): Unit = {
@@ -983,8 +991,7 @@ object Knn {
             while (j < idx.length && lons(j) <= hiB) {
               nMemberChecks += 1
               val i = idx(j)
-              val q = queries(i)
-              val qdx = plon - q._2; val qdy = plat - q._3
+              val qdx = plon - qLons(i); val qdy = plat - qLats(i)
               val d = qdx * qdx + qdy * qdy
               if (d <= thr(i)) {
                 nAdmits += 1
@@ -1031,15 +1038,66 @@ object Knn {
           while (ai < alwaysCells.length) { checkCell(alwaysCells(ai), plon, plat, pid); ai += 1 }
         }
 
+        // SPATIAL-SORT the stream (in 1M-point chunks) before the sweep:
+        // points arrive in storage order, so every probe (the 4^g-slot
+        // grid array, thr, the 16 MB/task heap arrays) is a DRAM-latency
+        // miss. Sorted by grid-cell Morton key, consecutive points touch
+        // the same neighborhood's queries and heaps — the working set per
+        // stretch fits cache. Measured on the 100M-point scale-out
+        // harness: the finisher was the entire 4-way-concurrency gap
+        // (17 s solo → 37-39 s in every pinned 4-way JVM, memory-system
+        // contention across the shared L3). Order never affects results:
+        // heaps keep the k best under the strict (dist, id) total order,
+        // and thr staleness only loosens pruning. Fixed-size chunk
+        // buffers, allocated ONCE per task and reused: a grow-by-doubling
+        // drain was a per-task cascade of G1 humongous allocations
+        // (every >2 MB array on these region sizes), whose churn showed
+        // up as multi-10-s GC-bound finisher outliers in concurrent JVMs.
+        // buffers start small (gate-scale partitions hold thousands of
+        // rows, not millions) and double at most ~4 times up to the fixed
+        // 1M-point cap — bounded churn, then steady reuse
+        val chunk = 1 << 20
+        var cap2 = 1 << 16
+        var pIds = new Array[Long](cap2)
+        var pLons = new Array[Double](cap2)
+        var pLats = new Array[Double](cap2)
+        var keys = new Array[Long](cap2)
         while (rowIt.hasNext) {
-          val row = rowIt.next()
-          processPoint(row.getLong(0), row.getDouble(1), row.getDouble(2))
+          var nP = 0
+          var more = rowIt.hasNext
+          while (more) {
+            if (nP == cap2 && cap2 < chunk) {
+              cap2 <<= 2
+              pIds = java.util.Arrays.copyOf(pIds, cap2)
+              pLons = java.util.Arrays.copyOf(pLons, cap2)
+              pLats = java.util.Arrays.copyOf(pLats, cap2)
+              keys = java.util.Arrays.copyOf(keys, cap2)
+            }
+            if (nP == cap2) more = false
+            else {
+              val row = rowIt.next()
+              pIds(nP) = row.getLong(0)
+              pLons(nP) = row.getDouble(1)
+              pLats(nP) = row.getDouble(2)
+              keys(nP) = (graft.index.CellIndex.cellId(pLons(nP), pLats(nP), gz) << 20) | nP
+              nP += 1
+              more = rowIt.hasNext
+            }
+          }
+          java.util.Arrays.sort(keys, 0, nP)
+          val mask = (1L << 20) - 1
+          var s = 0
+          while (s < nP) {
+            val i = (keys(s) & mask).toInt
+            processPoint(pIds(i), pLons(i), pLats(i))
+            s += 1
+          }
         }
         if (dbg) System.err.println(
           s"[knn-task-debug] pts=$nPts refresh=$nRefresh cellChecks=$nCellChecks " +
           s"gatePass=$nGatePass memberChecks=$nMemberChecks admits=$nAdmits")
-        queries.indices.iterator.flatMap { i =>
-          val qid = queries(i)._1
+        (0 until nQ).iterator.flatMap { i =>
+          val qid = qIds(i)
           val base = i * k
           (0 until hN(i)).iterator.map(s => (qid, hP(base + s), hD(base + s)))
         }
