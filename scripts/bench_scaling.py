@@ -48,13 +48,39 @@ def sbt(cmd):
         sys.exit(1)
     return json.loads(m[-1])
 
+# Resume: GRAFT_BENCH_RESUME=<stdout log of a prior partial run> reuses its
+# completed leg JSONs (one per line) instead of re-measuring them. A full
+# run is ~80 min of fresh-JVM legs; a crash in the ladder tail must not
+# throw the sequential legs away. Delete a leg's line from the resume log
+# to force its re-measurement.
+CACHE, LADDER_CACHE = {}, {}
+_resume = os.environ.get("GRAFT_BENCH_RESUME")
+if _resume and os.path.exists(_resume):
+    for _line in open(_resume):
+        for _m in re.finditer(r'\{[^{}]*\}', _line):
+            try:
+                _d = json.loads(_m.group(0))
+            except ValueError:
+                continue
+            if _d.get("job") == "knn_scale_out" and "max_wall_secs" in _d:
+                LADDER_CACHE[_d["ways"]] = _d["max_wall_secs"]
+            elif "job" in _d and "cpus" in _d and "sec" in _d:
+                CACHE[(_d["job"], _d["cpus"])] = _d
+
+def leg_of(job, cpus, reps, main="graft.BenchScaling"):
+    if (job, cpus) in CACHE:
+        return CACHE[(job, cpus)]
+    if main == "graft.BenchScaling":
+        return sbt(f"runMain {main} run {job} {cpus} {reps}")
+    return sbt(f"runMain {main} {cpus} {reps}")
+
 sbt(f"runMain graft.BenchScaling prep {N_IMAGES} {N_POLYS} {N_PAYLOAD} "
     f"{N_DOCS} {N_EMB} {N_KNN_PTS} {N_KNN_Q}")
 
 res = {}
 for job, _ in JOBS:
     for cpus in (8, 32):
-        leg = sbt(f"runMain graft.BenchScaling run {job} {cpus} {REPS}")
+        leg = leg_of(job, cpus, REPS)
         res[(job, cpus)] = leg
         print(json.dumps(leg), flush=True)
 
@@ -67,13 +93,13 @@ for job in DEDUPE_STAGES + ["emb_repl"]:
     for cpus in (8, 32):
         # min-of-2: a single rep's host noise can make a cumulative-prefix
         # MARGINAL go negative (observed on the CC stage)
-        leg = sbt(f"runMain graft.BenchScaling run {job} {cpus} 2")
+        leg = leg_of(job, cpus, 2)
         res[(job, cpus)] = leg
         print(json.dumps(leg), flush=True)
 # host ALU-scaling floor (pure thread pool, zero Spark): the ceiling any
 # ALU-saturated leg (emb_pairs) can reach on ONE socket at 8 vs 32 threads.
 for cpus in (8, 32):
-    leg = sbt(f"runMain graft.AluFloor {cpus} 2")
+    leg = leg_of("alu_floor", cpus, 2, main="graft.AluFloor")
     res[("alu_floor", cpus)] = leg
     print(json.dumps(leg), flush=True)
 
@@ -94,8 +120,33 @@ for cpus in (8, 32):
 # has, and threads migrate across all 32 cores.
 CPUSETS = ["0-7", "8-15", "16-23", "24-31"]
 
-def shard_leg(shard, cpuset, log):
+# Concurrent legs launch RAW java on the staged classpath, not sbt: two
+# sbt instances booting the same project race on sbt's boot-server unix
+# socket (ServerAlreadyBootingException — observed killing a 2-way ladder
+# leg mid-run), and sbt adds launcher noise per JVM besides. The
+# sequential legs above keep sbt (one instance at a time is safe and
+# compiles on demand), so by ladder time the classes are always staged.
+ADD_OPENS = sum((["--add-opens", p + "=ALL-UNNAMED"] for p in [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"]), [])
+REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
+
+def java_leg(main_args, heap, cpuset, log, extra_jvm=(), env_extra=None):
     f = open(log, "w")
+    cmd = (["taskset", "-c", cpuset, "java"] + ADD_OPENS + [
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        f"-Xmx{heap}", f"-Xms{heap}", "-XX:+UseG1GC", *extra_jvm,
+        "-cp", CP] + list(main_args))
+    return subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT,
+                            env={**os.environ, **(env_extra or {})})
+
+def shard_leg(shard, cpuset, log):
     # 6g pre-touched heap: the quarter-shard leg needs ~4g, and
     # AlwaysPreTouch moves ALL heap fault service before the measured
     # region — a long-lived executor faults its heap once at startup, but
@@ -103,13 +154,9 @@ def shard_leg(shard, cpuset, log):
     # hypervisor SERIALIZES fault service across concurrent JVMs (it was
     # most of the 4-way round-0 gap: 14-19 s vs 6.8 s solo unpre-touched,
     # 8.7-12.1 s vs 6.3 s pre-touched).
-    return subprocess.Popen(
-        ["taskset", "-c", cpuset, "sbt", "-batch",
-         "runMain graft.BenchScaling run knn_ring 8 1"],
-        stdout=f, stderr=subprocess.STDOUT,
-        env={**os.environ, "SPARK_DRIVER_MEM": "6g",
-             "SPARK_GRAFT_JVM_OPTS": "-XX:+AlwaysPreTouch",
-             "GRAFT_KNN_SHARD": shard})
+    return java_leg(["graft.BenchScaling", "run", "knn_ring", "8", "1"],
+                    "6g", cpuset, log, extra_jvm=["-XX:+AlwaysPreTouch"],
+                    env_extra={"GRAFT_KNN_SHARD": shard})
 
 def shard_json(log):
     m = re.findall(r'\{.*\}', open(log).read())
@@ -121,13 +168,16 @@ def shard_json(log):
 SHARD_REPS = 2
 ladder = {}  # ways -> min over reps of (max wall over the concurrent JVMs)
 for ways in (1, 2, 4):
-    secs = []
-    for r in range(SHARD_REPS):
-        logs = [f"/tmp/knn_scaleout_{ways}w_{i}_{r}.log" for i in range(ways)]
-        procs = [shard_leg(f"{i}/4", CPUSETS[i], logs[i]) for i in range(ways)]
-        for p in procs:
-            p.wait()
-        secs.append(max(shard_json(l)["sec"] for l in logs))
+    if ways in LADDER_CACHE and len(LADDER_CACHE[ways]) >= SHARD_REPS:
+        secs = LADDER_CACHE[ways]
+    else:
+        secs = []
+        for r in range(SHARD_REPS):
+            logs = [f"/tmp/knn_scaleout_{ways}w_{i}_{r}.log" for i in range(ways)]
+            procs = [shard_leg(f"{i}/4", CPUSETS[i], logs[i]) for i in range(ways)]
+            for p in procs:
+                p.wait()
+            secs.append(max(shard_json(l)["sec"] for l in logs))
     ladder[ways] = min(secs)
     print(json.dumps({"job": "knn_scale_out", "ways": ways,
                       "max_wall_secs": secs}), flush=True)
@@ -138,11 +188,7 @@ scale_out_eff = ladder[1] / ladder[4]
 # 4-process run (all-core sustained frequency + shared core resources) —
 # read the kNN ladder against it, not against 1.0.
 def alu_leg(cpuset, log):
-    f = open(log, "w")
-    return subprocess.Popen(["taskset", "-c", cpuset, "sbt", "-batch",
-                             "runMain graft.AluFloor 8 2"],
-                            stdout=f, stderr=subprocess.STDOUT,
-                            env={**os.environ, "SPARK_DRIVER_MEM": "12g"})
+    return java_leg(["graft.AluFloor", "8", "2"], "12g", cpuset, log)
 alu_leg(CPUSETS[0], "/tmp/alu_scaleout_1w.log").wait()
 alu_solo = shard_json("/tmp/alu_scaleout_1w.log")["sec"]
 alu_procs = [alu_leg(CPUSETS[i], f"/tmp/alu_scaleout_4w_{i}.log")
@@ -158,11 +204,7 @@ print(json.dumps({"job": "alu_scale_out", "solo_sec": alu_solo,
 # Streaming control: same 1-proc vs 4-proc shape, private 256 MB/thread
 # sequential sums (graft.MemFloor) — caps what table STREAMING can reach.
 def mem_leg(cpuset, log):
-    f = open(log, "w")
-    return subprocess.Popen(["taskset", "-c", cpuset, "sbt", "-batch",
-                             "runMain graft.MemFloor 8 2"],
-                            stdout=f, stderr=subprocess.STDOUT,
-                            env={**os.environ, "SPARK_DRIVER_MEM": "12g"})
+    return java_leg(["graft.MemFloor", "8", "2"], "12g", cpuset, log)
 mem_leg(CPUSETS[0], "/tmp/mem_scaleout_1w.log").wait()
 mem_solo = shard_json("/tmp/mem_scaleout_1w.log")
 mem_procs = [mem_leg(CPUSETS[i], f"/tmp/mem_scaleout_4w_{i}.log")
