@@ -74,6 +74,12 @@ object SparkEntry {
     s"GREATEST(0, LEAST(${n - 1}, CAST(FLOOR((1.0 - LN(TAN(RADIANS($lat)) + 1.0/COS(RADIANS($lat))) / PI()) / 2.0 * $n) AS BIGINT)))"
   }
 
+  /** DuckDB SQL for the Bing quadkey digit string of z-bit tile coords. */
+  private def quadkeySql(x: String, y: String, z: Int): String =
+    (z - 1 to 0 by -1).map(i =>
+      s"CAST(((($x) >> $i) & 1) + 2 * ((($y) >> $i) & 1) AS VARCHAR)")
+      .mkString(" || ")
+
   // ---- flagship -------------------------------------------------------------
 
   /** Flagship: full spatial join (cell equi-join + PIP refine) on sf0.001. */
@@ -106,6 +112,17 @@ object SparkEntry {
       pts(s, dir).select(
         col("point_id"),
         cell_id(col("lon"), col("lat"), 7).as("cell"))
+        .orderBy("point_id")),
+
+    // X1 extension: Bing quadkey string form of the tile assignment (the
+    // prefix-hierarchical tile-store key; z=10 pairs with q02's tiles,
+    // z=4 is its level-4 ancestor — the oracle re-proves the prefix math
+    // at two levels)
+    "q42_quadkey" -> ((s, dir) =>
+      pts(s, dir).select(
+        col("point_id"),
+        quadkey_at(col("lon"), col("lat"), 10).as("qk"),
+        quadkey_at(col("lon"), col("lat"), 4).as("qk_parent"))
         .orderBy("point_id")),
 
     // F3: key-existence row filter over the tags map
@@ -568,6 +585,17 @@ object SparkEntry {
            |  SELECT point_id, ${tileXSql("lon", 7)} AS tx, ${tileYSql("lat", 7)} AS ty FROM pts
            |)
            |SELECT point_id, ${mortonSql("tx", "ty", 7)} * 32 + 7 AS cell
+           |FROM t ORDER BY point_id""".stripMargin,
+
+      "q42_quadkey" ->
+        s"""$withPts, t AS (
+           |  SELECT point_id,
+           |         ${tileXSql("lon", 10)} AS tx, ${tileYSql("lat", 10)} AS ty,
+           |         ${tileXSql("lon", 4)} AS px, ${tileYSql("lat", 4)} AS py
+           |  FROM pts
+           |)
+           |SELECT point_id, ${quadkeySql("tx", "ty", 10)} AS qk,
+           |       ${quadkeySql("px", "py", 4)} AS qk_parent
            |FROM t ORDER BY point_id""".stripMargin,
 
       "q04_tag_keep_filter" ->

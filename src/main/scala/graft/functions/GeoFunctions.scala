@@ -27,6 +27,29 @@ object GeoFunctions {
   def tile_xy(lon: Column, lat: Column, z: Int): Column =
     struct(lit(z).as("z"), tile_x(lon, z).as("x"), tile_y(lat, z).as("y"))
 
+  /** Bing-maps quadkey digit string for slippy tile (x, y) at zoom z —
+    * digit i (most-significant level first) = x-bit + 2·y-bit at level
+    * z−1−i, so a tile's quadkey is a PREFIX of every descendant tile's:
+    * the interoperable string form of the engine's Morton cell ids
+    * (equals `CellIndex.quadKeyString(cell_id(lon, lat, z))`). The
+    * reference's tiling stops at (z, x, y) tuples (Node.Tile,
+    * `/root/reference/osm/Node.go:26-33`); the quadkey string is the
+    * industry key form for tile stores. Builtin-composed per level (z is
+    * a plan-time constant), so it rides whole-stage codegen — no UDF.
+    */
+  def quadkey(x: Column, y: Column, z: Int): Column = {
+    require(z >= 1 && z <= 23, s"quadkey: z $z out of [1,23]")
+    val digits = (z - 1 to 0 by -1).map { i =>
+      (shiftrightunsigned(x, i).bitwiseAND(lit(1L)) +
+        shiftrightunsigned(y, i).bitwiseAND(lit(1L)) * lit(2L)).cast("string")
+    }
+    concat(digits: _*)
+  }
+
+  /** Quadkey of the tile containing a point, at zoom z. */
+  def quadkey_at(lon: Column, lat: Column, z: Int): Column =
+    quadkey(tile_x(lon, z), tile_y(lat, z), z)
+
   /** Boundary-inclusive point-in-polygon against a closed
     * array<struct<lon,lat>> ring column.
     */
