@@ -53,7 +53,7 @@ def sbt(cmd):
 # run is ~80 min of fresh-JVM legs; a crash in the ladder tail must not
 # throw the sequential legs away. Delete a leg's line from the resume log
 # to force its re-measurement.
-CACHE, LADDER_CACHE = {}, {}
+CACHE, LADDER_CACHE, CTRL_CACHE = {}, {}, {}
 _resume = os.environ.get("GRAFT_BENCH_RESUME")
 if _resume and os.path.exists(_resume):
     for _line in open(_resume):
@@ -62,8 +62,10 @@ if _resume and os.path.exists(_resume):
                 _d = json.loads(_m.group(0))
             except ValueError:
                 continue
-            if _d.get("job") == "knn_scale_out" and "max_wall_secs" in _d:
-                LADDER_CACHE[_d["ways"]] = _d["max_wall_secs"]
+            if _d.get("job", "").endswith("_scale_out") and "max_wall_secs" in _d:
+                LADDER_CACHE[(_d["job"], _d["ways"])] = _d["max_wall_secs"]
+            elif _d.get("job") in ("alu_scale_out", "mem_scale_out"):
+                CTRL_CACHE[_d["job"]] = _d
             elif "job" in _d and "cpus" in _d and "sec" in _d:
                 CACHE[(_d["job"], _d["cpus"])] = _d
 
@@ -146,17 +148,17 @@ def java_leg(main_args, heap, cpuset, log, extra_jvm=(), env_extra=None):
     return subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT,
                             env={**os.environ, **(env_extra or {})})
 
-def shard_leg(shard, cpuset, log):
-    # 6g pre-touched heap: the quarter-shard leg needs ~4g, and
+def shard_leg(job, envvar, shard, cpuset, log):
+    # 6g pre-touched heap: the quarter-shard legs need ~4g, and
     # AlwaysPreTouch moves ALL heap fault service before the measured
     # region — a long-lived executor faults its heap once at startup, but
     # a fresh benchmark JVM otherwise pays it mid-job, and this
     # hypervisor SERIALIZES fault service across concurrent JVMs (it was
     # most of the 4-way round-0 gap: 14-19 s vs 6.8 s solo unpre-touched,
     # 8.7-12.1 s vs 6.3 s pre-touched).
-    return java_leg(["graft.BenchScaling", "run", "knn_ring", "8", "1"],
+    return java_leg(["graft.BenchScaling", "run", job, "8", "1"],
                     "6g", cpuset, log, extra_jvm=["-XX:+AlwaysPreTouch"],
-                    env_extra={"GRAFT_KNN_SHARD": shard})
+                    env_extra={envvar: shard})
 
 def shard_json(log):
     m = re.findall(r'\{.*\}', open(log).read())
@@ -165,22 +167,40 @@ def shard_json(log):
         sys.exit(1)
     return json.loads(m[-1])
 
-SHARD_REPS = 2
-ladder = {}  # ways -> min over reps of (max wall over the concurrent JVMs)
-for ways in (1, 2, 4):
-    if ways in LADDER_CACHE and len(LADDER_CACHE[ways]) >= SHARD_REPS:
-        secs = LADDER_CACHE[ways]
-    else:
-        secs = []
-        for r in range(SHARD_REPS):
-            logs = [f"/tmp/knn_scaleout_{ways}w_{i}_{r}.log" for i in range(ways)]
-            procs = [shard_leg(f"{i}/4", CPUSETS[i], logs[i]) for i in range(ways)]
+# Two ladders: kNN (the operator whose in-JVM ratio is most socket-bound)
+# and the broadcast R-tree join — the NORTH-RULE HEADLINE metric, whose
+# plan is shuffle-free (broadcast polygons, local scan splits), so the
+# quarter-shard emulation models N vs 4N executors exactly.
+#
+# EPOCH RULE: every ratio in the report must pair numbers from ONE
+# continuous run. This host drifts ~35% between sessions (measured: rtree
+# solo min-of-2 4.37 s overnight vs 5.87 s the next morning; the pure-ALU
+# 4-process control itself moved 0.783 → 0.955) — topping up a cached
+# ladder with extra reps from a later session lets a fast-epoch solo pair
+# with a slow-epoch concurrent leg (or vice versa: a 2-way rep measured
+# 4.57 s in a slow epoch against the fast epoch's 4.37 solo → a bogus
+# 0.956), so rep counts here must NOT exceed what the resume log's epoch
+# measured. Delete the ladder lines from the resume log to re-measure a
+# full fresh epoch instead.
+LADDERS = [("knn_scale_out", "knn_ring", "GRAFT_KNN_SHARD", 2),
+           ("rtree_scale_out", "join_rtree", "GRAFT_JOIN_SHARD", 2)]
+ladders = {}  # name -> {ways: min over reps of (max wall over the JVMs)}
+for name, job, envvar, nreps in LADDERS:
+    ladder = {}
+    for ways in (1, 2, 4):
+        secs = list(LADDER_CACHE.get((name, ways), []))[:nreps]
+        for r in range(len(secs), nreps):
+            logs = [f"/tmp/{name}_{ways}w_{i}_{r}.log" for i in range(ways)]
+            procs = [shard_leg(job, envvar, f"{i}/4", CPUSETS[i], logs[i])
+                     for i in range(ways)]
             for p in procs:
                 p.wait()
             secs.append(max(shard_json(l)["sec"] for l in logs))
-    ladder[ways] = min(secs)
-    print(json.dumps({"job": "knn_scale_out", "ways": ways,
-                      "max_wall_secs": secs}), flush=True)
+        ladder[ways] = min(secs)
+        print(json.dumps({"job": name, "ways": ways,
+                          "max_wall_secs": secs}), flush=True)
+    ladders[name] = ladder
+ladder = ladders["knn_scale_out"]
 scale_out_eff = ladder[1] / ladder[4]
 # Pure-compute multi-process control: the same AluFloor kernel as 1 process
 # @8 threads vs 4 concurrent processes @8 threads. The 4 processes share
@@ -189,14 +209,20 @@ scale_out_eff = ladder[1] / ladder[4]
 # read the kNN ladder against it, not against 1.0.
 def alu_leg(cpuset, log):
     return java_leg(["graft.AluFloor", "8", "2"], "12g", cpuset, log)
-alu_leg(CPUSETS[0], "/tmp/alu_scaleout_1w.log").wait()
-alu_solo = shard_json("/tmp/alu_scaleout_1w.log")["sec"]
-alu_procs = [alu_leg(CPUSETS[i], f"/tmp/alu_scaleout_4w_{i}.log")
-             for i in range(4)]
-for p in alu_procs:
-    p.wait()
-alu_four = max(shard_json(f"/tmp/alu_scaleout_4w_{i}.log")["sec"]
-               for i in range(4))
+if "alu_scale_out" in CTRL_CACHE:
+    # same-epoch rule (see LADDERS note): reuse the resume log's controls so
+    # ladder/control ratios come from one continuous session
+    alu_solo = CTRL_CACHE["alu_scale_out"]["solo_sec"]
+    alu_four = CTRL_CACHE["alu_scale_out"]["four_way_max_sec"]
+else:
+    alu_leg(CPUSETS[0], "/tmp/alu_scaleout_1w.log").wait()
+    alu_solo = shard_json("/tmp/alu_scaleout_1w.log")["sec"]
+    alu_procs = [alu_leg(CPUSETS[i], f"/tmp/alu_scaleout_4w_{i}.log")
+                 for i in range(4)]
+    for p in alu_procs:
+        p.wait()
+    alu_four = max(shard_json(f"/tmp/alu_scaleout_4w_{i}.log")["sec"]
+                   for i in range(4))
 alu_ceiling = alu_solo / alu_four
 print(json.dumps({"job": "alu_scale_out", "solo_sec": alu_solo,
                   "four_way_max_sec": alu_four,
@@ -205,14 +231,19 @@ print(json.dumps({"job": "alu_scale_out", "solo_sec": alu_solo,
 # sequential sums (graft.MemFloor) — caps what table STREAMING can reach.
 def mem_leg(cpuset, log):
     return java_leg(["graft.MemFloor", "8", "2"], "12g", cpuset, log)
-mem_leg(CPUSETS[0], "/tmp/mem_scaleout_1w.log").wait()
-mem_solo = shard_json("/tmp/mem_scaleout_1w.log")
-mem_procs = [mem_leg(CPUSETS[i], f"/tmp/mem_scaleout_4w_{i}.log")
-             for i in range(4)]
-for p in mem_procs:
-    p.wait()
-mem_four = max(shard_json(f"/tmp/mem_scaleout_4w_{i}.log")["sec"]
-               for i in range(4))
+if "mem_scale_out" in CTRL_CACHE:
+    mem_solo = {"sec": CTRL_CACHE["mem_scale_out"]["solo_sec"],
+                "gb_per_s": CTRL_CACHE["mem_scale_out"]["gb_per_s_solo"]}
+    mem_four = CTRL_CACHE["mem_scale_out"]["four_way_max_sec"]
+else:
+    mem_leg(CPUSETS[0], "/tmp/mem_scaleout_1w.log").wait()
+    mem_solo = shard_json("/tmp/mem_scaleout_1w.log")
+    mem_procs = [mem_leg(CPUSETS[i], f"/tmp/mem_scaleout_4w_{i}.log")
+                 for i in range(4)]
+    for p in mem_procs:
+        p.wait()
+    mem_four = max(shard_json(f"/tmp/mem_scaleout_4w_{i}.log")["sec"]
+                   for i in range(4))
 mem_ceiling = mem_solo["sec"] / mem_four
 print(json.dumps({"job": "mem_scale_out", "solo_sec": mem_solo["sec"],
                   "four_way_max_sec": mem_four,
@@ -226,6 +257,11 @@ lines = [f"\n## Scaling evidence ({datetime.date.today()})\n",
          "Same job, same parquet input, one fresh JVM per leg, min of "
          f"{REPS} measured runs (warm-up excluded): `local[8]` vs `local[32]`"
          " — the sandbox substitute for N vs 4N executors.\n",
+         "Every ratio below pairs numbers from ONE continuous run session:"
+         " this host drifts ~35% between sessions (the pure-ALU 4-process"
+         " control alone moved 0.783 → 0.955 overnight-to-morning), so"
+         " cross-session mins would silently corrupt ratios; absolute"
+         " seconds are comparable only within the section.\n",
          "| job | output rows | T(8 cores) | T(32 cores) | rows/s @8 | rows/s @32 | efficiency (T8/T32)/4 |",
          "|---|---|---|---|---|---|---|"]
 for job, desc in JOBS:
@@ -261,6 +297,11 @@ combined["knn_scale_out"] = {
     "efficiency_2way": round(ladder[1] / ladder[2], 3),
     "efficiency_4way": round(scale_out_eff, 3),
     "alu_4proc_ceiling": round(alu_ceiling, 3)}
+rl = ladders["rtree_scale_out"]
+combined["rtree_scale_out"] = {
+    "solo_sec": rl[1], "two_way_sec": rl[2], "four_way_sec": rl[4],
+    "efficiency_2way": round(rl[1] / rl[2], 3),
+    "efficiency_4way": round(rl[1] / rl[4], 3)}
 lines += [
     "\nkNN executor-shaped scale-out (weak scaling — the N vs 4N executor shape):",
     "- The table's (T8/T32)/4 column conflates operator scaling with this single"
@@ -282,6 +323,23 @@ lines += [
     f"| 1 | 25M | {ladder[1]:.1f} s | 1.000 |",
     f"| 2 | 50M | {ladder[2]:.1f} s | {ladder[1]/ladder[2]:.3f} |",
     f"| 4 | 100M | {ladder[4]:.1f} s | {scale_out_eff:.3f} |",
+    "\nBroadcast R-tree join + tiling, same executor-shaped ladder — the"
+    " NORTH-RULE HEADLINE metric. This plan is SHUFFLE-FREE (polygons"
+    " broadcast to every executor, image scan splits are node-local), so"
+    " the quarter-shard harness models N vs 4N executors exactly: a real"
+    " cluster adds zero cross-node traffic to this plan.",
+    "\n| concurrent 8-core JVMs | images joined | max wall | weak-scaling eff vs solo |",
+    "|---|---|---|---|",
+    f"| 1 | {N_IMAGES//4_000_000}M | {rl[1]:.1f} s | 1.000 |",
+    f"| 2 | {N_IMAGES//2_000_000}M | {rl[2]:.1f} s | {rl[1]/rl[2]:.3f} |",
+    f"| 4 | {N_IMAGES//1_000_000}M | {rl[4]:.1f} s | {rl[1]/rl[4]:.3f} |",
+    f"\n- Read the rtree 4-way number against the host's own 4-process"
+    f" ceilings below (pure-ALU {alu_ceiling:.3f}, pure-streaming"
+    f" {mem_ceiling:.3f}): the join both computes (R-tree probe + PIP"
+    " refine) and streams (parquet scan, ~200M joined rows materialized"
+    " per JVM), so its weak-scaling efficiency is bounded by a mix of the"
+    " two ceilings — both of which are THIS socket's shared clock/L3/DRAM"
+    " and vanish on a real N→4N cluster where every node brings its own.",
     f"\n- Pure-compute control (`graft.AluFloor`, zero Spark, fixed workload per"
     f" process): 1 process @8 threads = {alu_solo:.1f} s vs max over 4 concurrent"
     f" = {alu_four:.1f} s → the host's own 4-process compute ceiling is"

@@ -58,7 +58,20 @@ object BenchScaling {
   }
 
   def joinRtreeJob(s: SparkSession): Long = {
-    val imgs = s.read.parquet(s"$dataDir/images_lite")
+    // GRAFT_JOIN_SHARD="i/4": physical quarter shard of the image table
+    // (pre-split directories — see knnRingJob's shard note). The broadcast
+    // R-tree plan is SHUFFLE-FREE: every executor holds all polygons and
+    // touches only its own scan split, so concurrent quarter-shard JVMs
+    // emulate N vs 4N executors EXACTLY — a real cluster adds zero
+    // cross-node traffic to this plan (unlike the kNN ladder, which a real
+    // 4N cluster would tax with one small partial-top-k merge shuffle).
+    val imgs = sys.env.get("GRAFT_JOIN_SHARD") match {
+      case Some(spec) =>
+        val Array(i, n) = spec.split("/").map(_.trim.toInt)
+        require(n == 4, s"GRAFT_JOIN_SHARD=$spec: prep writes 4 physical shards")
+        s.read.parquet(s"$dataDir/images_lite_shards/__shard=$i")
+      case None => s.read.parquet(s"$dataDir/images_lite")
+    }
     val polys = s.read.parquet(s"$dataDir/boundaries")
     val joined = graft.join.SpatialJoin.broadcastRtreeJoin(
       imgs, "lon", "lat", polys, "polygon_id", "ring")
@@ -307,6 +320,19 @@ object BenchScaling {
           .write.mode("overwrite").parquet(s"$dataDir/images_lite")
         graft.geo.GeoFixtures.boundaries(prep, nPolys)
           .write.mode("overwrite").parquet(s"$dataDir/boundaries")
+      }
+      once(s"_READY_LITES_${nImages}_$nPolys") { prep =>
+        // Physical quarter shards of the image table for the join
+        // scale-out ladder (joinRtreeJob's GRAFT_JOIN_SHARD): each
+        // emulated executor reads only its own quarter, as on a real
+        // cluster. image_id is "img" + 9 digits; the suffix mod 4 splits
+        // deterministically and evenly.
+        prep.read.parquet(s"$dataDir/images_lite")
+          .withColumn("__shard",
+            pmod(substring(col("image_id"), 4, 9).cast("long"), lit(4)))
+          .repartition(64)
+          .write.partitionBy("__shard").mode("overwrite")
+          .parquet(s"$dataDir/images_lite_shards")
       }
       once(s"_READY_FULL_$nPayload") { prep =>
         // NOTE: container-level compression=uncompressed was measured
