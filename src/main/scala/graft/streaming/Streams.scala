@@ -154,4 +154,43 @@ object Streams {
     pre.groupBy(col("user_id")).as[Long, Event]
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
+
+  /** Stream-static geospatial enrichment: tag each point of a (streaming or
+    * batch) frame with every containing boundary polygon and its
+    * web-mercator tile at `tileZ` — the firehose analogue of the marquee
+    * spatial join. The static polygon side is collected into the broadcast
+    * [[graft.index.FlatRtree]] ONCE at plan-build time and probed by the
+    * codegen'd `RtreeProbeExpr` per micro-batch row: no stream-side
+    * shuffle, no state store, no join machinery at all — the plan is a
+    * stateless projection, so it runs in append mode at source rate and a
+    * 1000-executor cluster adds zero cross-node traffic (same argument as
+    * the batch plan's; see SpatialJoin.broadcastRtreeJoin).
+    *
+    * Polygon updates are a query restart by design: Structured Streaming
+    * re-resolves the plan (and therefore re-collects + re-broadcasts the
+    * polygon table) on every start, which is the standard slowly-changing-
+    * dimension pattern for stream-static enrichment.
+    */
+  def enrichPoints(points: DataFrame, lonCol: String, latCol: String,
+                   polygons: DataFrame, idCol: String, ringCol: String,
+                   tileZ: Int): DataFrame =
+    graft.tiles.Tiles.assignPoint(
+      graft.join.SpatialJoin.broadcastRtreeJoin(
+        points, lonCol, latCol, polygons, idCol, ringCol),
+      lonCol, latCol, tileZ)
+
+  /** Per-region ingest rate: [[enrichPoints]] → event-time tumbling window
+    * count per polygon. Watermarked, so state is bounded and late points
+    * past `delay` are dropped — the monitoring aggregation a 100 TB ingest
+    * pipeline hangs dashboards off. Works identically on batch frames
+    * (watermark is a no-op there).
+    */
+  def regionRates(points: DataFrame, tsCol: String, lonCol: String, latCol: String,
+                  polygons: DataFrame, idCol: String, ringCol: String,
+                  windowLen: String, delay: String): DataFrame =
+    enrichPoints(points, lonCol, latCol, polygons, idCol, ringCol, tileZ = 12)
+      .withWatermark(tsCol, delay)
+      .groupBy(col("polygon_id"), window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n"))
+      .select(col("polygon_id"), col("window.start").as("window_start"), col("n"))
 }
