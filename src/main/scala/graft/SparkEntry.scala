@@ -125,6 +125,42 @@ object SparkEntry {
         quadkey_at(col("lon"), col("lat"), 4).as("qk_parent"))
         .orderBy("point_id")),
 
+    // streaming §2.8 composite, batch form: spatial enrichment → per-region
+    // tumbling-window ingest rate (Streams.regionRates — the identical plan
+    // the firehose runs; the batch watermark node is eliminated by the
+    // analyzer). Event time derives from point_id via pure integer
+    // arithmetic (epoch-aligned base so Spark's epoch-aligned windows equal
+    // the oracle's modulo bucketing); output as epoch seconds so the
+    // cross-engine compare never touches timestamp encodings.
+    "q43_region_rates" -> ((s, dir) => {
+      val p = pts(s, dir).withColumn("ts", timestamp_seconds(
+        lit(1704067200L) + pmod(col("point_id") * lit(2654435761L), lit(604800L))))
+      graft.streaming.Streams.regionRates(p, "ts", "lon", "lat",
+        rect(s, dir), "polygon_id", "ring",
+        windowLen = "1 hour", delay = "0 seconds")
+        .select(col("polygon_id"),
+          unix_timestamp(col("window_start")).as("window_start_sec"), col("n"))
+        .orderBy("polygon_id", "window_start_sec")
+    }),
+
+    // F5 long tail: the engine-addition DFL functions (substr, contains,
+    // mod, first/last over split) compiled to codegen'd built-ins and
+    // proven against a plain-SQL oracle
+    "q44_dfl_longtail" -> ((s, dir) => {
+      val p = pts(s, dir).withColumn("code",
+        concat_ws("-", col("tag_flag"), col("tag_status")))
+      val pred = Dfl.compile(
+        "contains(@code, '-') and (mod(@quantity, 7) == 3) and " +
+          "(first(split(@code, '-')) == R) and (last(split(@code, '-')) == F) and " +
+          "(substr(@code, 1, 1) == @flag)",
+        { case "quantity" => col("quantity")
+          case "flag" => col("tag_flag")
+          case "code" => col("code") })
+      p.filter(pred)
+        .select(col("point_id"), col("code"), col("quantity"))
+        .orderBy("point_id")
+    }),
+
     // F3: key-existence row filter over the tags map
     "q04_tag_keep_filter" -> ((s, dir) =>
       OsmOps.filterKeepKeys(taggedPts(s, dir), "tags", Seq("bulk", "tiny"))
@@ -598,6 +634,24 @@ object SparkEntry {
            |       ${quadkeySql("px", "py", 4)} AS qk_parent
            |FROM t ORDER BY point_id""".stripMargin,
 
+      // Spark's tumbling windows are epoch-aligned and the base epoch
+      // 1704067200 is divisible by 3600, so window_start ==
+      // ts_sec - ts_sec % 3600 exactly.
+      "q43_region_rates" ->
+        s"""$withBoth, evts AS (
+           |  SELECT point_id, lon, lat,
+           |         1704067200 + (point_id * 2654435761) % 604800 AS ts_sec
+           |  FROM pts
+           |)
+           |SELECT g.polygon_id AS polygon_id,
+           |       e.ts_sec - e.ts_sec % 3600 AS window_start_sec,
+           |       COUNT(*) AS n
+           |FROM evts e JOIN rect g
+           |  ON e.lon BETWEEN g.min_lon AND g.max_lon
+           | AND e.lat BETWEEN g.min_lat AND g.max_lat
+           |GROUP BY 1, 2
+           |ORDER BY polygon_id, window_start_sec""".stripMargin,
+
       "q04_tag_keep_filter" ->
         s"""$withPts
            |SELECT point_id, quantity FROM pts
@@ -613,6 +667,13 @@ object SparkEntry {
         s"""$withPts
            |SELECT point_id, tag_flag, quantity FROM pts
            |WHERE tag_flag = 'R' AND quantity > 20
+           |ORDER BY point_id""".stripMargin,
+
+      "q44_dfl_longtail" ->
+        s"""$withPts
+           |SELECT point_id, tag_flag || '-' || tag_status AS code, quantity
+           |FROM pts
+           |WHERE quantity % 7 = 3 AND tag_flag = 'R' AND tag_status = 'F'
            |ORDER BY point_id""".stripMargin,
 
       "q07_spatial_join_cells" ->

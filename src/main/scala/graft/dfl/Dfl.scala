@@ -85,7 +85,7 @@ object Dfl {
   }
 
   /** Functions returning booleans — usable as standalone predicates. */
-  private val BoolFuncs = Set("prefix", "suffix")
+  private val BoolFuncs = Set("prefix", "suffix", "contains")
 
   private def operand(n: Node, resolve: String => Column): Column = n match {
     case Attr(a) => resolve(a)
@@ -132,9 +132,30 @@ object Dfl {
               case Lit(v) => java.util.regex.Pattern.quote(String.valueOf(v))
               case _ => throw new IllegalArgumentException("split: literal separator required")
             })
+        // ---- long-tail functions. go-dfl's default map reaches the
+        // reference only through an unvendored library
+        // (/root/reference/cmd/osm/main.go:252 NewFuntionMapWithDefaults),
+        // so beyond the documented core above these are engine additions
+        // with SQL semantics, all compiled to codegen'd built-ins.
+        case "substr" | "substring" => arity(3) // 1-based start, SQL-style
+          a(0).cast("string").substr(a(1).cast("int"), a(2).cast("int"))
+        case "contains" => arity(2)
+          a(0).cast("string").contains(a(1).cast("string"))
+        case "pow" | "power" => arity(2); pow(a(0).cast("double"), a(1).cast("double"))
+        case "sqrt" => arity(1); sqrt(a(0).cast("double"))
+        case "mod" => arity(2) // truncated remainder, Go/SQL % semantics
+          a(0).cast("double") % a(1).cast("double")
+        case "first" => arity(1); element_at(a(0), 1)
+        case "last" => arity(1); element_at(a(0), -1)
+        case "join" => arity(2); array_join(a(0),
+            args(1) match {
+              case Lit(v) => String.valueOf(v)
+              case _ => throw new IllegalArgumentException("join: literal separator required")
+            })
         case other => throw new IllegalArgumentException(
           s"unknown DFL function: $other (have len, lower, upper, trim, ltrim, rtrim, " +
-            "prefix, suffix, abs, ceil, floor, round, min, max, replace, split)")
+            "prefix, suffix, abs, ceil, floor, round, min, max, replace, split, " +
+            "substr, contains, pow, sqrt, mod, first, last, join)")
       }
     case other => throw new IllegalArgumentException(s"unexpected operand: $other")
   }

@@ -124,4 +124,25 @@ class DflSpec extends SparkSpecBase {
       k => element_at(col("tags"), k))).select("id").collect().map(_.getLong(0)).toSet
     assert(gotDot === Set(1L))
   }
+
+  test("long-tail string functions: substr/contains") {
+    assert(run("substr(@craft, 1, 4) == brew") === Set(1L, 4L))
+    assert(run("contains(@craft, rew)") === Set(1L, 4L))
+    assert(run("contains(@craft, ery)") === Set(1L, 2L, 4L))
+    // missing attribute: contains() is null -> FALSE, negation is TRUE
+    assert(run("not contains(@craft, rew)") === Set(2L, 3L, 5L))
+  }
+
+  test("long-tail math functions: pow/sqrt/mod") {
+    assert(run("pow(@qty, 2) >= 2500") === Set(3L, 4L, 5L))   // qty >= 50
+    assert(run("sqrt(@qty) > 7") === Set(3L, 4L, 5L))
+    assert(run("mod(@qty, 40) == 10") === Set(1L, 3L, 5L))    // 10, 50, 90
+  }
+
+  test("long-tail array functions: first/last/join over split") {
+    // brewery -> [br, w, ry]; distillery -> [dist, ill, ry]; bakery n/a
+    assert(run("first(split(@craft, 'e')) == br") === Set(1L, 4L))
+    assert(run("last(split(@craft, 'e')) == ry") === Set(1L, 2L, 4L))
+    assert(run("join(split(@craft, 'e'), '-') == 'br-w-ry'") === Set(1L, 4L))
+  }
 }
