@@ -1,0 +1,671 @@
+package graft.io
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{Deflater, Inflater}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import scala.collection.mutable
+
+/** OSM PBF codec — the planet format the reference explicitly declines to
+  * support (`/root/reference/osm/Input.go:89-90,126`: "The OSM PBF format
+  * is not supported yet."; its README pipes `osmconvert x.osm.pbf | osm`
+  * to work around that). This engine reads it natively AND distributed:
+  * a PBF file is a sequence of independently-compressed blobs, so after
+  * one cheap header-only index pass the blob decode fans out across the
+  * cluster — at planet scale (~70 GB, ~100k blobs) every executor
+  * inflates and decodes its own blob ranges with zero coordination, and
+  * each element class is its own scan that SKIPS other classes' groups
+  * (the reference's F7 element-class pruning, free at the format level).
+  *
+  * The wire format is hand-decoded (protobuf varint/zigzag/packed +
+  * zlib): fileformat.proto (BlobHeader/Blob) and osmformat.proto
+  * (PrimitiveBlock/DenseNodes/Way/Relation) per the public OSM PBF spec.
+  * No protobuf runtime dependency. Supported blob codecs: raw + zlib
+  * (what planet.osm.pbf and osmium/osmconvert emit); lzma/lz4/zstd raise
+  * a named error.
+  *
+  * Schemas are identical to [[OsmXml]] (same Planet), so every operator
+  * downstream is format-agnostic. Coordinates decode via
+  * `BigDecimal(nanodegrees, 9).doubleValue()` — the double nearest the
+  * exact decimal, which is bit-identical to parsing the equivalent XML
+  * decimal string, so XML-read and PBF-read planets compare exactly.
+  */
+object OsmPbf {
+
+  // ---- protobuf wire primitives -------------------------------------------
+
+  /** Cursor over a byte range; all protobuf reads are bounds-checked. */
+  final class WireIn(val a: Array[Byte], var p: Int, val end: Int) {
+    def hasMore: Boolean = p < end
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while (shift < 64) {
+        require(p < end, "pbf: truncated varint")
+        val b = a(p); p += 1
+        v |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return v
+        shift += 7
+      }
+      throw new IllegalArgumentException("pbf: varint too long")
+    }
+    def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1L) }
+    def lenDelim(): WireIn = {
+      val n = varint().toInt
+      require(n >= 0 && p + n <= end, "pbf: truncated length-delimited field")
+      val r = new WireIn(a, p, p + n); p += n; r
+    }
+    def utf8(): String = {
+      val r = lenDelim()
+      new String(a, r.p, r.end - r.p, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => require(p + 8 <= end, "pbf: truncated fixed64"); p += 8
+      case 2 => lenDelim()
+      case 5 => require(p + 4 <= end, "pbf: truncated fixed32"); p += 4
+      case w => throw new IllegalArgumentException(s"pbf: unsupported wire type $w")
+    }
+    /** Iterate fields: cb(fieldNumber, wireType) must consume the value. */
+    def fields(cb: (Int, Int) => Unit): Unit =
+      while (hasMore) { val k = varint(); cb((k >>> 3).toInt, (k & 7).toInt) }
+    def packedVarints(): Array[Long] = {
+      val b = mutable.ArrayBuffer.empty[Long]
+      while (hasMore) b += varint()
+      b.toArray
+    }
+    def packedZigzags(): Array[Long] = {
+      val b = mutable.ArrayBuffer.empty[Long]
+      while (hasMore) b += zigzag()
+      b.toArray
+    }
+  }
+
+  final class WireOut {
+    val out = new ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def zigzag(v: Long): Unit = varint((v << 1) ^ (v >> 63))
+    def key(field: Int, wire: Int): Unit = varint((field.toLong << 3) | wire)
+    def bytes(field: Int, b: Array[Byte]): Unit = {
+      key(field, 2); varint(b.length); out.write(b, 0, b.length)
+    }
+    def string(field: Int, s: String): Unit =
+      bytes(field, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def message(field: Int, m: WireOut): Unit = bytes(field, m.toBytes)
+    def packedVarints(field: Int, vs: Iterable[Long]): Unit =
+      if (vs.nonEmpty) { val w = new WireOut; vs.foreach(w.varint); bytes(field, w.toBytes) }
+    def packedZigzags(field: Int, vs: Iterable[Long]): Unit =
+      if (vs.nonEmpty) { val w = new WireOut; vs.foreach(w.zigzag); bytes(field, w.toBytes) }
+    def toBytes: Array[Byte] = out.toByteArray
+  }
+
+  // ---- blob framing --------------------------------------------------------
+
+  /** One blob's position in the file: `offset` points at the Blob message
+    * itself (past the BlobHeader), `size` is its byte length.
+    */
+  case class BlobRef(kind: String, offset: Long, size: Int)
+
+  /** Header-only index pass: reads each 4-byte length + BlobHeader and
+    * SEEKS past the payload — O(#blobs) small reads regardless of file
+    * size. This is the only sequential touch; everything after fans out.
+    */
+  def blockIndex(path: String, conf: Configuration = new Configuration()): Seq[BlobRef] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      val refs = mutable.ArrayBuffer.empty[BlobRef]
+      var pos = 0L
+      val lenBuf = new Array[Byte](4)
+      while (pos + 4 <= len) {
+        in.readFully(pos, lenBuf, 0, 4)
+        val hLen = ((lenBuf(0) & 0xff) << 24) | ((lenBuf(1) & 0xff) << 16) |
+          ((lenBuf(2) & 0xff) << 8) | (lenBuf(3) & 0xff)
+        require(hLen > 0 && hLen < (64 << 10), s"pbf: implausible BlobHeader length $hLen")
+        val hBytes = new Array[Byte](hLen)
+        in.readFully(pos + 4, hBytes, 0, hLen)
+        var kind = ""; var dataSize = -1
+        val w = new WireIn(hBytes, 0, hLen)
+        w.fields {
+          case (1, 2) => kind = w.utf8()
+          case (3, 0) => dataSize = w.varint().toInt
+          case (_, wire) => w.skip(wire)
+        }
+        require(dataSize >= 0, "pbf: BlobHeader missing datasize")
+        refs += BlobRef(kind, pos + 4 + hLen, dataSize)
+        pos += 4 + hLen + dataSize
+      }
+      refs.toSeq
+    } finally in.close()
+  }
+
+  /** Blob → decompressed block payload (raw or zlib). */
+  def decodeBlob(blob: Array[Byte]): Array[Byte] = {
+    var raw: Array[Byte] = null
+    var zlib: Array[Byte] = null
+    var rawSize = -1
+    var badCodec: String = null
+    val w = new WireIn(blob, 0, blob.length)
+    w.fields {
+      case (1, 2) => val r = w.lenDelim(); raw = java.util.Arrays.copyOfRange(r.a, r.p, r.end)
+      case (2, 0) => rawSize = w.varint().toInt
+      case (3, 2) => val r = w.lenDelim(); zlib = java.util.Arrays.copyOfRange(r.a, r.p, r.end)
+      case (4, 2) => badCodec = "lzma"; w.skip(2)
+      case (6, 2) => badCodec = "lz4"; w.skip(2)
+      case (7, 2) => badCodec = "zstd"; w.skip(2)
+      case (_, wire) => w.skip(wire)
+    }
+    if (raw != null) raw
+    else if (zlib != null) {
+      val inf = new Inflater()
+      inf.setInput(zlib)
+      var buf = new Array[Byte](if (rawSize > 0) rawSize else math.max(64, zlib.length * 8))
+      var n = 0
+      while (!inf.finished()) {
+        if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        val got = inf.inflate(buf, n, buf.length - n)
+        require(got > 0 || inf.finished() || n == buf.length,
+          "pbf: truncated zlib blob")
+        n += got
+      }
+      inf.end()
+      if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n)
+    } else throw new IllegalArgumentException(
+      s"pbf: unsupported blob codec${if (badCodec != null) s" $badCodec" else ""} (raw and zlib are supported)")
+  }
+
+  // ---- osmformat decode ----------------------------------------------------
+
+  private def nanoDeg(v: Long): Double = java.math.BigDecimal.valueOf(v, 9).doubleValue()
+
+  private case class BlockCtx(strings: Array[String], granularity: Long,
+                              latOffset: Long, lonOffset: Long, dateGranularity: Long) {
+    def coordLat(raw: Long): Double = nanoDeg(latOffset + granularity * raw)
+    def coordLon(raw: Long): Double = nanoDeg(lonOffset + granularity * raw)
+    def ts(v: Long): java.sql.Timestamp = new java.sql.Timestamp(v * dateGranularity)
+    def user(sid: Int): String = { val s = strings(sid); if (s.isEmpty) null else s }
+  }
+
+  private val NODES = 0; private val WAYS = 1; private val RELS = 2
+
+  /** Decode one PrimitiveBlock's groups of the wanted element class into
+    * [[OsmXml]]-schema Rows; groups of other classes are SKIPPED without
+    * decoding their bodies (only the group's top-level tags are walked).
+    */
+  def decodeBlock(payload: Array[Byte], want: Int): Seq[Row] = {
+    var strings: Array[String] = Array("")
+    var granularity = 100L; var dateGranularity = 1000L
+    var latOffset = 0L; var lonOffset = 0L
+    val groups = mutable.ArrayBuffer.empty[WireIn]
+    val top = new WireIn(payload, 0, payload.length)
+    top.fields {
+      case (1, 2) => // stringtable
+        val st = top.lenDelim()
+        val b = mutable.ArrayBuffer.empty[String]
+        st.fields {
+          case (1, 2) => b += st.utf8()
+          case (_, wire) => st.skip(wire)
+        }
+        strings = b.toArray
+      case (2, 2) => groups += top.lenDelim()
+      case (17, 0) => granularity = top.varint()
+      case (18, 0) => dateGranularity = top.varint()
+      case (19, 0) => latOffset = top.varint()
+      case (20, 0) => lonOffset = top.varint()
+      case (_, wire) => top.skip(wire)
+    }
+    val ctx = BlockCtx(strings, granularity, latOffset, lonOffset, dateGranularity)
+    val rows = mutable.ArrayBuffer.empty[Row]
+    groups.foreach { g =>
+      g.fields {
+        case (1, 2) => val m = g.lenDelim(); if (want == NODES) rows += decodePlainNode(m, ctx) else ()
+        case (2, 2) => val m = g.lenDelim(); if (want == NODES) decodeDense(m, ctx, rows) else ()
+        case (3, 2) => val m = g.lenDelim(); if (want == WAYS) rows += decodeWay(m, ctx) else ()
+        case (4, 2) => val m = g.lenDelim(); if (want == RELS) rows += decodeRelation(m, ctx) else ()
+        case (_, wire) => g.skip(wire)
+      }
+    }
+    rows.toSeq
+  }
+
+  /** Info message → (version, ts, changeset, uid, user), absent fields null. */
+  private def decodeInfo(m: WireIn, ctx: BlockCtx):
+      (Integer, java.sql.Timestamp, java.lang.Long, java.lang.Long, String) = {
+    var version: Integer = null; var ts: java.sql.Timestamp = null
+    var cs: java.lang.Long = null; var uid: java.lang.Long = null; var user: String = null
+    m.fields {
+      case (1, 0) => version = Integer.valueOf(m.varint().toInt)
+      case (2, 0) => ts = ctx.ts(m.varint())
+      case (3, 0) => cs = java.lang.Long.valueOf(m.varint())
+      case (4, 0) => uid = java.lang.Long.valueOf(m.varint().toInt.toLong)
+      case (5, 0) => user = ctx.user(m.varint().toInt)
+      case (_, wire) => m.skip(wire)
+    }
+    (version, ts, cs, uid, user)
+  }
+
+  private def tagsOf(keys: Array[Long], vals: Array[Long], ctx: BlockCtx): Map[String, String] =
+    keys.indices.map(i => ctx.strings(keys(i).toInt) -> ctx.strings(vals(i).toInt)).toMap
+
+  private def decodePlainNode(m: WireIn, ctx: BlockCtx): Row = {
+    var id = 0L; var latRaw = 0L; var lonRaw = 0L
+    var keys = Array.empty[Long]; var vals = Array.empty[Long]
+    var info: (Integer, java.sql.Timestamp, java.lang.Long, java.lang.Long, String) =
+      (null, null, null, null, null)
+    m.fields {
+      case (1, 0) => id = m.zigzag()
+      case (2, 2) => keys = m.lenDelim().packedVarints()
+      case (3, 2) => vals = m.lenDelim().packedVarints()
+      case (4, 2) => info = decodeInfo(m.lenDelim(), ctx)
+      case (8, 0) => latRaw = m.zigzag()
+      case (9, 0) => lonRaw = m.zigzag()
+      case (_, wire) => m.skip(wire)
+    }
+    Row(id, info._1, info._2, info._3, info._4, info._5,
+      ctx.coordLon(lonRaw), ctx.coordLat(latRaw), tagsOf(keys, vals, ctx))
+  }
+
+  private def decodeDense(m: WireIn, ctx: BlockCtx, out: mutable.ArrayBuffer[Row]): Unit = {
+    var ids = Array.empty[Long]; var lats = Array.empty[Long]; var lons = Array.empty[Long]
+    var keysVals = Array.empty[Long]
+    var dVersion = Array.empty[Long]; var dTs = Array.empty[Long]
+    var dCs = Array.empty[Long]; var dUid = Array.empty[Long]; var dUserSid = Array.empty[Long]
+    m.fields {
+      case (1, 2) => ids = m.lenDelim().packedZigzags()
+      case (5, 2) => // DenseInfo
+        val di = m.lenDelim()
+        di.fields {
+          case (1, 2) => dVersion = di.lenDelim().packedVarints()
+          case (2, 2) => dTs = di.lenDelim().packedZigzags()
+          case (3, 2) => dCs = di.lenDelim().packedZigzags()
+          case (4, 2) => dUid = di.lenDelim().packedZigzags()
+          case (5, 2) => dUserSid = di.lenDelim().packedZigzags()
+          case (_, wire) => di.skip(wire)
+        }
+      case (8, 2) => lats = m.lenDelim().packedZigzags()
+      case (9, 2) => lons = m.lenDelim().packedZigzags()
+      case (10, 2) => keysVals = m.lenDelim().packedVarints()
+      case (_, wire) => m.skip(wire)
+    }
+    var id = 0L; var lat = 0L; var lon = 0L
+    var ts = 0L; var cs = 0L; var uid = 0L; var sid = 0L
+    var kv = 0
+    val hasInfo = dVersion.nonEmpty
+    var i = 0
+    while (i < ids.length) {
+      id += ids(i); lat += lats(i); lon += lons(i)
+      val tags = mutable.LinkedHashMap.empty[String, String]
+      while (kv < keysVals.length && keysVals(kv) != 0L) {
+        tags += (ctx.strings(keysVals(kv).toInt) -> ctx.strings(keysVals(kv + 1).toInt))
+        kv += 2
+      }
+      kv += 1 // the 0 terminator (trailing terminators may be omitted for the last node)
+      if (hasInfo) {
+        ts += dTs(i); cs += dCs(i); uid += dUid(i); sid += dUserSid(i)
+        out += Row(id, Integer.valueOf(dVersion(i).toInt), ctx.ts(ts),
+          java.lang.Long.valueOf(cs), java.lang.Long.valueOf(uid), ctx.user(sid.toInt),
+          ctx.coordLon(lon), ctx.coordLat(lat), tags.toMap)
+      } else {
+        out += Row(id, null, null, null, null, null,
+          ctx.coordLon(lon), ctx.coordLat(lat), tags.toMap)
+      }
+      i += 1
+    }
+  }
+
+  private def decodeWay(m: WireIn, ctx: BlockCtx): Row = {
+    var id = 0L
+    var keys = Array.empty[Long]; var vals = Array.empty[Long]
+    var refs = Array.empty[Long]
+    var info: (Integer, java.sql.Timestamp, java.lang.Long, java.lang.Long, String) =
+      (null, null, null, null, null)
+    m.fields {
+      case (1, 0) => id = m.varint()
+      case (2, 2) => keys = m.lenDelim().packedVarints()
+      case (3, 2) => vals = m.lenDelim().packedVarints()
+      case (4, 2) => info = decodeInfo(m.lenDelim(), ctx)
+      case (8, 2) => refs = m.lenDelim().packedZigzags()
+      case (_, wire) => m.skip(wire)
+    }
+    var acc = 0L
+    val resolved = refs.map { d => acc += d; acc }
+    Row(id, info._1, info._2, info._3, info._4, info._5,
+      resolved.toSeq, tagsOf(keys, vals, ctx))
+  }
+
+  private val MemberTypes = Array("node", "way", "relation")
+
+  private def decodeRelation(m: WireIn, ctx: BlockCtx): Row = {
+    var id = 0L
+    var keys = Array.empty[Long]; var vals = Array.empty[Long]
+    var roles = Array.empty[Long]; var memids = Array.empty[Long]; var types = Array.empty[Long]
+    var info: (Integer, java.sql.Timestamp, java.lang.Long, java.lang.Long, String) =
+      (null, null, null, null, null)
+    m.fields {
+      case (1, 0) => id = m.varint()
+      case (2, 2) => keys = m.lenDelim().packedVarints()
+      case (3, 2) => vals = m.lenDelim().packedVarints()
+      case (4, 2) => info = decodeInfo(m.lenDelim(), ctx)
+      case (8, 2) => roles = m.lenDelim().packedVarints()
+      case (9, 2) => memids = m.lenDelim().packedZigzags()
+      case (10, 2) => types = m.lenDelim().packedVarints()
+      case (_, wire) => m.skip(wire)
+    }
+    var acc = 0L
+    val members = memids.indices.map { i =>
+      acc += memids(i)
+      Row(MemberTypes(types(i).toInt), acc, ctx.strings(roles(i).toInt))
+    }
+    Row(id, info._1, info._2, info._3, info._4, info._5,
+      members, tagsOf(keys, vals, ctx))
+  }
+
+  // ---- distributed scans ---------------------------------------------------
+
+  /** One element class as a DataFrame: the OSMData blobs fan out over the
+    * cluster (each task positional-reads, inflates and decodes only its own
+    * blobs; other classes' groups are skipped at the tag level). The tiny
+    * block index is the only driver-side pass.
+    */
+  private def scan(spark: SparkSession, path: String, want: Int,
+                   schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val blocks = blockIndex(path, spark.sparkContext.hadoopConfiguration)
+      .filter(_.kind == "OSMData")
+    val slices = math.max(1, math.min(blocks.size, spark.sparkContext.defaultParallelism * 2))
+    val rdd = spark.sparkContext
+      .parallelize(blocks.map(b => (b.offset, b.size)), slices)
+      .mapPartitions { it =>
+        val refs = it.toArray
+        if (refs.isEmpty) Iterator.empty
+        else {
+          val p = new Path(path)
+          val fs = p.getFileSystem(new Configuration())
+          val in = fs.open(p)
+          try {
+            refs.iterator.flatMap { case (off, size) =>
+              val buf = new Array[Byte](size)
+              in.readFully(off, buf, 0, size)
+              decodeBlock(decodeBlob(buf), want)
+            }.toVector.iterator
+          } finally in.close()
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  def nodes(spark: SparkSession, path: String): DataFrame =
+    scan(spark, path, NODES, OsmXml.nodeSchema)
+  def ways(spark: SparkSession, path: String): DataFrame =
+    scan(spark, path, WAYS, OsmXml.waySchema)
+  def relations(spark: SparkSession, path: String): DataFrame =
+    scan(spark, path, RELS, OsmXml.relationSchema)
+
+  /** Full planet, same shape as [[OsmXml.readPlanet]]. The three frames are
+    * independent lazy scans — an element class nobody consumes is never
+    * decoded (F7 pruning at plan level).
+    */
+  def readPlanet(spark: SparkSession, path: String): OsmXml.Planet = {
+    val header = blockIndex(path, spark.sparkContext.hadoopConfiguration)
+      .find(_.kind == "OSMHeader")
+    val bounds = header.flatMap { h =>
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](h.size)
+        in.readFully(h.offset, buf, 0, h.size)
+        val block = decodeBlob(buf)
+        var bbox: Option[(Double, Double, Double, Double)] = None
+        val w = new WireIn(block, 0, block.length)
+        w.fields {
+          case (1, 2) =>
+            val b = w.lenDelim()
+            var left = 0L; var right = 0L; var top = 0L; var bottom = 0L
+            b.fields {
+              case (1, 0) => left = b.zigzag()
+              case (2, 0) => right = b.zigzag()
+              case (3, 0) => top = b.zigzag()
+              case (4, 0) => bottom = b.zigzag()
+              case (_, wire) => b.skip(wire)
+            }
+            bbox = Some((nanoDeg(left), nanoDeg(bottom), nanoDeg(right), nanoDeg(top)))
+          case (_, wire) => w.skip(wire)
+        }
+        bbox
+      } finally in.close()
+    }
+    OsmXml.Planet(nodes(spark, path), ways(spark, path), relations(spark, path), bounds)
+  }
+
+  // ---- writer --------------------------------------------------------------
+
+  /** String table builder: index 0 is the empty string per spec. */
+  private final class StringTable {
+    private val idx = mutable.LinkedHashMap[String, Int]("" -> 0)
+    def id(s: String): Int = idx.getOrElseUpdate(s, idx.size)
+    def toMessage: WireOut = {
+      val w = new WireOut
+      idx.keysIterator.foreach(s => w.string(1, s))
+      w
+    }
+  }
+
+  private def writeBlob(out: java.io.OutputStream, kind: String, block: WireOut): Unit = {
+    val payload = block.toBytes
+    val deflater = new Deflater()
+    deflater.setInput(payload); deflater.finish()
+    val comp = new Array[Byte](payload.length + 64)
+    var n = 0
+    while (!deflater.finished() && n < comp.length) n += deflater.deflate(comp, n, comp.length - n)
+    deflater.end()
+    val blob = new WireOut
+    if (n < payload.length && deflater.finished()) {
+      blob.key(2, 0); blob.varint(payload.length.toLong)
+      blob.bytes(3, java.util.Arrays.copyOf(comp, n))
+    } else blob.bytes(1, payload) // incompressible: store raw
+    val blobBytes = blob.toBytes
+    val header = new WireOut
+    header.string(1, kind)
+    header.key(3, 0); header.varint(blobBytes.length.toLong)
+    val hBytes = header.toBytes
+    out.write(Array[Byte]((hBytes.length >>> 24).toByte, (hBytes.length >>> 16).toByte,
+      (hBytes.length >>> 8).toByte, hBytes.length.toByte))
+    out.write(hBytes)
+    out.write(blobBytes)
+  }
+
+  private def infoMessage(st: StringTable, version: Integer, ts: java.sql.Timestamp,
+                          cs: java.lang.Long, uid: java.lang.Long, user: String): Option[WireOut] =
+    if (version == null && ts == null && cs == null && uid == null && user == null) None
+    else {
+      val w = new WireOut
+      if (version != null) { w.key(1, 0); w.varint(version.intValue().toLong) }
+      if (ts != null) { w.key(2, 0); w.varint(Math.floorDiv(ts.getTime, 1000L)) }
+      if (cs != null) { w.key(3, 0); w.varint(cs.longValue()) }
+      if (uid != null) { w.key(4, 0); w.varint(uid.longValue()) }
+      if (user != null) { w.key(5, 0); w.varint(st.id(user).toLong) }
+      Some(w)
+    }
+
+  /** Write a planet to `.osm.pbf` (driver-side collect, fixture-scale by
+    * contract like [[OsmXml.writePlanet]]). Granularity 100 (the OSM-native
+    * 1e-7° grid), date granularity 1000 (whole seconds). Nodes are written
+    * as DenseNodes when every node carries full info or none at all
+    * (DenseInfo's parallel arrays cannot express per-field absence);
+    * mixed-presence planets fall back to plain nodes — both shapes decode
+    * identically. `blockElems` bounds elements per PrimitiveBlock, so small
+    * fixtures can still exercise the multi-blob fan-out path.
+    */
+  def writePlanet(p: OsmXml.Planet, path: String, blockElems: Int = 8000): (Long, Long, Long) = {
+    val nodeRows = p.nodes.orderBy("id").collect()
+    val wayRows = p.ways.orderBy("id").collect()
+    val relRows = p.relations.orderBy("id").collect()
+
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(new Configuration())
+    val out = new java.io.BufferedOutputStream(fs.create(hp, true))
+    try {
+      // header block
+      val hb = new WireOut
+      p.bounds.foreach { case (minLon, minLat, maxLon, maxLat) =>
+        val bb = new WireOut
+        bb.key(1, 0); bb.zigzag(Math.round(minLon * 1e9))
+        bb.key(2, 0); bb.zigzag(Math.round(maxLon * 1e9))
+        bb.key(3, 0); bb.zigzag(Math.round(maxLat * 1e9))
+        bb.key(4, 0); bb.zigzag(Math.round(minLat * 1e9))
+        hb.message(1, bb)
+      }
+      hb.string(4, "OsmSchema-V0.6")
+      hb.string(4, "DenseNodes")
+      hb.string(16, "goosmspark")
+      writeBlob(out, "OSMHeader", hb)
+
+      def fullInfo(r: Row) = !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3) &&
+        !r.isNullAt(4) && !r.isNullAt(5)
+      def noInfo(r: Row) = r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) &&
+        r.isNullAt(4) && r.isNullAt(5)
+
+      nodeRows.grouped(math.max(1, blockElems)).foreach { chunk =>
+        val st = new StringTable
+        val dense = chunk.forall(fullInfo) || chunk.forall(noInfo)
+        val group = new WireOut
+        if (dense) {
+          val dn = new WireOut
+          var prevId = 0L; var prevLat = 0L; var prevLon = 0L
+          val ids = mutable.ArrayBuffer.empty[Long]
+          val lats = mutable.ArrayBuffer.empty[Long]
+          val lons = mutable.ArrayBuffer.empty[Long]
+          val kvs = mutable.ArrayBuffer.empty[Long]
+          val vsn = mutable.ArrayBuffer.empty[Long]
+          val tss = mutable.ArrayBuffer.empty[Long]
+          val css = mutable.ArrayBuffer.empty[Long]
+          val uids = mutable.ArrayBuffer.empty[Long]
+          val sids = mutable.ArrayBuffer.empty[Long]
+          var pTs = 0L; var pCs = 0L; var pUid = 0L; var pSid = 0L
+          val withInfo = chunk.nonEmpty && fullInfo(chunk.head)
+          chunk.foreach { r =>
+            val id = r.getLong(0)
+            val latRaw = Math.round(r.getDouble(7) * 1e7)
+            val lonRaw = Math.round(r.getDouble(6) * 1e7)
+            ids += id - prevId; lats += latRaw - prevLat; lons += lonRaw - prevLon
+            prevId = id; prevLat = latRaw; prevLon = lonRaw
+            r.getMap[String, String](8).foreach { case (k, v) =>
+              kvs += st.id(k).toLong; kvs += st.id(v).toLong
+            }
+            kvs += 0L
+            if (withInfo) {
+              vsn += r.getInt(1).toLong
+              val t = Math.floorDiv(r.getTimestamp(2).getTime, 1000L)
+              tss += t - pTs; pTs = t
+              val c = r.getLong(3); css += c - pCs; pCs = c
+              val u = r.getLong(4); uids += u - pUid; pUid = u
+              val s = st.id(r.getString(5)).toLong; sids += s - pSid; pSid = s
+            }
+          }
+          dn.packedZigzags(1, ids)
+          if (withInfo) {
+            val di = new WireOut
+            di.packedVarints(1, vsn)
+            di.packedZigzags(2, tss)
+            di.packedZigzags(3, css)
+            di.packedZigzags(4, uids)
+            di.packedZigzags(5, sids)
+            dn.message(5, di)
+          }
+          dn.packedZigzags(8, lats)
+          dn.packedZigzags(9, lons)
+          dn.packedVarints(10, kvs)
+          group.message(2, dn)
+        } else {
+          chunk.foreach { r =>
+            val n = new WireOut
+            n.key(1, 0); n.zigzag(r.getLong(0))
+            val tags = r.getMap[String, String](8)
+            n.packedVarints(2, tags.keys.map(st.id(_).toLong))
+            n.packedVarints(3, tags.values.map(st.id(_).toLong))
+            infoMessage(st, if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1)),
+              if (r.isNullAt(2)) null else r.getTimestamp(2),
+              if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
+              if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)),
+              if (r.isNullAt(5)) null else r.getString(5)).foreach(n.message(4, _))
+            n.key(8, 0); n.zigzag(Math.round(r.getDouble(7) * 1e7))
+            n.key(9, 0); n.zigzag(Math.round(r.getDouble(6) * 1e7))
+            group.message(1, n)
+          }
+        }
+        writeBlock(out, st, group)
+      }
+
+      wayRows.grouped(math.max(1, blockElems)).foreach { chunk =>
+        val st = new StringTable
+        val group = new WireOut
+        chunk.foreach { r =>
+          val wmsg = new WireOut
+          wmsg.key(1, 0); wmsg.varint(r.getLong(0))
+          val tags = r.getMap[String, String](7)
+          wmsg.packedVarints(2, tags.keys.map(st.id(_).toLong))
+          wmsg.packedVarints(3, tags.values.map(st.id(_).toLong))
+          infoMessage(st, if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1)),
+            if (r.isNullAt(2)) null else r.getTimestamp(2),
+            if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
+            if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)),
+            if (r.isNullAt(5)) null else r.getString(5)).foreach(wmsg.message(4, _))
+          val refs = r.getSeq[Long](6)
+          var prev = 0L
+          wmsg.packedZigzags(8, refs.map { v => val d = v - prev; prev = v; d })
+          group.message(3, wmsg)
+        }
+        writeBlock(out, st, group)
+      }
+
+      relRows.grouped(math.max(1, blockElems)).foreach { chunk =>
+        val st = new StringTable
+        val group = new WireOut
+        chunk.foreach { r =>
+          val rm = new WireOut
+          rm.key(1, 0); rm.varint(r.getLong(0))
+          val tags = r.getMap[String, String](7)
+          rm.packedVarints(2, tags.keys.map(st.id(_).toLong))
+          rm.packedVarints(3, tags.values.map(st.id(_).toLong))
+          infoMessage(st, if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1)),
+            if (r.isNullAt(2)) null else r.getTimestamp(2),
+            if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
+            if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)),
+            if (r.isNullAt(5)) null else r.getString(5)).foreach(rm.message(4, _))
+          val members = r.getSeq[Row](6)
+          rm.packedVarints(8, members.map(m => st.id(m.getString(2)).toLong))
+          var prev = 0L
+          rm.packedZigzags(9, members.map { m =>
+            val v = m.getLong(1); val d = v - prev; prev = v; d
+          })
+          rm.packedVarints(10, members.map(m => MemberTypes.indexOf(m.getString(0)).toLong))
+          group.message(4, rm)
+        }
+        writeBlock(out, st, group)
+      }
+    } finally out.close()
+    (nodeRows.length.toLong, wayRows.length.toLong, relRows.length.toLong)
+  }
+
+  /** Assemble stringtable + one PrimitiveGroup into a PrimitiveBlock and
+    * frame it as an OSMData blob. `group` holds the group's INTERNAL
+    * repeated fields (1 = plain nodes, 2 = dense, 3 = ways, 4 = relations);
+    * here it gets wrapped as the block's field-2 group message.
+    */
+  private def writeBlock(out: java.io.OutputStream, st: StringTable, group: WireOut): Unit = {
+    val block = new WireOut
+    block.message(1, st.toMessage)
+    block.message(2, group)
+    block.key(17, 0); block.varint(100L)
+    block.key(18, 0); block.varint(1000L)
+    writeBlob(out, "OSMData", block)
+  }
+}

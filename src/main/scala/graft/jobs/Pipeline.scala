@@ -222,15 +222,19 @@ object Pipeline {
     d
   }
 
-  /** Load one input as OSM XML (.osm/.osm.gz) or a parquet planet directory
-    * (`<uri>/nodes|ways|relations`). Parquet scans read only the columns the
-    * conjoined plan needs — Catalyst prunes the rest out of the ReadSchema.
+  /** Load one input as OSM XML (.osm/.osm.gz), OSM PBF (.osm.pbf — the
+    * format the reference rejects with "not supported yet", Input.go:89-90;
+    * here a distributed blob-fanout scan, [[graft.io.OsmPbf]]) or a parquet
+    * planet directory (`<uri>/nodes|ways|relations`). Parquet scans read
+    * only the columns the conjoined plan needs — Catalyst prunes the rest
+    * out of the ReadSchema.
     */
   def loadInput(spark: SparkSession, in: InputSpec, idx: Int, p: IngestPlan): OsmXml.Planet = {
     val osmLike = in.uri.endsWith(".osm") || in.uri.endsWith(".osm.gz") ||
       in.uri.endsWith(".osm.bz2")
     val raw: OsmXml.Planet =
-      if (osmLike) OsmXml.readPlanet(spark, in.uri)
+      if (in.uri.endsWith(".osm.pbf")) graft.io.OsmPbf.readPlanet(spark, in.uri)
+      else if (osmLike) OsmXml.readPlanet(spark, in.uri)
       else {
         def readClass(name: String, schema: org.apache.spark.sql.types.StructType,
                       bodyCols: Seq[String], skip: Boolean): DataFrame = {
@@ -360,7 +364,8 @@ object Pipeline {
     */
   def formatOf(o: OutputSpec): String = o.format.getOrElse {
     val u = o.uri.stripSuffix(".gz").stripSuffix(".bz2")
-    if (u.endsWith(".geojson")) "geojson"
+    if (u.endsWith(".osm.pbf")) "pbf"
+    else if (u.endsWith(".geojson")) "geojson"
     else if (u.endsWith(".geojsonl")) "geojsonl"
     else if (u.endsWith(".osm")) "osm"
     else "parquet"
@@ -465,6 +470,10 @@ object Pipeline {
       case "osm" =>
         val (nN, nW, nR) = OsmXml.writePlanet(
           OsmXml.Planet(nodes, ways, rels, shared.bounds), o.uri, pretty = o.pretty)
+        OutputReport(o.uri, fmt, nN, nW, nR)
+      case "pbf" =>
+        val (nN, nW, nR) = graft.io.OsmPbf.writePlanet(
+          OsmXml.Planet(nodes, ways, rels, shared.bounds), o.uri)
         OutputReport(o.uri, fmt, nN, nW, nR)
       case "geojson" | "geojsonl" =>
         val obs = new org.apache.spark.sql.Observation

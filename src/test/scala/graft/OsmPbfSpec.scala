@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.geo.OsmFixtures
+import graft.io.{OsmPbf, OsmXml}
+
+/** OSM PBF codec: the planet format the reference refuses
+  * (`Input.go:89-90`). Round-trip fidelity, XML-parity of the decoded
+  * frames, multi-blob fan-out, the plain-node fallback for
+  * mixed-null info, and the named unsupported-codec error.
+  */
+class OsmPbfSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private lazy val planet = OsmFixtures.planet(spark, nNodes = 2000, nWays = 300, nRelations = 30)
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("graft_pbf").toString + "/" + name
+
+  /** tags map rendered to a sorted entry string (maps can't be EXCEPT'd). */
+  private def tagStr = concat_ws(",", sort_array(transform(map_entries(col("tags")),
+    e => concat(e.getField("key"), lit("="), e.getField("value"))))).as("tagstr")
+
+  /** second-granularity timestamp (PBF date_granularity=1000). */
+  private def tsSec = (unix_timestamp(col("ts"))).as("ts_sec")
+
+  test("PBF write -> read round trip preserves every element across many blobs") {
+    val path = tmp("planet.osm.pbf")
+    // 150 elems/block -> >a dozen OSMData blobs; the scan must reassemble all
+    assert(OsmPbf.writePlanet(planet, path, blockElems = 150) === ((2000L, 300L, 30L)))
+    val idx = OsmPbf.blockIndex(path)
+    assert(idx.count(_.kind == "OSMHeader") === 1)
+    assert(idx.count(_.kind == "OSMData") > 12, s"expected many data blobs, got ${idx.size}")
+
+    val back = OsmPbf.readPlanet(spark, path)
+    assert(back.nodes.count() === 2000)
+    assert(back.ways.count() === 300)
+    assert(back.relations.count() === 30)
+    // nodes: attrs + tags + 1e-7-quantized coords
+    val origN = planet.nodes.select(col("id"), col("version"), tsSec, col("changeset"),
+      col("uid"), col("user"), round(col("lon"), 7).as("lon7"), round(col("lat"), 7).as("lat7"), tagStr)
+    val backN = back.nodes.select(col("id"), col("version"), tsSec, col("changeset"),
+      col("uid"), col("user"), col("lon").as("lon7"), col("lat").as("lat7"), tagStr)
+    assert(origN.except(backN).count() === 0)
+    assert(backN.except(origN).count() === 0)
+    // ways: delta-coded refs restored in order
+    assert(planet.ways.select(col("id"), col("refs"), tagStr)
+      .except(back.ways.select(col("id"), col("refs"), tagStr)).count() === 0)
+    // relations: member (type, ref, role) triples in order
+    assert(planet.relations.select(col("id"), col("members"), tagStr)
+      .except(back.relations.select(col("id"), col("members"), tagStr)).count() === 0)
+  }
+
+  test("PBF-read equals XML-read of the same planet (format-agnostic frames)") {
+    val xmlPath = tmp("planet.osm")
+    val pbfPath = tmp("planet.osm.pbf")
+    OsmXml.writePlanet(planet, xmlPath)
+    OsmPbf.writePlanet(planet, pbfPath)
+    val fromXml = OsmXml.readPlanet(spark, xmlPath)
+    val fromPbf = OsmPbf.readPlanet(spark, pbfPath)
+    // both writers quantize coords to the same 1e-7 grid and both readers
+    // decode the same decimal to the nearest double -> exact equality
+    val nx = fromXml.nodes.select(col("id"), col("lon"), col("lat"), col("uid"), col("user"), tagStr)
+    val np = fromPbf.nodes.select(col("id"), col("lon"), col("lat"), col("uid"), col("user"), tagStr)
+    assert(nx.except(np).count() === 0)
+    assert(np.except(nx).count() === 0)
+    assert(fromXml.ways.select(col("id"), col("refs"), tagStr)
+      .except(fromPbf.ways.select(col("id"), col("refs"), tagStr)).count() === 0)
+  }
+
+  test("bounds ride the OSMHeader bbox") {
+    val path = tmp("bounded.osm.pbf")
+    val withBounds = OsmXml.Planet(planet.nodes, planet.ways, planet.relations,
+      Some((-77.12, 38.79, -76.9, 39.0)))
+    OsmPbf.writePlanet(withBounds, path)
+    val back = OsmPbf.readPlanet(spark, path)
+    assert(back.bounds === Some((-77.12, 38.79, -76.9, 39.0)))
+  }
+
+  test("mixed-null info falls back to plain nodes and keeps per-node nulls") {
+    val nodes = Seq[(Long, Integer, java.sql.Timestamp, java.lang.Long, java.lang.Long, String, Double, Double, Map[String, String])](
+      (1L, 2, new java.sql.Timestamp(1500000000000L), 7L, 42L, "alice", -77.0000001, 38.5, Map("craft" -> "brewery")),
+      (2L, null, null, null, null, null, -76.5, 38.9000009, Map.empty[String, String]),
+      (3L, 5, null, null, 43L, "bob", -76.9, 38.7, Map("x" -> "y"))
+    ).map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9))
+    import scala.jdk.CollectionConverters._
+    val p = OsmXml.Planet(
+      spark.createDataFrame(nodes.asJava, OsmXml.nodeSchema),
+      spark.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava, OsmXml.waySchema),
+      spark.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava, OsmXml.relationSchema),
+      None)
+    val path = tmp("mixed.osm.pbf")
+    OsmPbf.writePlanet(p, path)
+    val back = OsmPbf.nodes(spark, path).orderBy("id").collect()
+    assert(back.length === 3)
+    assert(back(0).getString(5) === "alice" && back(0).getLong(4) === 42L)
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2) && back(1).isNullAt(4) && back(1).isNullAt(5))
+    // per-field absence inside one info: node 3 has version+uid+user, no ts/cs
+    assert(back(2).getInt(1) === 5 && back(2).isNullAt(2) && back(2).isNullAt(3))
+    assert(back(2).getString(5) === "bob")
+    // 1e-7 coordinate grid round-trips exactly
+    assert(back(0).getDouble(6) === -77.0000001)
+    assert(back(1).getDouble(7) === 38.9000009)
+  }
+
+  test("element-class scans are independent (ways decodable without nodes)") {
+    val path = tmp("classes.osm.pbf")
+    OsmPbf.writePlanet(planet, path)
+    assert(OsmPbf.ways(spark, path).count() === 300)
+    assert(OsmPbf.relations(spark, path).count() === 30)
+  }
+
+  test("unsupported blob codecs raise a named error") {
+    val w = new OsmPbf.WireOut
+    w.bytes(4, Array[Byte](1, 2, 3)) // lzma_data
+    val e = intercept[IllegalArgumentException](OsmPbf.decodeBlob(w.toBytes))
+    assert(e.getMessage.contains("lzma"))
+  }
+
+  test("the path the reference rejects runs end-to-end: CLI .osm.pbf input + pbf output") {
+    val pbfIn = tmp("in.osm.pbf")
+    val xmlIn = tmp("in.osm")
+    OsmPbf.writePlanet(planet, pbfIn)
+    OsmXml.writePlanet(planet, xmlIn)
+    def cli(args: String*): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val code = graft.jobs.OsmCli.run(spark, args.toArray,
+        new java.io.PrintStream(bos, true, "UTF-8"))
+      assert(code === 0, new String(bos.toByteArray, "UTF-8"))
+    }
+    // identical filter from the PBF and the XML input must write
+    // byte-identical XML (timestamps dropped: PBF is second-granularity,
+    // XML preserves the fixture's millis)
+    val outA = tmp("a.osm"); val outB = tmp("b.osm")
+    cli("-input_uri", pbfIn, "-filter_keys_keep", "craft",
+      "-drop", "relations,timestamp", "-output_uri", outA)
+    cli("-input_uri", xmlIn, "-filter_keys_keep", "craft",
+      "-drop", "relations,timestamp", "-output_uri", outB)
+    val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(outA))
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(outB))
+    assert(java.util.Arrays.equals(a, b), "PBF-input run must equal XML-input run byte-for-byte")
+    // pbf as an OUTPUT format: write through the pipeline sink, read back
+    val outP = tmp("out.osm.pbf")
+    cli("-input_uri", xmlIn, "-filter_keys_keep", "craft",
+      "-drop", "relations,timestamp", "-output_uri", outP, "-output_format", "pbf")
+    val back = OsmPbf.readPlanet(spark, outP)
+    val viaXml = OsmXml.readPlanet(spark, outA)
+    assert(back.nodes.count() === viaXml.nodes.count())
+    assert(back.ways.count() === viaXml.ways.count())
+    assert(back.nodes.select(col("id"), col("lon"), col("lat"), col("uid"), col("user"))
+      .except(viaXml.nodes.select(col("id"), col("lon"), col("lat"), col("uid"), col("user")))
+      .count() === 0)
+  }
+}
