@@ -29,6 +29,7 @@ JOBS = [("join_cells", "spatial-join (cell equi-join + PIP refine) + tiling"),
         ("decode", "image decode + feature extraction (columnar)"),
         ("decode_scan", "decode floor: payload scan only (no decode)"),
         ("decode_kernel", "decode kernel: columnar scan + inflate only"),
+        ("pbf_scan", "OSM PBF planet decode (160M dense nodes, distributed blob fan-out)"),
         ("dedupe_decision", f"dedupeDecision end-to-end ({N_DOCS//1000}k docs: LSH+verify+CC)"),
         ("emb_pairs", f"exact embedding near-dup triangle join ({N_EMB//1000}k vectors)"),
         ("knn_ring", f"cell-ring kNN (k=10, {N_KNN_Q//1000}k queries / {N_KNN_PTS//1_000_000}M points)"),
@@ -91,7 +92,7 @@ for job, _ in JOBS:
 # emb_pairs replication/shuffle isolation leg. One rep: these exist to
 # attribute the end-to-end numbers, not to be one.
 DEDUPE_STAGES = ["dedupe_sig", "dedupe_cand", "dedupe_verify"]
-for job in DEDUPE_STAGES + ["emb_repl"]:
+for job in DEDUPE_STAGES + ["emb_repl", "pbf_kernel"]:
     for cpus in (8, 32):
         # min-of-2: a single rep's host noise can make a cumulative-prefix
         # MARGINAL go negative (observed on the CC stage)
@@ -364,6 +365,26 @@ lines += [
     "- On a multi-executor cluster the stage is embarrassingly parallel (no shuffle) "
     "and each executor reads from its own bus/disks, so the kernel number is the "
     "one that extrapolates.",
+]
+# PBF decomposition: wire kernel (no row emission) vs the full scan.
+pk8 = res[("pbf_kernel", 8)]["sec"]; pk32 = res[("pbf_kernel", 32)]["sec"]
+ps8 = res[("pbf_scan", 8)]["sec"]; ps32 = res[("pbf_scan", 32)]["sec"]
+pbf_rows = res[("pbf_scan", 8)]["rows"]
+pbf_emit_eff = ((ps8 - pk8) / (ps32 - pk32)) / 4 if ps32 > pk32 else float("nan")
+combined["pbf_kernel"] = {"sec_8": pk8, "sec_32": pk32,
+                          "efficiency": round((pk8 / pk32) / 4, 3)}
+lines += [
+    "\nOSM PBF decomposition (same fixture; scan and kernel measured in one session):",
+    f"- wire kernel (zlib inflate + varint/zigzag/delta decode of every dense array,"
+    f" no row emission): {pk8:.2f} s @8 vs {pk32:.2f} s @32 (efficiency"
+    f" {(pk8/pk32)/4:.3f}; {pbf_rows/pk32/1e6:.0f}M nodes/s @32).",
+    f"- InternalRow emit minus that kernel: ({ps8:.2f}−{pk8:.2f}) /"
+    f" ({ps32:.2f}−{pk32:.2f}) s → efficiency **{pbf_emit_eff:.3f}** —"
+    " allocation-bound, the same row-materialization floor every"
+    " object-emitting leg hits on this shared socket. The blob fan-out"
+    " itself is embarrassingly parallel (each executor reads + inflates"
+    " only its own blob ranges, zero coordination), so on a real cluster"
+    " the kernel number is the one that extrapolates.",
 ]
 # dedupeDecision decomposition: cumulative prefixes -> marginal stage costs.
 d = {(j, c): res[(j, c)]["sec"] for j in DEDUPE_STAGES + ["dedupe_decision"]

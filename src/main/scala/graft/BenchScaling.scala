@@ -80,6 +80,73 @@ object BenchScaling {
       .count()
   }
 
+  /** OSM PBF planet decode: distributed blob fan-out over the synthetic
+    * dense-node planet (varint/zigzag/delta decode + zlib inflate per blob,
+    * embarrassingly parallel — each task touches only its own blob ranges).
+    * The aggregate forces full decode of every row. Returns node count.
+    */
+  def pbfScanJob(s: SparkSession): Long = {
+    graft.io.OsmPbf.nodes(s, s"$dataDir/planet.osm.pbf")
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("checksum"))
+      .collect()(0).getLong(0)
+  }
+
+  /** Kernel half of [[pbfScanJob]]: same blobs, same zlib inflate, same
+    * varint/zigzag/delta decode of every dense array — but NO row
+    * materialization (ids are summed straight off the packed arrays).
+    * The pbf_scan-minus-this delta attributes the scan leg's scaling
+    * shortfall to the InternalRow emit path vs the wire decode itself.
+    */
+  def pbfKernelJob(s: SparkSession): Long = {
+    import graft.io.OsmPbf
+    val path = s"$dataDir/planet.osm.pbf"
+    val blocks = OsmPbf.blockIndex(path, s.sparkContext.hadoopConfiguration)
+      .filter(_.kind == "OSMData").map(b => (b.offset, b.size))
+    val slices = math.max(1, math.min(blocks.size, s.sparkContext.defaultParallelism * 2))
+    s.sparkContext.parallelize(blocks, slices).mapPartitions { it =>
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val in = fs.open(p)
+      var n = 0L; var sink = 0L
+      try {
+        it.foreach { case (off, size) =>
+          val buf = new Array[Byte](size)
+          in.readFully(off, buf, 0, size)
+          val payload = OsmPbf.decodeBlob(buf)
+          val top = new OsmPbf.WireIn(payload, 0, payload.length)
+          top.fields {
+            case (2, 2) =>
+              val g = top.lenDelim()
+              g.fields {
+                case (2, 2) => // DenseNodes
+                  val dn = g.lenDelim()
+                  dn.fields {
+                    case (1, 2) =>
+                      val ids = dn.lenDelim().packedZigzags()
+                      n += ids.length
+                      var i = 0; while (i < ids.length) { sink += ids(i); i += 1 }
+                    case (5, 2) =>
+                      val di = dn.lenDelim()
+                      di.fields { case (_, w2) =>
+                        if (w2 == 2) { val a = di.lenDelim().packedZigzags()
+                          var i = 0; while (i < a.length) { sink += a(i); i += 1 } }
+                        else di.skip(w2)
+                      }
+                    case (8, 2) | (9, 2) | (10, 2) =>
+                      val a = dn.lenDelim().packedZigzags()
+                      var i = 0; while (i < a.length) { sink += a(i); i += 1 }
+                    case (_, w2) => dn.skip(w2)
+                  }
+                case (_, w2) => g.skip(w2)
+              }
+            case (_, w2) => top.skip(w2)
+          }
+        }
+      } finally in.close()
+      if (sink == Long.MinValue) Iterator.empty else Iterator.single(n)
+    }.treeReduce(_ + _)
+  }
+
   def decodeJob(s: SparkSession): Long = {
     val imgs = s.read.parquet(s"$dataDir/images_full")
     // decode runs in an opaque mapPartitions stage, so count() executes it;
@@ -371,6 +438,30 @@ object BenchScaling {
           .write.partitionBy("__shard").mode("overwrite")
           .parquet(s"$dataDir/knn_points_shards")
       }
+      val nPbf = args.lift(8).map(_.toLong).getOrElse(160000000L)
+      once(s"_READY_PBF_$nPbf") { prep =>
+        // synthetic dense-node planet, written once through the PBF sink
+        // (driver-side by the writer's contract; ~1k blobs at 8k elems)
+        val nodes = prep.range(1L, nPbf + 1L).select(
+          col("id"),
+          lit(1).as("version"),
+          timestamp_seconds(lit(1500000000L) + pmod(col("id"), lit(86400L))).as("ts"),
+          pmod(col("id") * lit(7919L), lit(1000000L)).as("changeset"),
+          (pmod(col("id"), lit(1000L)) + 1L).as("uid"),
+          concat(lit("mapper"), pmod(col("id"), lit(1000L))).as("user"),
+          (pmod(col("id") * lit(2654435761L), lit(360000000L)) / 1e7 - 180.0).as("lon"),
+          (pmod(col("id") * lit(2246822519L), lit(170000000L)) / 1e7 - 85.0).as("lat"),
+          map(lit("k"), concat(lit("v"), pmod(col("id"), lit(50L)))).as("tags"))
+        val empty = prep.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          graft.io.OsmXml.waySchema)
+        val emptyR = prep.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          graft.io.OsmXml.relationSchema)
+        graft.io.OsmPbf.writePlanet(
+          graft.io.OsmXml.Planet(nodes, empty, emptyR, None),
+          s"$dataDir/planet.osm.pbf")
+      }
       once(s"_READY_KNNB_${nKnnPts}_$nKnnQ") { prep =>
         // The 100 TB ingest layout: points bucketed by their cell at the
         // density-picked zoom, written ONCE — every later kNN run reads the
@@ -402,6 +493,8 @@ object BenchScaling {
       val job: SparkSession => Long = jobName match {
         case "join_cells" => joinCellsJob
         case "join_rtree" => joinRtreeJob
+        case "pbf_scan" => pbfScanJob
+        case "pbf_kernel" => pbfKernelJob
         case "decode" => decodeJob
         case "decode_row" => decodeRowJob
         case "decode_scan" => decodeScanJob

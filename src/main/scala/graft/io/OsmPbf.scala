@@ -6,6 +6,10 @@ import java.util.zip.{Deflater, Inflater}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
 
 import scala.collection.mutable
 
@@ -71,15 +75,23 @@ object OsmPbf {
     /** Iterate fields: cb(fieldNumber, wireType) must consume the value. */
     def fields(cb: (Int, Int) => Unit): Unit =
       while (hasMore) { val k = varint(); cb((k >>> 3).toInt, (k & 7).toInt) }
+    // primitive growable arrays: ArrayBuffer[Long] would box every packed
+    // value — delta streams are the decoder's hottest allocation site
     def packedVarints(): Array[Long] = {
-      val b = mutable.ArrayBuffer.empty[Long]
-      while (hasMore) b += varint()
-      b.toArray
+      var arr = new Array[Long](16); var n = 0
+      while (hasMore) {
+        if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n << 1)
+        arr(n) = varint(); n += 1
+      }
+      if (n == arr.length) arr else java.util.Arrays.copyOf(arr, n)
     }
     def packedZigzags(): Array[Long] = {
-      val b = mutable.ArrayBuffer.empty[Long]
-      while (hasMore) b += zigzag()
-      b.toArray
+      var arr = new Array[Long](16); var n = 0
+      while (hasMore) {
+        if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n << 1)
+        arr(n) = zigzag(); n += 1
+      }
+      if (n == arr.length) arr else java.util.Arrays.copyOf(arr, n)
     }
   }
 
@@ -120,18 +132,21 @@ object OsmPbf {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
-    val in = fs.open(p)
+    // ONE buffered sequential pass (headers read, payloads skipped): a
+    // positional-read-per-header variant paid ~2 FS round trips per blob
+    // through the checksumming LocalFileSystem — measured as most of a
+    // ~1 s serial driver floor on a 1k-blob file, which then rode every
+    // scan's wall clock
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(p), 1 << 16))
     try {
       val refs = mutable.ArrayBuffer.empty[BlobRef]
       var pos = 0L
-      val lenBuf = new Array[Byte](4)
       while (pos + 4 <= len) {
-        in.readFully(pos, lenBuf, 0, 4)
-        val hLen = ((lenBuf(0) & 0xff) << 24) | ((lenBuf(1) & 0xff) << 16) |
-          ((lenBuf(2) & 0xff) << 8) | (lenBuf(3) & 0xff)
+        val hLen = in.readInt()
         require(hLen > 0 && hLen < (64 << 10), s"pbf: implausible BlobHeader length $hLen")
         val hBytes = new Array[Byte](hLen)
-        in.readFully(pos + 4, hBytes, 0, hLen)
+        in.readFully(hBytes, 0, hLen)
         var kind = ""; var dataSize = -1
         val w = new WireIn(hBytes, 0, hLen)
         w.fields {
@@ -142,6 +157,12 @@ object OsmPbf {
         require(dataSize >= 0, "pbf: BlobHeader missing datasize")
         refs += BlobRef(kind, pos + 4 + hLen, dataSize)
         pos += 4 + hLen + dataSize
+        var toSkip = dataSize.toLong
+        while (toSkip > 0) {
+          val skipped = in.skip(toSkip)
+          require(skipped > 0, "pbf: truncated blob payload")
+          toSkip -= skipped
+        }
       }
       refs.toSeq
     } finally in.close()
@@ -186,22 +207,36 @@ object OsmPbf {
 
   private def nanoDeg(v: Long): Double = java.math.BigDecimal.valueOf(v, 9).doubleValue()
 
-  private case class BlockCtx(strings: Array[String], granularity: Long,
-                              latOffset: Long, lonOffset: Long, dateGranularity: Long) {
+  /** Per-block decode context. The stringtable is materialized ONCE per
+    * block as shared [[UTF8String]]s (Spark's internal string type): tag
+    * maps and usernames then just reference them — no per-row string
+    * decode, no re-encode, no Scala Map.
+    */
+  private final class BlockCtx(val strings: Array[UTF8String], val granularity: Long,
+                               val latOffset: Long, val lonOffset: Long,
+                               val dateGranularity: Long) {
     def coordLat(raw: Long): Double = nanoDeg(latOffset + granularity * raw)
     def coordLon(raw: Long): Double = nanoDeg(lonOffset + granularity * raw)
-    def ts(v: Long): java.sql.Timestamp = new java.sql.Timestamp(v * dateGranularity)
-    def user(sid: Int): String = { val s = strings(sid); if (s.isEmpty) null else s }
+    /** micros — TimestampType's internal representation */
+    def tsMicros(v: Long): Long = v * dateGranularity * 1000L
+    def user(sid: Int): UTF8String = {
+      val s = strings(sid); if (s.numBytes() == 0) null else s
+    }
   }
 
   private val NODES = 0; private val WAYS = 1; private val RELS = 2
 
   /** Decode one PrimitiveBlock's groups of the wanted element class into
-    * [[OsmXml]]-schema Rows; groups of other classes are SKIPPED without
-    * decoding their bodies (only the group's top-level tags are walked).
+    * [[OsmXml]]-schema INTERNAL rows (UTF8String strings, micros
+    * timestamps, ArrayBasedMapData tags — handed to Spark through
+    * `internalCreateDataFrame`, skipping the external-Row conversion
+    * layer entirely: the first cut built external Rows + Scala Maps and
+    * spent more time boxing/converting than decoding). Groups of other
+    * element classes are SKIPPED without decoding their bodies (only the
+    * group's top-level tags are walked).
     */
-  def decodeBlock(payload: Array[Byte], want: Int): Seq[Row] = {
-    var strings: Array[String] = Array("")
+  def decodeBlock(payload: Array[Byte], want: Int): Seq[InternalRow] = {
+    var strings: Array[UTF8String] = Array(UTF8String.EMPTY_UTF8)
     var granularity = 100L; var dateGranularity = 1000L
     var latOffset = 0L; var lonOffset = 0L
     val groups = mutable.ArrayBuffer.empty[WireIn]
@@ -209,9 +244,13 @@ object OsmPbf {
     top.fields {
       case (1, 2) => // stringtable
         val st = top.lenDelim()
-        val b = mutable.ArrayBuffer.empty[String]
+        val b = mutable.ArrayBuffer.empty[UTF8String]
         st.fields {
-          case (1, 2) => b += st.utf8()
+          // copy each string's bytes: a zero-copy slice would pin the whole
+          // block buffer for as long as any downstream row survives
+          case (1, 2) =>
+            val r = st.lenDelim()
+            b += UTF8String.fromBytes(java.util.Arrays.copyOfRange(r.a, r.p, r.end))
           case (_, wire) => st.skip(wire)
         }
         strings = b.toArray
@@ -222,8 +261,8 @@ object OsmPbf {
       case (20, 0) => lonOffset = top.varint()
       case (_, wire) => top.skip(wire)
     }
-    val ctx = BlockCtx(strings, granularity, latOffset, lonOffset, dateGranularity)
-    val rows = mutable.ArrayBuffer.empty[Row]
+    val ctx = new BlockCtx(strings, granularity, latOffset, lonOffset, dateGranularity)
+    val rows = mutable.ArrayBuffer.empty[InternalRow]
     groups.foreach { g =>
       g.fields {
         case (1, 2) => val m = g.lenDelim(); if (want == NODES) rows += decodePlainNode(m, ctx) else ()
@@ -236,30 +275,38 @@ object OsmPbf {
     rows.toSeq
   }
 
-  /** Info message → (version, ts, changeset, uid, user), absent fields null. */
-  private def decodeInfo(m: WireIn, ctx: BlockCtx):
-      (Integer, java.sql.Timestamp, java.lang.Long, java.lang.Long, String) = {
-    var version: Integer = null; var ts: java.sql.Timestamp = null
-    var cs: java.lang.Long = null; var uid: java.lang.Long = null; var user: String = null
-    m.fields {
-      case (1, 0) => version = Integer.valueOf(m.varint().toInt)
-      case (2, 0) => ts = ctx.ts(m.varint())
-      case (3, 0) => cs = java.lang.Long.valueOf(m.varint())
-      case (4, 0) => uid = java.lang.Long.valueOf(m.varint().toInt.toLong)
-      case (5, 0) => user = ctx.user(m.varint().toInt)
-      case (_, wire) => m.skip(wire)
-    }
-    (version, ts, cs, uid, user)
+  /** Mutable Info holder: absent fields stay null (internal values). */
+  private final class InfoH {
+    var version: Any = null; var tsMicros: Any = null
+    var changeset: Any = null; var uid: Any = null; var user: Any = null
   }
 
-  private def tagsOf(keys: Array[Long], vals: Array[Long], ctx: BlockCtx): Map[String, String] =
-    keys.indices.map(i => ctx.strings(keys(i).toInt) -> ctx.strings(vals(i).toInt)).toMap
+  private def decodeInfo(m: WireIn, ctx: BlockCtx): InfoH = {
+    val h = new InfoH
+    m.fields {
+      case (1, 0) => h.version = Integer.valueOf(m.varint().toInt)
+      case (2, 0) => h.tsMicros = java.lang.Long.valueOf(ctx.tsMicros(m.varint()))
+      case (3, 0) => h.changeset = java.lang.Long.valueOf(m.varint())
+      case (4, 0) => h.uid = java.lang.Long.valueOf(m.varint().toInt.toLong)
+      case (5, 0) => h.user = ctx.user(m.varint().toInt)
+      case (_, wire) => m.skip(wire)
+    }
+    h
+  }
 
-  private def decodePlainNode(m: WireIn, ctx: BlockCtx): Row = {
+  private def mapData(keys: Array[Long], vals: Array[Long], ctx: BlockCtx): ArrayBasedMapData = {
+    val k = new Array[Any](keys.length); val v = new Array[Any](keys.length)
+    var i = 0
+    while (i < keys.length) {
+      k(i) = ctx.strings(keys(i).toInt); v(i) = ctx.strings(vals(i).toInt); i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(k), new GenericArrayData(v))
+  }
+
+  private def decodePlainNode(m: WireIn, ctx: BlockCtx): InternalRow = {
     var id = 0L; var latRaw = 0L; var lonRaw = 0L
     var keys = Array.empty[Long]; var vals = Array.empty[Long]
-    var info: (Integer, java.sql.Timestamp, java.lang.Long, java.lang.Long, String) =
-      (null, null, null, null, null)
+    var info = new InfoH
     m.fields {
       case (1, 0) => id = m.zigzag()
       case (2, 2) => keys = m.lenDelim().packedVarints()
@@ -269,11 +316,13 @@ object OsmPbf {
       case (9, 0) => lonRaw = m.zigzag()
       case (_, wire) => m.skip(wire)
     }
-    Row(id, info._1, info._2, info._3, info._4, info._5,
-      ctx.coordLon(lonRaw), ctx.coordLat(latRaw), tagsOf(keys, vals, ctx))
+    new GenericInternalRow(Array[Any](id, info.version, info.tsMicros, info.changeset,
+      info.uid, info.user, ctx.coordLon(lonRaw), ctx.coordLat(latRaw),
+      mapData(keys, vals, ctx)))
   }
 
-  private def decodeDense(m: WireIn, ctx: BlockCtx, out: mutable.ArrayBuffer[Row]): Unit = {
+  private def decodeDense(m: WireIn, ctx: BlockCtx,
+                          out: mutable.ArrayBuffer[InternalRow]): Unit = {
     var ids = Array.empty[Long]; var lats = Array.empty[Long]; var lons = Array.empty[Long]
     var keysVals = Array.empty[Long]
     var dVersion = Array.empty[Long]; var dTs = Array.empty[Long]
@@ -302,31 +351,33 @@ object OsmPbf {
     var i = 0
     while (i < ids.length) {
       id += ids(i); lat += lats(i); lon += lons(i)
-      val tags = mutable.LinkedHashMap.empty[String, String]
+      val tk = mutable.ArrayBuffer.empty[Any]
+      val tv = mutable.ArrayBuffer.empty[Any]
       while (kv < keysVals.length && keysVals(kv) != 0L) {
-        tags += (ctx.strings(keysVals(kv).toInt) -> ctx.strings(keysVals(kv + 1).toInt))
+        tk += ctx.strings(keysVals(kv).toInt); tv += ctx.strings(keysVals(kv + 1).toInt)
         kv += 2
       }
-      kv += 1 // the 0 terminator (trailing terminators may be omitted for the last node)
+      kv += 1 // the 0 terminator (may be omitted after the last node)
+      val tags = new ArrayBasedMapData(
+        new GenericArrayData(tk.toArray), new GenericArrayData(tv.toArray))
       if (hasInfo) {
         ts += dTs(i); cs += dCs(i); uid += dUid(i); sid += dUserSid(i)
-        out += Row(id, Integer.valueOf(dVersion(i).toInt), ctx.ts(ts),
-          java.lang.Long.valueOf(cs), java.lang.Long.valueOf(uid), ctx.user(sid.toInt),
-          ctx.coordLon(lon), ctx.coordLat(lat), tags.toMap)
+        out += new GenericInternalRow(Array[Any](id, Integer.valueOf(dVersion(i).toInt),
+          ctx.tsMicros(ts), cs, uid, ctx.user(sid.toInt),
+          ctx.coordLon(lon), ctx.coordLat(lat), tags))
       } else {
-        out += Row(id, null, null, null, null, null,
-          ctx.coordLon(lon), ctx.coordLat(lat), tags.toMap)
+        out += new GenericInternalRow(Array[Any](id, null, null, null, null, null,
+          ctx.coordLon(lon), ctx.coordLat(lat), tags))
       }
       i += 1
     }
   }
 
-  private def decodeWay(m: WireIn, ctx: BlockCtx): Row = {
+  private def decodeWay(m: WireIn, ctx: BlockCtx): InternalRow = {
     var id = 0L
     var keys = Array.empty[Long]; var vals = Array.empty[Long]
     var refs = Array.empty[Long]
-    var info: (Integer, java.sql.Timestamp, java.lang.Long, java.lang.Long, String) =
-      (null, null, null, null, null)
+    var info = new InfoH
     m.fields {
       case (1, 0) => id = m.varint()
       case (2, 2) => keys = m.lenDelim().packedVarints()
@@ -336,19 +387,21 @@ object OsmPbf {
       case (_, wire) => m.skip(wire)
     }
     var acc = 0L
-    val resolved = refs.map { d => acc += d; acc }
-    Row(id, info._1, info._2, info._3, info._4, info._5,
-      resolved.toSeq, tagsOf(keys, vals, ctx))
+    var i = 0
+    while (i < refs.length) { acc += refs(i); refs(i) = acc; i += 1 }
+    new GenericInternalRow(Array[Any](id, info.version, info.tsMicros, info.changeset,
+      info.uid, info.user, UnsafeArrayData.fromPrimitiveArray(refs),
+      mapData(keys, vals, ctx)))
   }
 
   private val MemberTypes = Array("node", "way", "relation")
+  private val MemberTypesU: Array[UTF8String] = MemberTypes.map(UTF8String.fromString)
 
-  private def decodeRelation(m: WireIn, ctx: BlockCtx): Row = {
+  private def decodeRelation(m: WireIn, ctx: BlockCtx): InternalRow = {
     var id = 0L
     var keys = Array.empty[Long]; var vals = Array.empty[Long]
     var roles = Array.empty[Long]; var memids = Array.empty[Long]; var types = Array.empty[Long]
-    var info: (Integer, java.sql.Timestamp, java.lang.Long, java.lang.Long, String) =
-      (null, null, null, null, null)
+    var info = new InfoH
     m.fields {
       case (1, 0) => id = m.varint()
       case (2, 2) => keys = m.lenDelim().packedVarints()
@@ -360,12 +413,16 @@ object OsmPbf {
       case (_, wire) => m.skip(wire)
     }
     var acc = 0L
-    val members = memids.indices.map { i =>
+    val members = new Array[Any](memids.length)
+    var i = 0
+    while (i < memids.length) {
       acc += memids(i)
-      Row(MemberTypes(types(i).toInt), acc, ctx.strings(roles(i).toInt))
+      members(i) = new GenericInternalRow(Array[Any](
+        MemberTypesU(types(i).toInt), acc, ctx.strings(roles(i).toInt)))
+      i += 1
     }
-    Row(id, info._1, info._2, info._3, info._4, info._5,
-      members, tagsOf(keys, vals, ctx))
+    new GenericInternalRow(Array[Any](id, info.version, info.tsMicros, info.changeset,
+      info.uid, info.user, new GenericArrayData(members), mapData(keys, vals, ctx)))
   }
 
   // ---- distributed scans ---------------------------------------------------
@@ -385,20 +442,32 @@ object OsmPbf {
       .mapPartitions { it =>
         val refs = it.toArray
         if (refs.isEmpty) Iterator.empty
-        else {
-          val p = new Path(path)
-          val fs = p.getFileSystem(new Configuration())
-          val in = fs.open(p)
-          try {
-            refs.iterator.flatMap { case (off, size) =>
+        else new Iterator[InternalRow] {
+          // LAZY blob-at-a-time decode: only one blob's rows are ever
+          // materialized per task (a planet-scale partition can hold
+          // thousands of blobs = millions of rows — buffering the whole
+          // partition would OOM the executor). The stream closes when the
+          // last blob is exhausted.
+          private val p = new Path(path)
+          private val in = p.getFileSystem(new Configuration()).open(p)
+          private var i = 0
+          private var cur: Iterator[InternalRow] = Iterator.empty
+          private var closed = false
+          private def advance(): Unit = {
+            while (!cur.hasNext && i < refs.length) {
+              val (off, size) = refs(i); i += 1
               val buf = new Array[Byte](size)
-              in.readFully(off, buf, 0, size)
-              decodeBlock(decodeBlob(buf), want)
-            }.toVector.iterator
-          } finally in.close()
+              try in.readFully(off, buf, 0, size)
+              catch { case e: Throwable => in.close(); closed = true; throw e }
+              cur = decodeBlock(decodeBlob(buf), want).iterator
+            }
+            if (!cur.hasNext && !closed) { in.close(); closed = true }
+          }
+          def hasNext: Boolean = { advance(); cur.hasNext }
+          def next(): InternalRow = { advance(); cur.next() }
         }
       }
-    spark.createDataFrame(rdd, schema)
+    org.apache.spark.sql.graftbridge.Bridge.internalDf(spark, rdd, schema)
   }
 
   def nodes(spark: SparkSession, path: String): DataFrame =
@@ -495,19 +564,23 @@ object OsmPbf {
       Some(w)
     }
 
-  /** Write a planet to `.osm.pbf` (driver-side collect, fixture-scale by
-    * contract like [[OsmXml.writePlanet]]). Granularity 100 (the OSM-native
-    * 1e-7° grid), date granularity 1000 (whole seconds). Nodes are written
-    * as DenseNodes when every node carries full info or none at all
+  /** Write a planet to `.osm.pbf` (driver-side single-file sink, like
+    * [[OsmXml.writePlanet]] — but STREAMING: `toLocalIterator` pulls one
+    * partition at a time, so driver memory is bounded by a partition + one
+    * block, not the planet). Granularity 100 (the OSM-native 1e-7° grid),
+    * date granularity 1000 (whole seconds). Nodes are written as DenseNodes
+    * when every node in a block carries full info or none at all
     * (DenseInfo's parallel arrays cannot express per-field absence);
-    * mixed-presence planets fall back to plain nodes — both shapes decode
+    * mixed-presence blocks fall back to plain nodes — both shapes decode
     * identically. `blockElems` bounds elements per PrimitiveBlock, so small
     * fixtures can still exercise the multi-blob fan-out path.
     */
   def writePlanet(p: OsmXml.Planet, path: String, blockElems: Int = 8000): (Long, Long, Long) = {
-    val nodeRows = p.nodes.orderBy("id").collect()
-    val wayRows = p.ways.orderBy("id").collect()
-    val relRows = p.relations.orderBy("id").collect()
+    import scala.jdk.CollectionConverters._
+    val nodeRows = p.nodes.orderBy("id").toLocalIterator().asScala
+    val wayRows = p.ways.orderBy("id").toLocalIterator().asScala
+    val relRows = p.relations.orderBy("id").toLocalIterator().asScala
+    var nN = 0L; var nW = 0L; var nR = 0L
 
     val hp = new Path(path)
     val fs = hp.getFileSystem(new Configuration())
@@ -534,6 +607,7 @@ object OsmPbf {
         r.isNullAt(4) && r.isNullAt(5)
 
       nodeRows.grouped(math.max(1, blockElems)).foreach { chunk =>
+        nN += chunk.length
         val st = new StringTable
         val dense = chunk.forall(fullInfo) || chunk.forall(noInfo)
         val group = new WireOut
@@ -605,6 +679,7 @@ object OsmPbf {
       }
 
       wayRows.grouped(math.max(1, blockElems)).foreach { chunk =>
+        nW += chunk.length
         val st = new StringTable
         val group = new WireOut
         chunk.foreach { r =>
@@ -627,6 +702,7 @@ object OsmPbf {
       }
 
       relRows.grouped(math.max(1, blockElems)).foreach { chunk =>
+        nR += chunk.length
         val st = new StringTable
         val group = new WireOut
         chunk.foreach { r =>
@@ -652,7 +728,7 @@ object OsmPbf {
         writeBlock(out, st, group)
       }
     } finally out.close()
-    (nodeRows.length.toLong, wayRows.length.toLong, relRows.length.toLong)
+    (nN, nW, nR)
   }
 
   /** Assemble stringtable + one PrimitiveGroup into a PrimitiveBlock and
