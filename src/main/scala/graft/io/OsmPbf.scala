@@ -427,18 +427,41 @@ object OsmPbf {
 
   // ---- distributed scans ---------------------------------------------------
 
-  /** One element class as a DataFrame: the OSMData blobs fan out over the
-    * cluster (each task positional-reads, inflates and decodes only its own
-    * blobs; other classes' groups are skipped at the tag level). The tiny
-    * block index is the only driver-side pass.
+  /** Expand a path/glob/comma-list into concrete PBF files (the same input
+    * affordances `spark.read` gives: an extract DIRECTORY of .osm.pbf
+    * regions is as common as one planet file).
+    */
+  def expandPaths(spec: String, conf: Configuration): Seq[String] =
+    spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).flatMap { one =>
+      val p = new Path(one)
+      val fs = p.getFileSystem(conf)
+      val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      require(matched.nonEmpty, s"pbf: no files match $one")
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".osm.pbf"))
+            .map(_.getPath.toString)
+        else Seq(st.getPath.toString)
+      }
+    }.toSeq.sorted
+
+  /** One element class as a DataFrame: the OSMData blobs of every matched
+    * file fan out over the cluster (each task reads, inflates and decodes
+    * only its own blobs; other classes' groups are skipped at the tag
+    * level). The tiny per-file block index is the only driver-side pass.
+    * `path` may be a single file, a glob, a directory of `.osm.pbf` parts,
+    * or a comma list of any of those.
     */
   private def scan(spark: SparkSession, path: String, want: Int,
                    schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val blocks = blockIndex(path, spark.sparkContext.hadoopConfiguration)
-      .filter(_.kind == "OSMData")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val blocks: Seq[(String, Long, Int)] = expandPaths(path, conf).flatMap { f =>
+      blockIndex(f, conf).filter(_.kind == "OSMData").map(b => (f, b.offset, b.size))
+    }
     val slices = math.max(1, math.min(blocks.size, spark.sparkContext.defaultParallelism * 2))
     val rdd = spark.sparkContext
-      .parallelize(blocks.map(b => (b.offset, b.size)), slices)
+      .parallelize(blocks, slices)
       .mapPartitions { it =>
         val refs = it.toArray
         if (refs.isEmpty) Iterator.empty
@@ -446,22 +469,27 @@ object OsmPbf {
           // LAZY blob-at-a-time decode: only one blob's rows are ever
           // materialized per task (a planet-scale partition can hold
           // thousands of blobs = millions of rows — buffering the whole
-          // partition would OOM the executor). The stream closes when the
-          // last blob is exhausted.
-          private val p = new Path(path)
-          private val in = p.getFileSystem(new Configuration()).open(p)
+          // partition would OOM the executor). One stream is open at a
+          // time; it closes on file change and when the last blob drains.
           private var i = 0
           private var cur: Iterator[InternalRow] = Iterator.empty
-          private var closed = false
+          private var in: org.apache.hadoop.fs.FSDataInputStream = null
+          private var inFile: String = null
           private def advance(): Unit = {
             while (!cur.hasNext && i < refs.length) {
-              val (off, size) = refs(i); i += 1
+              val (file, off, size) = refs(i); i += 1
+              if (in == null || inFile != file) {
+                if (in != null) in.close()
+                val p = new Path(file)
+                in = p.getFileSystem(new Configuration()).open(p)
+                inFile = file
+              }
               val buf = new Array[Byte](size)
               try in.readFully(off, buf, 0, size)
-              catch { case e: Throwable => in.close(); closed = true; throw e }
+              catch { case e: Throwable => in.close(); in = null; throw e }
               cur = decodeBlock(decodeBlob(buf), want).iterator
             }
-            if (!cur.hasNext && !closed) { in.close(); closed = true }
+            if (!cur.hasNext && in != null) { in.close(); in = null }
           }
           def hasNext: Boolean = { advance(); cur.hasNext }
           def next(): InternalRow = { advance(); cur.next() }
@@ -482,11 +510,15 @@ object OsmPbf {
     * decoded (F7 pruning at plan level).
     */
   def readPlanet(spark: SparkSession, path: String): OsmXml.Planet = {
-    val header = blockIndex(path, spark.sparkContext.hadoopConfiguration)
-      .find(_.kind == "OSMHeader")
+    val conf = spark.sparkContext.hadoopConfiguration
+    // multi-file input: bounds come from the FIRST file's header (extract
+    // parts each carry their own bbox; a merged global bbox would claim
+    // coverage the union may not have — callers recompute via OsmOps.bounds)
+    val first = expandPaths(path, conf).head
+    val header = blockIndex(first, conf).find(_.kind == "OSMHeader")
     val bounds = header.flatMap { h =>
-      val p = new Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = new Path(first)
+      val fs = p.getFileSystem(conf)
       val in = fs.open(p)
       try {
         val buf = new Array[Byte](h.size)

@@ -105,6 +105,37 @@ object SpatialJoinJob {
   }
 }
 
+/** Planet ingest from the format the reference rejects
+  * (`.osm.pbf`, Input.go:89-90): `PbfIngestJob <pbfPathOrGlob> <outRoot>
+  * [cellZ]` — distributed blob-fanout decode ([[graft.io.OsmPbf]])
+  * committed as a resumable snapshot parquet planet: nodes partitioned by
+  * coarse spatial cell (so downstream spatial scans partition-prune),
+  * ways/relations by id block. A killed ingest resumes from its last
+  * committed partition; re-running over the same input is a no-op.
+  */
+object PbfIngestJob {
+  def run(spark: SparkSession, in: String, out: String, cellZ: Int = 3): (Long, Long, Long) = {
+    val planet = graft.io.OsmPbf.readPlanet(spark, in)
+    val n = SnapshotTable.commit(Jobs.partitionKey(planet.nodes, cellZ),
+      s"$out/nodes", "part_cell", "pbf-ingest:nodes", Seq(in)).totalRows
+    def idPart(df: DataFrame) =
+      df.withColumn("part", pmod(col("id"), lit(64L)).cast("string"))
+    val w = SnapshotTable.commit(idPart(planet.ways),
+      s"$out/ways", "part", "pbf-ingest:ways", Seq(in)).totalRows
+    val r = SnapshotTable.commit(idPart(planet.relations),
+      s"$out/relations", "part", "pbf-ingest:relations", Seq(in)).totalRows
+    (n, w, r)
+  }
+  def main(args: Array[String]): Unit = {
+    val Array(in, out) = args.take(2)
+    val cellZ = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = Jobs.session("graft-pbf-ingest")
+    val (n, w, r) = run(spark, in, out, cellZ)
+    println(s"""{"job": "pbf_ingest", "nodes": $n, "ways": $w, "relations": $r}""")
+    spark.stop()
+  }
+}
+
 /** kNN per polygon centroid: `KnnJob <tableRoot> <outRoot> [k]`. */
 object KnnJob {
   def main(args: Array[String]): Unit = {

@@ -118,6 +118,50 @@ class OsmPbfSpec extends SparkSpecBase {
     assert(e.getMessage.contains("lzma"))
   }
 
+  test("multi-file input: directory of parts, glob, comma list") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pbf_parts").toString
+    val a = OsmFixtures.planet(spark, nNodes = 120, nWays = 10, nRelations = 2, seed = 1L)
+    val b = OsmFixtures.planet(spark, nNodes = 80, nWays = 5, nRelations = 1, seed = 2L)
+    OsmPbf.writePlanet(a, s"$dir/part-a.osm.pbf")
+    OsmPbf.writePlanet(b, s"$dir/part-b.osm.pbf")
+    assert(OsmPbf.nodes(spark, dir).count() === 200)          // directory
+    assert(OsmPbf.nodes(spark, s"$dir/*.osm.pbf").count() === 200) // glob
+    assert(OsmPbf.ways(spark,
+      s"$dir/part-a.osm.pbf,$dir/part-b.osm.pbf").count() === 15)  // comma list
+    val e = intercept[IllegalArgumentException](
+      OsmPbf.nodes(spark, s"$dir/missing-*.osm.pbf").count())
+    assert(e.getMessage.contains("no files match"))
+  }
+
+  test("truncated file raises a named error, not a hang or garbage rows") {
+    val path = tmp("trunc.osm.pbf")
+    val small = OsmFixtures.planet(spark, nNodes = 50, nWays = 0, nRelations = 0)
+    OsmPbf.writePlanet(small, path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val cut = java.nio.file.Paths.get(tmp("cut.osm.pbf"))
+    java.nio.file.Files.write(cut, java.util.Arrays.copyOf(bytes, bytes.length - 7))
+    val e = intercept[Exception](OsmPbf.blockIndex(cut.toString))
+    assert(e.getMessage != null && e.getMessage.toLowerCase.contains("pbf") ||
+      e.isInstanceOf[java.io.EOFException],
+      s"expected a named pbf/EOF error, got $e")
+  }
+
+  test("PbfIngestJob: pbf planet -> resumable snapshot parquet; rerun is a no-op") {
+    val pbf = tmp("ingest.osm.pbf")
+    OsmPbf.writePlanet(planet, pbf)
+    val out = java.nio.file.Files.createTempDirectory("graft_pbf_ingest").toString
+    val (n, w, r) = graft.jobs.PbfIngestJob.run(spark, pbf, out)
+    assert((n, w, r) === ((2000L, 300L, 30L)))
+    // the snapshot tables read back whole, spatially partitioned
+    val nodes = graft.io.SnapshotTable.read(spark, s"$out/nodes", "part_cell")
+    assert(nodes.count() === 2000)
+    assert(nodes.select(col("part_cell")).distinct().count() >= 1)
+    assert(graft.io.SnapshotTable.read(spark, s"$out/ways", "part").count() === 300)
+    // rerun over the same input: every partition already committed
+    val again = graft.jobs.PbfIngestJob.run(spark, pbf, out)
+    assert(again === ((2000L, 300L, 30L)))
+  }
+
   test("the path the reference rejects runs end-to-end: CLI .osm.pbf input + pbf output") {
     val pbfIn = tmp("in.osm.pbf")
     val xmlIn = tmp("in.osm")
