@@ -101,6 +101,43 @@ object SpatialJoin {
       .drop("__cell", "__salt")
   }
 
+  /** Stats-driven plan picker — the spatial analogue of Spark's own
+    * broadcast-vs-shuffle join selection, so callers never hand-pick a
+    * physical strategy. The polygon side's Catalyst size estimate
+    * (`optimizedPlan.stats.sizeInBytes`, the same number Spark's
+    * `autoBroadcastJoinThreshold` consults) decides:
+    *
+    *  - fits the threshold → [[broadcastRtreeJoin]] (zero point-side
+    *    shuffle, the 10^12-row default), with the polygon's other columns
+    *    re-attached by a broadcast equi-join on `idCol` so the output
+    *    schema matches the cell-join plan;
+    *  - too big → [[cellJoin]] (both sides shuffle on the spatial cell;
+    *    AQE splits skewed city cells).
+    *
+    * `thresholdBytes` < 0 uses the session's
+    * `spark.sql.autoBroadcastJoinThreshold`.
+    */
+  def autoJoin(points: DataFrame, lonCol: String, latCol: String,
+               polygons: DataFrame, idCol: String, ringCol: String,
+               z: Int = 7, thresholdBytes: Long = -1L): DataFrame = {
+    val spark = points.sparkSession
+    val limit =
+      if (thresholdBytes >= 0) thresholdBytes
+      else spark.sessionState.conf.autoBroadcastJoinThreshold
+    val polySize = polygons.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (limit > 0 && polySize <= BigInt(limit)) {
+      val joined = broadcastRtreeJoin(points, lonCol, latCol, polygons, idCol, ringCol)
+      val extraCols = polygons.columns.filter(_ != idCol)
+      if (extraCols.isEmpty) joined
+      else joined.join(broadcast(polygons), joined("polygon_id") === polygons(idCol))
+        .drop(polygons(idCol))
+    } else {
+      val out = cellJoin(points, lonCol, latCol, polygons, ringCol, z)
+      // align with the broadcast path's schema: expose the id as polygon_id
+      if (idCol == "polygon_id") out else out.withColumnRenamed(idCol, "polygon_id")
+    }
+  }
+
   /** Broadcast-R-tree variant: pack the polygon side into a primitive-array
     * [[graft.index.FlatRtree]] on the driver, broadcast it, and probe with
     * the codegen'd [[graft.expr.RtreeProbeExpr]] (bbox lookup + exact PIP

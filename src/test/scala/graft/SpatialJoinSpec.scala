@@ -55,6 +55,27 @@ class SpatialJoinSpec extends SparkSpecBase {
     assert(salted === expected)
   }
 
+  test("autoJoin: stats pick the broadcast plan; a forced threshold falls back to cell join") {
+    // the 40-polygon side's Catalyst size estimate is far under the default
+    // broadcast threshold -> rtree plan (visible as the codegen probe)
+    val auto = SpatialJoin.autoJoin(images, "lon", "lat", polys, "polygon_id", "ring", z = 6)
+    assert(auto.queryExecution.executedPlan.toString.contains("rtree_probe"),
+      "small polygon side must take the broadcast R-tree plan")
+    val gotAuto = auto.select(col("image_id"), col("polygon_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotAuto === expected)
+    // threshold 0 = broadcasting disabled -> the shuffling cell join
+    val forced = SpatialJoin.autoJoin(images, "lon", "lat", polys, "polygon_id", "ring",
+      z = 6, thresholdBytes = 0L)
+    assert(!forced.queryExecution.executedPlan.toString.contains("rtree_probe"),
+      "disabled threshold must take the cell join")
+    val gotForced = forced.select(col("image_id"), col("polygon_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotForced === expected)
+    // both plans expose the polygon's non-id columns too (schema parity)
+    assert(auto.columns.contains("ring") && forced.columns.contains("ring"))
+  }
+
   test("polygon straddling a cell boundary still joins (regression)") {
     import spark.implicits._
     // square centered exactly on the z=6 cell corner at (0,0)
