@@ -92,7 +92,7 @@ for job, _ in JOBS:
 # emb_pairs replication/shuffle isolation leg. One rep: these exist to
 # attribute the end-to-end numbers, not to be one.
 DEDUPE_STAGES = ["dedupe_sig", "dedupe_cand", "dedupe_verify"]
-for job in DEDUPE_STAGES + ["emb_repl", "pbf_kernel"]:
+for job in DEDUPE_STAGES + ["emb_repl", "pbf_kernel", "pbf_pruned"]:
     for cpus in (8, 32):
         # min-of-2: a single rep's host noise can make a cumulative-prefix
         # MARGINAL go negative (observed on the CC stage)
@@ -373,11 +373,18 @@ pbf_rows = res[("pbf_scan", 8)]["rows"]
 pbf_emit_eff = ((ps8 - pk8) / (ps32 - pk32)) / 4 if ps32 > pk32 else float("nan")
 combined["pbf_kernel"] = {"sec_8": pk8, "sec_32": pk32,
                           "efficiency": round((pk8 / pk32) / 4, 3)}
+pp8 = res[("pbf_pruned", 8)]["sec"]; pp32 = res[("pbf_pruned", 32)]["sec"]
+combined["pbf_pruned"] = {"sec_8": pp8, "sec_32": pp32,
+                          "efficiency": round((pp8 / pp32) / 4, 3)}
 lines += [
     "\nOSM PBF decomposition (same fixture; scan and kernel measured in one session):",
     f"- wire kernel (zlib inflate + varint/zigzag/delta decode of every dense array,"
     f" no row emission): {pk8:.2f} s @8 vs {pk32:.2f} s @32 (efficiency"
     f" {(pk8/pk32)/4:.3f}; {pbf_rows/pk32/1e6:.0f}M nodes/s @32).",
+    f"- pruned DSv2 scan (spark.read.format(\"osmpbf\").select(id, lon, lat) —"
+    f" column pruning SKIPS the tags/info/stringtable wire sections):"
+    f" {pp8:.2f} s @8 vs {pp32:.2f} s @32 ({pbf_rows/pp32/1e6:.0f}M nodes/s @32,"
+    f" {ps8/pp8:.1f}× the full-schema scan @8).",
     f"- InternalRow emit minus that kernel: ({ps8:.2f}−{pk8:.2f}) /"
     f" ({ps32:.2f}−{pk32:.2f}) s → efficiency **{pbf_emit_eff:.3f}** —"
     " allocation-bound, the same row-materialization floor every"

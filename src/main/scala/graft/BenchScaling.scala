@@ -91,6 +91,18 @@ object BenchScaling {
       .collect()(0).getLong(0)
   }
 
+  /** Pruned DSv2 scan: same planet through `spark.read.format("osmpbf")`
+    * with an id/lon/lat projection — column pruning reaches the wire
+    * (tags/info/stringtable sections skipped), so scan-minus-THIS measures
+    * what pruning saves vs the full-schema scan.
+    */
+  def pbfPrunedJob(s: SparkSession): Long = {
+    s.read.format("osmpbf").load(s"$dataDir/planet.osm.pbf")
+      .select(col("id"), col("lon"), col("lat"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("checksum"))
+      .collect()(0).getLong(0)
+  }
+
   /** Kernel half of [[pbfScanJob]]: same blobs, same zlib inflate, same
     * varint/zigzag/delta decode of every dense array — but NO row
     * materialization (ids are summed straight off the packed arrays).
@@ -495,6 +507,7 @@ object BenchScaling {
         case "join_rtree" => joinRtreeJob
         case "pbf_scan" => pbfScanJob
         case "pbf_kernel" => pbfKernelJob
+        case "pbf_pruned" => pbfPrunedJob
         case "decode" => decodeJob
         case "decode_row" => decodeRowJob
         case "decode_scan" => decodeScanJob

@@ -235,25 +235,45 @@ object OsmPbf {
     * element classes are SKIPPED without decoding their bodies (only the
     * group's top-level tags are walked).
     */
-  def decodeBlock(payload: Array[Byte], want: Int): Seq[InternalRow] = {
+  /** Full-schema decode (all fields, schema order). */
+  def decodeBlock(payload: Array[Byte], want: Int): Seq[InternalRow] =
+    decodeBlock(payload, want, fullProjection(want))
+
+  /** Ordinals of the element class's full [[OsmXml]] schema. */
+  def fullProjection(want: Int): Array[Int] =
+    if (want == NODES) Array.range(0, 9) else Array.range(0, 8)
+
+  /** Projected decode: `proj` lists the full-schema ordinals to emit, in
+    * output order (the DataSource V2 column-pruning hook). Pruned fields
+    * are not merely dropped — their wire work is skipped: an id/lon/lat
+    * projection never walks keys_vals, never builds a tag map, and never
+    * delta-decodes the DenseInfo arrays.
+    */
+  def decodeBlock(payload: Array[Byte], want: Int, proj: Array[Int]): Seq[InternalRow] =
+    decodeBlock(payload, want, new PbfProj(want, proj))
+
+  def decodeBlock(payload: Array[Byte], want: Int, pm: PbfProj): Seq[InternalRow] = {
     var strings: Array[UTF8String] = Array(UTF8String.EMPTY_UTF8)
     var granularity = 100L; var dateGranularity = 1000L
     var latOffset = 0L; var lonOffset = 0L
     val groups = mutable.ArrayBuffer.empty[WireIn]
     val top = new WireIn(payload, 0, payload.length)
     top.fields {
-      case (1, 2) => // stringtable
-        val st = top.lenDelim()
-        val b = mutable.ArrayBuffer.empty[UTF8String]
-        st.fields {
-          // copy each string's bytes: a zero-copy slice would pin the whole
-          // block buffer for as long as any downstream row survives
-          case (1, 2) =>
-            val r = st.lenDelim()
-            b += UTF8String.fromBytes(java.util.Arrays.copyOfRange(r.a, r.p, r.end))
-          case (_, wire) => st.skip(wire)
-        }
-        strings = b.toArray
+      case (1, 2) => // stringtable — only strings feed tags/usernames, so a
+        // projection keeping neither skips materializing it entirely
+        if (pm.needTags || pm.needInfo) {
+          val st = top.lenDelim()
+          val b = mutable.ArrayBuffer.empty[UTF8String]
+          st.fields {
+            // copy each string's bytes: a zero-copy slice would pin the whole
+            // block buffer for as long as any downstream row survives
+            case (1, 2) =>
+              val r = st.lenDelim()
+              b += UTF8String.fromBytes(java.util.Arrays.copyOfRange(r.a, r.p, r.end))
+            case (_, wire) => st.skip(wire)
+          }
+          strings = b.toArray
+        } else top.skip(2)
       case (2, 2) => groups += top.lenDelim()
       case (17, 0) => granularity = top.varint()
       case (18, 0) => dateGranularity = top.varint()
@@ -265,10 +285,10 @@ object OsmPbf {
     val rows = mutable.ArrayBuffer.empty[InternalRow]
     groups.foreach { g =>
       g.fields {
-        case (1, 2) => val m = g.lenDelim(); if (want == NODES) rows += decodePlainNode(m, ctx) else ()
-        case (2, 2) => val m = g.lenDelim(); if (want == NODES) decodeDense(m, ctx, rows) else ()
-        case (3, 2) => val m = g.lenDelim(); if (want == WAYS) rows += decodeWay(m, ctx) else ()
-        case (4, 2) => val m = g.lenDelim(); if (want == RELS) rows += decodeRelation(m, ctx) else ()
+        case (1, 2) => val m = g.lenDelim(); if (want == NODES) rows += decodePlainNode(m, ctx, pm) else ()
+        case (2, 2) => val m = g.lenDelim(); if (want == NODES) decodeDense(m, ctx, rows, pm) else ()
+        case (3, 2) => val m = g.lenDelim(); if (want == WAYS) rows += decodeWay(m, ctx, pm) else ()
+        case (4, 2) => val m = g.lenDelim(); if (want == RELS) rows += decodeRelation(m, ctx, pm) else ()
         case (_, wire) => g.skip(wire)
       }
     }
@@ -280,6 +300,7 @@ object OsmPbf {
     var version: Any = null; var tsMicros: Any = null
     var changeset: Any = null; var uid: Any = null; var user: Any = null
   }
+  private val EmptyInfo = new InfoH
 
   private def decodeInfo(m: WireIn, ctx: BlockCtx): InfoH = {
     val h = new InfoH
@@ -303,126 +324,197 @@ object OsmPbf {
     new ArrayBasedMapData(new GenericArrayData(k), new GenericArrayData(v))
   }
 
-  private def decodePlainNode(m: WireIn, ctx: BlockCtx): InternalRow = {
+  /** Projection mask: which full-schema ordinals to emit, and which wire
+    * sections can therefore be skipped outright (info, tags, body).
+    */
+  final class PbfProj(want: Int, val ords: Array[Int]) {
+    private val s = ords.toSet
+    val needInfo: Boolean = (1 to 5).exists(s)
+    val tagsOrd: Int = if (want == NODES) 8 else 7
+    val needTags: Boolean = s(tagsOrd)
+    /** coords (nodes) / refs (ways) / members (relations) */
+    val needBody: Boolean = s(6) || (want == NODES && s(7))
+  }
+
+  private def decodePlainNode(m: WireIn, ctx: BlockCtx, pm: PbfProj): InternalRow = {
     var id = 0L; var latRaw = 0L; var lonRaw = 0L
     var keys = Array.empty[Long]; var vals = Array.empty[Long]
-    var info = new InfoH
+    var info = EmptyInfo
     m.fields {
       case (1, 0) => id = m.zigzag()
-      case (2, 2) => keys = m.lenDelim().packedVarints()
-      case (3, 2) => vals = m.lenDelim().packedVarints()
-      case (4, 2) => info = decodeInfo(m.lenDelim(), ctx)
+      case (2, 2) => if (pm.needTags) keys = m.lenDelim().packedVarints() else m.skip(2)
+      case (3, 2) => if (pm.needTags) vals = m.lenDelim().packedVarints() else m.skip(2)
+      case (4, 2) => if (pm.needInfo) info = decodeInfo(m.lenDelim(), ctx) else m.skip(2)
       case (8, 0) => latRaw = m.zigzag()
       case (9, 0) => lonRaw = m.zigzag()
       case (_, wire) => m.skip(wire)
     }
-    new GenericInternalRow(Array[Any](id, info.version, info.tsMicros, info.changeset,
-      info.uid, info.user, ctx.coordLon(lonRaw), ctx.coordLat(latRaw),
-      mapData(keys, vals, ctx)))
+    val out = new Array[Any](pm.ords.length)
+    var j = 0
+    while (j < pm.ords.length) {
+      out(j) = pm.ords(j) match {
+        case 0 => id
+        case 1 => info.version
+        case 2 => info.tsMicros
+        case 3 => info.changeset
+        case 4 => info.uid
+        case 5 => info.user
+        case 6 => ctx.coordLon(lonRaw)
+        case 7 => ctx.coordLat(latRaw)
+        case 8 => mapData(keys, vals, ctx)
+      }
+      j += 1
+    }
+    new GenericInternalRow(out)
   }
 
   private def decodeDense(m: WireIn, ctx: BlockCtx,
-                          out: mutable.ArrayBuffer[InternalRow]): Unit = {
+                          rows: mutable.ArrayBuffer[InternalRow], pm: PbfProj): Unit = {
     var ids = Array.empty[Long]; var lats = Array.empty[Long]; var lons = Array.empty[Long]
     var keysVals = Array.empty[Long]
     var dVersion = Array.empty[Long]; var dTs = Array.empty[Long]
     var dCs = Array.empty[Long]; var dUid = Array.empty[Long]; var dUserSid = Array.empty[Long]
     m.fields {
       case (1, 2) => ids = m.lenDelim().packedZigzags()
-      case (5, 2) => // DenseInfo
-        val di = m.lenDelim()
-        di.fields {
-          case (1, 2) => dVersion = di.lenDelim().packedVarints()
-          case (2, 2) => dTs = di.lenDelim().packedZigzags()
-          case (3, 2) => dCs = di.lenDelim().packedZigzags()
-          case (4, 2) => dUid = di.lenDelim().packedZigzags()
-          case (5, 2) => dUserSid = di.lenDelim().packedZigzags()
-          case (_, wire) => di.skip(wire)
-        }
-      case (8, 2) => lats = m.lenDelim().packedZigzags()
-      case (9, 2) => lons = m.lenDelim().packedZigzags()
-      case (10, 2) => keysVals = m.lenDelim().packedVarints()
+      case (5, 2) => // DenseInfo — skipped wholesale when no info column survives pruning
+        if (pm.needInfo) {
+          val di = m.lenDelim()
+          di.fields {
+            case (1, 2) => dVersion = di.lenDelim().packedVarints()
+            case (2, 2) => dTs = di.lenDelim().packedZigzags()
+            case (3, 2) => dCs = di.lenDelim().packedZigzags()
+            case (4, 2) => dUid = di.lenDelim().packedZigzags()
+            case (5, 2) => dUserSid = di.lenDelim().packedZigzags()
+            case (_, wire) => di.skip(wire)
+          }
+        } else m.skip(2)
+      case (8, 2) => if (pm.needBody) lats = m.lenDelim().packedZigzags() else m.skip(2)
+      case (9, 2) => if (pm.needBody) lons = m.lenDelim().packedZigzags() else m.skip(2)
+      case (10, 2) => if (pm.needTags) keysVals = m.lenDelim().packedVarints() else m.skip(2)
       case (_, wire) => m.skip(wire)
     }
     var id = 0L; var lat = 0L; var lon = 0L
     var ts = 0L; var cs = 0L; var uid = 0L; var sid = 0L
     var kv = 0
-    val hasInfo = dVersion.nonEmpty
+    val hasInfo = pm.needInfo && dVersion.nonEmpty
     var i = 0
     while (i < ids.length) {
-      id += ids(i); lat += lats(i); lon += lons(i)
-      val tk = mutable.ArrayBuffer.empty[Any]
-      val tv = mutable.ArrayBuffer.empty[Any]
-      while (kv < keysVals.length && keysVals(kv) != 0L) {
-        tk += ctx.strings(keysVals(kv).toInt); tv += ctx.strings(keysVals(kv + 1).toInt)
-        kv += 2
+      id += ids(i)
+      if (pm.needBody) { lat += lats(i); lon += lons(i) }
+      var tags: ArrayBasedMapData = null
+      if (pm.needTags) {
+        val tk = mutable.ArrayBuffer.empty[Any]
+        val tv = mutable.ArrayBuffer.empty[Any]
+        while (kv < keysVals.length && keysVals(kv) != 0L) {
+          tk += ctx.strings(keysVals(kv).toInt); tv += ctx.strings(keysVals(kv + 1).toInt)
+          kv += 2
+        }
+        kv += 1 // the 0 terminator (may be omitted after the last node)
+        tags = new ArrayBasedMapData(
+          new GenericArrayData(tk.toArray), new GenericArrayData(tv.toArray))
       }
-      kv += 1 // the 0 terminator (may be omitted after the last node)
-      val tags = new ArrayBasedMapData(
-        new GenericArrayData(tk.toArray), new GenericArrayData(tv.toArray))
-      if (hasInfo) {
-        ts += dTs(i); cs += dCs(i); uid += dUid(i); sid += dUserSid(i)
-        out += new GenericInternalRow(Array[Any](id, Integer.valueOf(dVersion(i).toInt),
-          ctx.tsMicros(ts), cs, uid, ctx.user(sid.toInt),
-          ctx.coordLon(lon), ctx.coordLat(lat), tags))
-      } else {
-        out += new GenericInternalRow(Array[Any](id, null, null, null, null, null,
-          ctx.coordLon(lon), ctx.coordLat(lat), tags))
+      if (hasInfo) { ts += dTs(i); cs += dCs(i); uid += dUid(i); sid += dUserSid(i) }
+      val out = new Array[Any](pm.ords.length)
+      var j = 0
+      while (j < pm.ords.length) {
+        out(j) = pm.ords(j) match {
+          case 0 => id
+          case 1 => if (hasInfo) Integer.valueOf(dVersion(i).toInt) else null
+          case 2 => if (hasInfo) ctx.tsMicros(ts) else null
+          case 3 => if (hasInfo) cs else null
+          case 4 => if (hasInfo) uid else null
+          case 5 => if (hasInfo) ctx.user(sid.toInt) else null
+          case 6 => ctx.coordLon(lon)
+          case 7 => ctx.coordLat(lat)
+          case 8 => tags
+        }
+        j += 1
       }
+      rows += new GenericInternalRow(out)
       i += 1
     }
   }
 
-  private def decodeWay(m: WireIn, ctx: BlockCtx): InternalRow = {
+  private def decodeWay(m: WireIn, ctx: BlockCtx, pm: PbfProj): InternalRow = {
     var id = 0L
     var keys = Array.empty[Long]; var vals = Array.empty[Long]
     var refs = Array.empty[Long]
-    var info = new InfoH
+    var info = EmptyInfo
     m.fields {
       case (1, 0) => id = m.varint()
-      case (2, 2) => keys = m.lenDelim().packedVarints()
-      case (3, 2) => vals = m.lenDelim().packedVarints()
-      case (4, 2) => info = decodeInfo(m.lenDelim(), ctx)
-      case (8, 2) => refs = m.lenDelim().packedZigzags()
+      case (2, 2) => if (pm.needTags) keys = m.lenDelim().packedVarints() else m.skip(2)
+      case (3, 2) => if (pm.needTags) vals = m.lenDelim().packedVarints() else m.skip(2)
+      case (4, 2) => if (pm.needInfo) info = decodeInfo(m.lenDelim(), ctx) else m.skip(2)
+      case (8, 2) => if (pm.needBody) refs = m.lenDelim().packedZigzags() else m.skip(2)
       case (_, wire) => m.skip(wire)
     }
-    var acc = 0L
-    var i = 0
-    while (i < refs.length) { acc += refs(i); refs(i) = acc; i += 1 }
-    new GenericInternalRow(Array[Any](id, info.version, info.tsMicros, info.changeset,
-      info.uid, info.user, UnsafeArrayData.fromPrimitiveArray(refs),
-      mapData(keys, vals, ctx)))
+    if (pm.needBody) {
+      var acc = 0L
+      var i = 0
+      while (i < refs.length) { acc += refs(i); refs(i) = acc; i += 1 }
+    }
+    val out = new Array[Any](pm.ords.length)
+    var j = 0
+    while (j < pm.ords.length) {
+      out(j) = pm.ords(j) match {
+        case 0 => id
+        case 1 => info.version
+        case 2 => info.tsMicros
+        case 3 => info.changeset
+        case 4 => info.uid
+        case 5 => info.user
+        case 6 => UnsafeArrayData.fromPrimitiveArray(refs)
+        case 7 => mapData(keys, vals, ctx)
+      }
+      j += 1
+    }
+    new GenericInternalRow(out)
   }
 
   private val MemberTypes = Array("node", "way", "relation")
   private val MemberTypesU: Array[UTF8String] = MemberTypes.map(UTF8String.fromString)
 
-  private def decodeRelation(m: WireIn, ctx: BlockCtx): InternalRow = {
+  private def decodeRelation(m: WireIn, ctx: BlockCtx, pm: PbfProj): InternalRow = {
     var id = 0L
     var keys = Array.empty[Long]; var vals = Array.empty[Long]
     var roles = Array.empty[Long]; var memids = Array.empty[Long]; var types = Array.empty[Long]
-    var info = new InfoH
+    var info = EmptyInfo
     m.fields {
       case (1, 0) => id = m.varint()
-      case (2, 2) => keys = m.lenDelim().packedVarints()
-      case (3, 2) => vals = m.lenDelim().packedVarints()
-      case (4, 2) => info = decodeInfo(m.lenDelim(), ctx)
-      case (8, 2) => roles = m.lenDelim().packedVarints()
-      case (9, 2) => memids = m.lenDelim().packedZigzags()
-      case (10, 2) => types = m.lenDelim().packedVarints()
+      case (2, 2) => if (pm.needTags) keys = m.lenDelim().packedVarints() else m.skip(2)
+      case (3, 2) => if (pm.needTags) vals = m.lenDelim().packedVarints() else m.skip(2)
+      case (4, 2) => if (pm.needInfo) info = decodeInfo(m.lenDelim(), ctx) else m.skip(2)
+      case (8, 2) => if (pm.needBody) roles = m.lenDelim().packedVarints() else m.skip(2)
+      case (9, 2) => if (pm.needBody) memids = m.lenDelim().packedZigzags() else m.skip(2)
+      case (10, 2) => if (pm.needBody) types = m.lenDelim().packedVarints() else m.skip(2)
       case (_, wire) => m.skip(wire)
     }
-    var acc = 0L
-    val members = new Array[Any](memids.length)
-    var i = 0
-    while (i < memids.length) {
-      acc += memids(i)
-      members(i) = new GenericInternalRow(Array[Any](
-        MemberTypesU(types(i).toInt), acc, ctx.strings(roles(i).toInt)))
-      i += 1
+    val out = new Array[Any](pm.ords.length)
+    var j = 0
+    while (j < pm.ords.length) {
+      out(j) = pm.ords(j) match {
+        case 0 => id
+        case 1 => info.version
+        case 2 => info.tsMicros
+        case 3 => info.changeset
+        case 4 => info.uid
+        case 5 => info.user
+        case 6 =>
+          var acc = 0L
+          val members = new Array[Any](memids.length)
+          var i = 0
+          while (i < memids.length) {
+            acc += memids(i)
+            members(i) = new GenericInternalRow(Array[Any](
+              MemberTypesU(types(i).toInt), acc, ctx.strings(roles(i).toInt)))
+            i += 1
+          }
+          new GenericArrayData(members)
+        case 7 => mapData(keys, vals, ctx)
+      }
+      j += 1
     }
-    new GenericInternalRow(Array[Any](id, info.version, info.tsMicros, info.changeset,
-      info.uid, info.user, new GenericArrayData(members), mapData(keys, vals, ctx)))
+    new GenericInternalRow(out)
   }
 
   // ---- distributed scans ---------------------------------------------------

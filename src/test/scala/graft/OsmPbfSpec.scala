@@ -146,6 +146,34 @@ class OsmPbfSpec extends SparkSpecBase {
       s"expected a named pbf/EOF error, got $e")
   }
 
+  test("DataSource V2: spark.read.format(osmpbf), column pruning reaches the scan") {
+    val path = tmp("dsv2.osm.pbf")
+    OsmPbf.writePlanet(planet, path)
+    val df = spark.read.format("osmpbf").load(path)
+    assert(df.count() === 2000)
+    assert(df.schema === graft.io.OsmXml.nodeSchema)
+    // pruned projection: the V2 scan's readSchema must carry ONLY the
+    // required columns (the decode then skips tags/info/stringtable wire
+    // sections for them — OsmPbf.PbfProj)
+    val pruned = df.select(col("id"), col("lon"), col("lat"))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a V2 BatchScan")
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("id", "lon", "lat"))
+    // pruned values equal the full library scan's
+    val a = pruned.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val b = OsmPbf.nodes(spark, path).select(col("id"), col("lon"), col("lat"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(a === b)
+    // element option + tag map through SQL on the full read
+    assert(spark.read.format("osmpbf").option("element", "ways").load(path).count() === 300)
+    val brew = df.filter(element_at(col("tags"), "craft") === "brewery").count()
+    val brewLib = OsmPbf.nodes(spark, path)
+      .filter(element_at(col("tags"), "craft") === "brewery").count()
+    assert(brew === brewLib && brew > 0)
+  }
+
   test("PbfIngestJob: pbf planet -> resumable snapshot parquet; rerun is a no-op") {
     val pbf = tmp("ingest.osm.pbf")
     OsmPbf.writePlanet(planet, pbf)
