@@ -562,11 +562,19 @@ object OsmPbf {
           // materialized per task (a planet-scale partition can hold
           // thousands of blobs = millions of rows — buffering the whole
           // partition would OOM the executor). One stream is open at a
-          // time; it closes on file change and when the last blob drains.
+          // time; it closes on file change and when the last blob drains —
+          // and on task completion for consumers that stop early (limit,
+          // take), which never exhaust the iterator.
           private var i = 0
           private var cur: Iterator[InternalRow] = Iterator.empty
           private var in: org.apache.hadoop.fs.FSDataInputStream = null
           private var inFile: String = null
+          locally {
+            val tc = org.apache.spark.TaskContext.get()
+            if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+              if (in != null) { in.close(); in = null }
+            }
+          }
           private def advance(): Unit = {
             while (!cur.hasNext && i < refs.length) {
               val (file, off, size) = refs(i); i += 1

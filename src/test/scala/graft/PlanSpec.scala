@@ -70,6 +70,22 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"broadcast plan must not shuffle points:\n${plan.take(2000)}")
   }
 
+  test("regionRates plan: one exchange (the windowed agg), none on the enrich path") {
+    val imgs = spark.read.parquet(s"$dir/imgs")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
+        org.apache.spark.sql.functions.lit(1704067200L)))
+    val polys = spark.read.parquet(s"$dir/polys")
+    val rates = graft.streaming.Streams.regionRates(imgs, "ts", "lon", "lat",
+      polys, "polygon_id", "ring", windowLen = "1 hour", delay = "0 seconds")
+    val plan = rates.queryExecution.executedPlan.toString
+    assert(plan.contains("rtree_probe"), plan.take(2000))
+    // exactly the aggregation's exchange: the broadcast enrichment itself
+    // must add NO shuffle of the point side
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges === 1, s"expected only the groupBy exchange:\n${plan.take(2500)}")
+  }
+
   test("exact embedding near-dup plan has no cartesian/broadcast-nested-loop join") {
     import spark.implicits._
     val emb = (0 until 200).map(i =>
