@@ -168,6 +168,64 @@ object OsmPbf {
     } finally in.close()
   }
 
+  /** Per-blob statistics sidecar (written beside the file as `<path>.idx`):
+    * the PBF format has no row-group metadata, so the writer records what
+    * parquet footers would — per-blob element kind, id range and (for
+    * nodes) bbox — letting scans skip whole blobs at PLANNING time for
+    * kind mismatches and pushed id/bbox predicates. Foreign files without
+    * a sidecar fall back to the header-only [[blockIndex]] (no skipping).
+    * Staleness-guarded: the sidecar records the data-file length it was
+    * written for and is ignored on mismatch.
+    */
+  case class IdxEntry(kind: Char, offset: Long, size: Int,
+                      minId: Long, maxId: Long,
+                      minLon: Double, minLat: Double, maxLon: Double, maxLat: Double)
+
+  def readIndex(path: String, conf: Configuration = new Configuration()): Option[Seq[IdxEntry]] = {
+    val p = new Path(path + ".idx")
+    val fp = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    try {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+      try {
+        val head = in.readLine()
+        val parts = if (head == null) Array.empty[String] else head.split(" ")
+        if (parts.length != 3 || parts(0) != "pbfidx" || parts(1) != "v1" ||
+            parts(2).toLong != fs.getFileStatus(fp).getLen) return None
+        val entries = mutable.ArrayBuffer.empty[IdxEntry]
+        var line = in.readLine()
+        while (line != null) {
+          val f = line.split(" ")
+          entries += IdxEntry(f(0).charAt(0), f(1).toLong, f(2).toInt,
+            f(3).toLong, f(4).toLong,
+            f(5).toDouble, f(6).toDouble, f(7).toDouble, f(8).toDouble)
+          line = in.readLine()
+        }
+        Some(entries.toSeq)
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** OSMData blob refs of one file for one element class. With a valid
+    * sidecar, kind-mismatched blobs and blobs failing `keep` (the pushed-
+    * predicate stats test) are skipped at PLANNING time — never read,
+    * never inflated; without one, every data blob is scanned (the decode
+    * still skips foreign groups at the tag level).
+    */
+  def dataBlobs(file: String, conf: Configuration, want: Int,
+                keep: IdxEntry => Boolean = _ => true): Seq[(String, Long, Int)] = {
+    val kindChar = "nwr".charAt(want)
+    readIndex(file, conf) match {
+      case Some(entries) =>
+        entries.filter(e => e.kind == kindChar && keep(e))
+          .map(e => (file, e.offset, e.size))
+      case None =>
+        blockIndex(file, conf).filter(_.kind == "OSMData")
+          .map(b => (file, b.offset, b.size))
+    }
+  }
+
   /** Blob → decompressed block payload (raw or zlib). */
   def decodeBlob(blob: Array[Byte]): Array[Byte] = {
     var raw: Array[Byte] = null
@@ -548,9 +606,8 @@ object OsmPbf {
   private def scan(spark: SparkSession, path: String, want: Int,
                    schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val blocks: Seq[(String, Long, Int)] = expandPaths(path, conf).flatMap { f =>
-      blockIndex(f, conf).filter(_.kind == "OSMData").map(b => (f, b.offset, b.size))
-    }
+    val blocks: Seq[(String, Long, Int)] =
+      expandPaths(path, conf).flatMap(f => dataBlobs(f, conf, want))
     val slices = math.max(1, math.min(blocks.size, spark.sparkContext.defaultParallelism * 2))
     val rdd = spark.sparkContext
       .parallelize(blocks, slices)
@@ -659,7 +716,10 @@ object OsmPbf {
     }
   }
 
-  private def writeBlob(out: java.io.OutputStream, kind: String, block: WireOut): Unit = {
+  /** @return (BlobHeader length, Blob length) — the caller tracks offsets
+    * as pos + 4 + hLen (blob start) and advances pos by 4 + hLen + bLen.
+    */
+  private def writeBlob(out: java.io.OutputStream, kind: String, block: WireOut): (Int, Int) = {
     val payload = block.toBytes
     val deflater = new Deflater()
     deflater.setInput(payload); deflater.finish()
@@ -681,6 +741,7 @@ object OsmPbf {
       (hBytes.length >>> 8).toByte, hBytes.length.toByte))
     out.write(hBytes)
     out.write(blobBytes)
+    (hBytes.length, blobBytes.length)
   }
 
   private def infoMessage(st: StringTable, version: Integer, ts: java.sql.Timestamp,
@@ -717,6 +778,8 @@ object OsmPbf {
     val hp = new Path(path)
     val fs = hp.getFileSystem(new Configuration())
     val out = new java.io.BufferedOutputStream(fs.create(hp, true))
+    var pos = 0L
+    val idx = mutable.ArrayBuffer.empty[IdxEntry]
     try {
       // header block
       val hb = new WireOut
@@ -731,7 +794,7 @@ object OsmPbf {
       hb.string(4, "OsmSchema-V0.6")
       hb.string(4, "DenseNodes")
       hb.string(16, "goosmspark")
-      writeBlob(out, "OSMHeader", hb)
+      locally { val (h, b) = writeBlob(out, "OSMHeader", hb); pos += 4L + h + b }
 
       def fullInfo(r: Row) = !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3) &&
         !r.isNullAt(4) && !r.isNullAt(5)
@@ -740,6 +803,16 @@ object OsmPbf {
 
       nodeRows.grouped(math.max(1, blockElems)).foreach { chunk =>
         nN += chunk.length
+        var mnLon = Double.MaxValue; var mnLat = Double.MaxValue
+        var mxLon = Double.MinValue; var mxLat = Double.MinValue
+        chunk.foreach { r =>
+          // the same quantized value the reader decodes, so stats bounds
+          // are exact against decoded rows
+          val lo = nanoDeg(Math.round(r.getDouble(6) * 1e7) * 100L)
+          val la = nanoDeg(Math.round(r.getDouble(7) * 1e7) * 100L)
+          if (lo < mnLon) mnLon = lo; if (lo > mxLon) mxLon = lo
+          if (la < mnLat) mnLat = la; if (la > mxLat) mxLat = la
+        }
         val st = new StringTable
         val dense = chunk.forall(fullInfo) || chunk.forall(noInfo)
         val group = new WireOut
@@ -807,7 +880,12 @@ object OsmPbf {
             group.message(1, n)
           }
         }
-        writeBlock(out, st, group)
+        locally {
+          val (h, b) = writeBlock(out, st, group)
+          idx += IdxEntry('n', pos + 4L + h, b, chunk.head.getLong(0), chunk.last.getLong(0),
+            mnLon, mnLat, mxLon, mxLat)
+          pos += 4L + h + b
+        }
       }
 
       wayRows.grouped(math.max(1, blockElems)).foreach { chunk =>
@@ -830,7 +908,12 @@ object OsmPbf {
           wmsg.packedZigzags(8, refs.map { v => val d = v - prev; prev = v; d })
           group.message(3, wmsg)
         }
-        writeBlock(out, st, group)
+        locally {
+          val (h, b) = writeBlock(out, st, group)
+          idx += IdxEntry('w', pos + 4L + h, b, chunk.head.getLong(0), chunk.last.getLong(0),
+            Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+          pos += 4L + h + b
+        }
       }
 
       relRows.grouped(math.max(1, blockElems)).foreach { chunk =>
@@ -857,9 +940,23 @@ object OsmPbf {
           rm.packedVarints(10, members.map(m => MemberTypes.indexOf(m.getString(0)).toLong))
           group.message(4, rm)
         }
-        writeBlock(out, st, group)
+        locally {
+          val (h, b) = writeBlock(out, st, group)
+          idx += IdxEntry('r', pos + 4L + h, b, chunk.head.getLong(0), chunk.last.getLong(0),
+            Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+          pos += 4L + h + b
+        }
       }
     } finally out.close()
+    locally {
+      val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        fs.create(new Path(path + ".idx"), true), "UTF-8"))
+      try {
+        w.println(s"pbfidx v1 $pos")
+        idx.foreach(e => w.println(s"${e.kind} ${e.offset} ${e.size} ${e.minId} ${e.maxId} " +
+          s"${e.minLon} ${e.minLat} ${e.maxLon} ${e.maxLat}"))
+      } finally w.close()
+    }
     (nN, nW, nR)
   }
 
@@ -868,7 +965,7 @@ object OsmPbf {
     * repeated fields (1 = plain nodes, 2 = dense, 3 = ways, 4 = relations);
     * here it gets wrapped as the block's field-2 group message.
     */
-  private def writeBlock(out: java.io.OutputStream, st: StringTable, group: WireOut): Unit = {
+  private def writeBlock(out: java.io.OutputStream, st: StringTable, group: WireOut): (Int, Int) = {
     val block = new WireOut
     block.message(1, st.toMessage)
     block.message(2, group)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -31,7 +31,12 @@ import graft.io.{OsmPbf, OsmXml}
   *    [[OsmPbf.PbfProj]] skips whole protobuf sections for pruned columns —
   *    an `id, lon, lat` projection never walks keys_vals, never builds a
   *    tag map, never delta-decodes DenseInfo, and never materializes the
-  *    block string table.
+  *    block string table;
+  *  - **predicate pushdown prunes whole blobs**: `SupportsPushDownFilters`
+  *    tests id/lon/lat range predicates against the writer's per-blob
+  *    stats sidecar ([[OsmPbf.IdxEntry]], parquet-row-group semantics —
+  *    superset-safe skip at planning time, filters re-evaluated per row),
+  *    so a bbox extract over a planet touches only matching blobs.
   */
 class OsmPbfDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "osmpbf"
@@ -70,37 +75,96 @@ class OsmPbfTable(path: String, element: String, tableSchema: StructType)
 }
 
 class OsmPbfScanBuilder(path: String, element: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new OsmPbfScan(path, element, full, required)
+  /** id/lon/lat range predicates prune whole blobs against the sidecar's
+    * per-blob stats (parquet row-group semantics: the skip is superset-
+    * safe, so EVERY filter is also returned as residual for Spark to
+    * re-evaluate row-by-row).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(OsmPbfScan.supported)
+    filters // all residual — blob skipping is stats-based, not exact
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new OsmPbfScan(path, element, full, required, pushed)
 }
 
-class OsmPbfScan(path: String, element: String, full: StructType, required: StructType)
-    extends Scan with Batch {
+object OsmPbfScan {
+  private val Attrs = Set("id", "lon", "lat")
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, v: Number) => Attrs(a) && (v ne null)
+    case GreaterThan(a, v: Number) => Attrs(a) && (v ne null)
+    case GreaterThanOrEqual(a, v: Number) => Attrs(a) && (v ne null)
+    case LessThan(a, v: Number) => Attrs(a) && (v ne null)
+    case LessThanOrEqual(a, v: Number) => Attrs(a) && (v ne null)
+    case And(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+  /** conjunctive closed bounds per attribute (both < and <= widen to <=:
+    * stats skipping only needs soundness, not tightness)
+    */
+  def bounds(filters: Array[Filter]): Map[String, (Double, Double)] = {
+    val acc = scala.collection.mutable.Map[String, (Double, Double)]()
+    def narrow(a: String, lo: Double, hi: Double): Unit = {
+      val (l0, h0) = acc.getOrElse(a, (Double.NegativeInfinity, Double.PositiveInfinity))
+      acc(a) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(a, v: Number) => narrow(a, v.doubleValue(), v.doubleValue())
+      case GreaterThan(a, v: Number) => narrow(a, v.doubleValue(), Double.PositiveInfinity)
+      case GreaterThanOrEqual(a, v: Number) => narrow(a, v.doubleValue(), Double.PositiveInfinity)
+      case LessThan(a, v: Number) => narrow(a, Double.NegativeInfinity, v.doubleValue())
+      case LessThanOrEqual(a, v: Number) => narrow(a, Double.NegativeInfinity, v.doubleValue())
+      case And(l, r) => walk(l); walk(r)
+      case _ =>
+    }
+    filters.foreach(walk)
+    acc.toMap
+  }
+}
+
+class OsmPbfScan(path: String, element: String, full: StructType, required: StructType,
+                 pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"osmpbf $element ${required.fieldNames.mkString("[", ",", "]")} $path"
+    s"osmpbf $element ${required.fieldNames.mkString("[", ",", "]")}" +
+      s"${if (pushed.nonEmpty) pushed.mkString(" pushed:[", ",", "]") else ""} $path"
+
+  private def want: Int = element match {
+    case "nodes" => 0
+    case "ways" => 1
+    case "relations" => 2
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
-    val blobs: Seq[(String, Long, Int)] = OsmPbf.expandPaths(path, conf).flatMap { f =>
-      OsmPbf.blockIndex(f, conf).filter(_.kind == "OSMData").map(b => (f, b.offset, b.size))
+    val b = OsmPbfScan.bounds(pushed)
+    val keep: OsmPbf.IdxEntry => Boolean = { e =>
+      def hit(attr: String, mn: Double, mx: Double): Boolean = b.get(attr) match {
+        // NaN stats (ways/relations carry no bbox) must KEEP the blob —
+        // pruning is only sound when real bounds prove emptiness
+        case Some((lo, hi)) => mn.isNaN || mx.isNaN || (mx >= lo && mn <= hi)
+        case None => true
+      }
+      (b.get("id") match {
+        case Some((lo, hi)) => e.maxId.toDouble >= lo && e.minId.toDouble <= hi
+        case None => true
+      }) && hit("lon", e.minLon, e.maxLon) && hit("lat", e.minLat, e.maxLat)
     }
+    val blobs: Seq[(String, Long, Int)] = OsmPbf.expandPaths(path, conf)
+      .flatMap(f => OsmPbf.dataBlobs(f, conf, want, keep))
     val nParts = math.max(1, math.min(blobs.size, spark.sparkContext.defaultParallelism * 2))
     val per = math.max(1, (blobs.size + nParts - 1) / nParts)
     blobs.grouped(per).map(g => PbfInputPartition(g.toArray): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val want = element match {
-      case "nodes" => 0
-      case "ways" => 1
-      case "relations" => 2
-    }
     // required-schema fields resolved to full-schema ordinals BY NAME on
     // the driver; the factory ships only primitives
     val ords = required.fieldNames.map(full.fieldIndex)

@@ -174,6 +174,57 @@ class OsmPbfSpec extends SparkSpecBase {
     assert(brew === brewLib && brew > 0)
   }
 
+  private def batchScans(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+
+  test("sidecar stats prune blobs for pushed id and bbox predicates") {
+    import scala.jdk.CollectionConverters._
+    // two spatial bands in id order -> id-ordered blobs are spatially pure
+    val rows = (1 to 400).map { i =>
+      val south = i <= 200
+      org.apache.spark.sql.Row(i.toLong, null, null, null, null, null,
+        -77.0 + i * 1e-4, if (south) -40.0 + i * 1e-4 else 40.0 + i * 1e-4,
+        Map.empty[String, String])
+    }
+    val p = OsmXml.Planet(
+      spark.createDataFrame(rows.asJava, OsmXml.nodeSchema),
+      spark.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava, OsmXml.waySchema),
+      spark.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava, OsmXml.relationSchema),
+      None)
+    val path = tmp("banded.osm.pbf")
+    OsmPbf.writePlanet(p, path, blockElems = 50) // 8 blobs: 4 south, 4 north
+    assert(OsmPbf.readIndex(path).map(_.count(_.kind == 'n')) === Some(8))
+
+    val df = spark.read.format("osmpbf").load(path)
+    def plannedParts(d: org.apache.spark.sql.DataFrame): Int = {
+      val s = batchScans(d); assert(s.nonEmpty); s.head.inputRDD.getNumPartitions
+    }
+    val all = df.select(col("id"), col("lat"))
+    // bbox predicate: only the 4 southern blobs survive planning
+    val south = df.filter(col("lat") < 0.0).select(col("id"), col("lat"))
+    assert(plannedParts(south) < plannedParts(all),
+      s"expected blob pruning: ${plannedParts(south)} vs ${plannedParts(all)}")
+    assert(south.count() === 200)
+    // id range: one blob
+    val one = df.filter(col("id") <= 50L)
+    assert(plannedParts(one) === 1)
+    assert(one.count() === 50)
+    // results equal the unpruned scan + filter
+    val a = south.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = all.filter(col("lat") < 0.0).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a === b)
+    // STALE sidecar (recorded length mismatched) is ignored, scan falls
+    // back to the block index and stays correct
+    val idxPath = java.nio.file.Paths.get(path + ".idx")
+    val lines = java.nio.file.Files.readAllLines(idxPath).asScala.toSeq
+    java.nio.file.Files.write(idxPath,
+      (("pbfidx v1 1" +: lines.tail): Seq[String]).asJava)
+    assert(OsmPbf.readIndex(path) === None)
+    assert(spark.read.format("osmpbf").load(path).filter(col("lat") < 0.0).count() === 200)
+  }
+
   test("PbfIngestJob: pbf planet -> resumable snapshot parquet; rerun is a no-op") {
     val pbf = tmp("ingest.osm.pbf")
     OsmPbf.writePlanet(planet, pbf)
