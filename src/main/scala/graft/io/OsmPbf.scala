@@ -666,14 +666,20 @@ object OsmPbf {
     * independent lazy scans — an element class nobody consumes is never
     * decoded (F7 pruning at plan level).
     */
-  def readPlanet(spark: SparkSession, path: String): OsmXml.Planet = {
+  def readPlanet(spark: SparkSession, path: String): OsmXml.Planet =
+    OsmXml.Planet(nodes(spark, path), ways(spark, path), relations(spark, path),
+      readBounds(spark, path))
+
+  /** The OSMHeader bbox. Multi-file input: bounds come from the FIRST
+    * file's header (extract parts each carry their own bbox; a merged
+    * global bbox would claim coverage the union may not have — callers
+    * recompute via OsmOps.bounds).
+    */
+  def readBounds(spark: SparkSession, path: String): Option[(Double, Double, Double, Double)] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    // multi-file input: bounds come from the FIRST file's header (extract
-    // parts each carry their own bbox; a merged global bbox would claim
-    // coverage the union may not have — callers recompute via OsmOps.bounds)
     val first = expandPaths(path, conf).head
     val header = blockIndex(first, conf).find(_.kind == "OSMHeader")
-    val bounds = header.flatMap { h =>
+    header.flatMap { h =>
       val p = new Path(first)
       val fs = p.getFileSystem(conf)
       val in = fs.open(p)
@@ -700,7 +706,6 @@ object OsmPbf {
         bbox
       } finally in.close()
     }
-    OsmXml.Planet(nodes(spark, path), ways(spark, path), relations(spark, path), bounds)
   }
 
   // ---- writer --------------------------------------------------------------

@@ -233,7 +233,15 @@ object Pipeline {
     val osmLike = in.uri.endsWith(".osm") || in.uri.endsWith(".osm.gz") ||
       in.uri.endsWith(".osm.bz2")
     val raw: OsmXml.Planet =
-      if (in.uri.endsWith(".osm.pbf")) graft.io.OsmPbf.readPlanet(spark, in.uri)
+      if (in.uri.endsWith(".osm.pbf"))
+        // through the V2 source (not the library scan): the pipeline's
+        // scan-time bbox/id filters then push down into BLOB pruning
+        // against the stats sidecar, and column pruning reaches the wire
+        OsmXml.Planet(
+          spark.read.format("osmpbf").load(in.uri),
+          spark.read.format("osmpbf").option("element", "ways").load(in.uri),
+          spark.read.format("osmpbf").option("element", "relations").load(in.uri),
+          graft.io.OsmPbf.readBounds(spark, in.uri))
       else if (osmLike) OsmXml.readPlanet(spark, in.uri)
       else {
         def readClass(name: String, schema: org.apache.spark.sql.types.StructType,

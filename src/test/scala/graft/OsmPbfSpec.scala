@@ -254,11 +254,15 @@ class OsmPbfSpec extends SparkSpecBase {
     }
     // identical filter from the PBF and the XML input must write
     // byte-identical XML (timestamps dropped: PBF is second-granularity,
-    // XML preserves the fixture's millis)
+    // XML preserves the fixture's millis). The -bbox rides the PBF path's
+    // V2 source, where it pushes down into blob pruning against the
+    // sidecar — same rows either way.
     val outA = tmp("a.osm"); val outB = tmp("b.osm")
     cli("-input_uri", pbfIn, "-filter_keys_keep", "craft",
+      "-bbox", "-77.2,38.7,-76.95,39.1",
       "-drop", "relations,timestamp", "-output_uri", outA)
     cli("-input_uri", xmlIn, "-filter_keys_keep", "craft",
+      "-bbox", "-77.2,38.7,-76.95,39.1",
       "-drop", "relations,timestamp", "-output_uri", outB)
     val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(outA))
     val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(outB))
@@ -266,6 +270,7 @@ class OsmPbfSpec extends SparkSpecBase {
     // pbf as an OUTPUT format: write through the pipeline sink, read back
     val outP = tmp("out.osm.pbf")
     cli("-input_uri", xmlIn, "-filter_keys_keep", "craft",
+      "-bbox", "-77.2,38.7,-76.95,39.1",
       "-drop", "relations,timestamp", "-output_uri", outP, "-output_format", "pbf")
     val back = OsmPbf.readPlanet(spark, outP)
     val viaXml = OsmXml.readPlanet(spark, outA)
