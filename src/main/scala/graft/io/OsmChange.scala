@@ -1,0 +1,153 @@
+package graft.io
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** OsmChange (`.osc` / `.osc.gz`) support — the OSM ecosystem's diff
+  * format (minutely/hourly/daily planet replication), which the reference
+  * does not touch at all (its only input is a full `.osm` snapshot). This
+  * is the incremental path a 100 TB pipeline actually runs: ingest the
+  * planet once ([[OsmPbf]] → snapshot parquet), then merge small `.osc`
+  * diffs instead of re-reading the world.
+  *
+  * Format (public OsmChange spec): `<osmChange>` containing `<create>`,
+  * `<modify>`, `<delete>` sections, each holding plain `node`/`way`/
+  * `relation` elements in [[OsmXml]]'s shapes. Codec parity with OsmXml:
+  * same StAX tolerance for unknown attributes/elements, same `.gz`
+  * transparency, same schemas plus a leading `op` column and a document-
+  * order `ord` for last-occurrence-wins semantics.
+  */
+object OsmChange {
+
+  private def withMeta(schema: StructType): StructType =
+    StructType(
+      StructField("op", StringType, false) +:
+      StructField("ord", LongType, false) +: schema.fields)
+
+  val nodeChangeSchema: StructType = withMeta(OsmXml.nodeSchema)
+  val wayChangeSchema: StructType = withMeta(OsmXml.waySchema)
+  val relationChangeSchema: StructType = withMeta(OsmXml.relationSchema)
+
+  /** One change file's element frames (op ∈ create|modify|delete, ord =
+    * document order). Driver-side StAX parse like [[OsmXml.readPlanet]] —
+    * change files are diffs, small by construction.
+    */
+  def read(spark: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
+    val f = XMLInputFactory.newInstance()
+    val r = f.createXMLStreamReader(OsmXml.openIn(path))
+    val nodes = mutable.ArrayBuffer.empty[Row]
+    val ways = mutable.ArrayBuffer.empty[Row]
+    val rels = mutable.ArrayBuffer.empty[Row]
+
+    var op: String = null
+    var ord = 0L
+    var curKind: String = null
+    var attrs: Map[String, String] = Map.empty
+    var tags = mutable.LinkedHashMap.empty[String, String]
+    var refs = mutable.ArrayBuffer.empty[Long]
+    var members = mutable.ArrayBuffer.empty[Row]
+
+    def attr(name: String): Option[String] = attrs.get(name)
+    def parseTs(s: String): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.OffsetDateTime.parse(s).toInstant)
+    def finishElement(): Unit = {
+      val id = attr("id").map(_.toLong).getOrElse(0L)
+      val version = attr("version").map(v => java.lang.Integer.valueOf(v.toInt)).orNull
+      val ts = attr("timestamp").map(parseTs).orNull
+      val cs = attr("changeset").map(v => java.lang.Long.valueOf(v.toLong)).orNull
+      val uid = attr("uid").map(v => java.lang.Long.valueOf(v.toLong)).orNull
+      val user = attr("user").orNull
+      curKind match {
+        case "node" =>
+          nodes += Row(op, ord, id, version, ts, cs, uid, user,
+            attr("lon").map(_.toDouble).getOrElse(0.0),
+            attr("lat").map(_.toDouble).getOrElse(0.0), tags.toMap)
+        case "way" =>
+          ways += Row(op, ord, id, version, ts, cs, uid, user, refs.toSeq, tags.toMap)
+        case "relation" =>
+          rels += Row(op, ord, id, version, ts, cs, uid, user, members.toSeq, tags.toMap)
+        case _ =>
+      }
+      ord += 1
+      curKind = null
+    }
+
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          val name = r.getLocalName
+          def readAttrs(): Map[String, String] =
+            (0 until r.getAttributeCount)
+              .map(i => r.getAttributeLocalName(i) -> r.getAttributeValue(i)).toMap
+          name match {
+            case "create" | "modify" | "delete" => op = name
+            case "node" | "way" | "relation" if op != null =>
+              curKind = name; attrs = readAttrs()
+              tags = mutable.LinkedHashMap.empty; refs = mutable.ArrayBuffer.empty
+              members = mutable.ArrayBuffer.empty
+            case "tag" if curKind != null =>
+              val a = readAttrs(); tags += (a.getOrElse("k", "") -> a.getOrElse("v", ""))
+            case "nd" if curKind == "way" =>
+              readAttrs().get("ref").foreach(v => refs += v.toLong)
+            case "member" if curKind == "relation" =>
+              val a = readAttrs()
+              members += Row(a.getOrElse("type", ""),
+                a.get("ref").map(_.toLong).getOrElse(0L), a.getOrElse("role", ""))
+            case _ => // unknown: ignored, OsmXml-style
+          }
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "create" | "modify" | "delete" => op = null
+            case n if curKind != null && n == curKind => finishElement()
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    import scala.jdk.CollectionConverters._
+    (spark.createDataFrame(nodes.asJava, nodeChangeSchema),
+      spark.createDataFrame(ways.asJava, wayChangeSchema),
+      spark.createDataFrame(rels.asJava, relationChangeSchema))
+  }
+
+  /** Last occurrence (document order) per id — osmosis semantics when an
+    * element appears several times in one change stream.
+    */
+  private def lastPerId(change: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("ord").desc)
+    change.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** CDC merge of one element class: `delete` removes the id, `create`/
+    * `modify` upsert the new row. One anti-join (touched ids out) + one
+    * union (surviving upserts in) — the change side of a daily diff is
+    * ~10^5 rows against a 10^9-row planet, so Catalyst broadcasts it and
+    * the planet is never shuffled.
+    */
+  def applyClass(base: DataFrame, change: DataFrame): DataFrame = {
+    val last = lastPerId(change)
+    val touched = last.select(col("id"))
+    val upserts = last.filter(col("op") =!= "delete").drop("op", "ord")
+    base.join(touched, Seq("id"), "left_anti").unionByName(upserts)
+  }
+
+  /** Apply a change file to a planet. Bounds are dropped (a diff can move
+    * them arbitrarily; recompute via `OsmOps.bounds` when needed).
+    */
+  def applyChange(planet: OsmXml.Planet, spark: SparkSession, path: String): OsmXml.Planet = {
+    val (cn, cw, cr) = read(spark, path)
+    OsmXml.Planet(
+      applyClass(planet.nodes, cn),
+      applyClass(planet.ways, cw),
+      applyClass(planet.relations, cr),
+      None)
+  }
+}

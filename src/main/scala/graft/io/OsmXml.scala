@@ -70,7 +70,7 @@ object OsmXml {
     * box; s3a with hadoop-aws + SDK jars deployed — not bundled in this
     * sandbox, see COVERAGE.md §S3).
     */
-  private def openIn(path: String) = {
+  private[io] def openIn(path: String) = {
     val raw: java.io.InputStream =
       if (path == "stdin" || path == "-") System.in
       else if (path.startsWith("http://") || path.startsWith("https://"))

@@ -114,24 +114,53 @@ object SpatialJoinJob {
   * committed partition; re-running over the same input is a no-op.
   */
 object PbfIngestJob {
-  def run(spark: SparkSession, in: String, out: String, cellZ: Int = 3): (Long, Long, Long) = {
-    val planet = graft.io.OsmPbf.readPlanet(spark, in)
+  /** Commit a planet's three frames as resumable snapshot tables (nodes by
+    * coarse spatial cell, ways/relations by id block) — shared by the
+    * initial ingest and [[ApplyChangeJob]]'s merged planet.
+    */
+  def commitPlanet(planet: graft.io.OsmXml.Planet, out: String, cellZ: Int,
+                   operator: String, upstream: Seq[String]): (Long, Long, Long) = {
     val n = SnapshotTable.commit(Jobs.partitionKey(planet.nodes, cellZ),
-      s"$out/nodes", "part_cell", "pbf-ingest:nodes", Seq(in)).totalRows
+      s"$out/nodes", "part_cell", s"$operator:nodes", upstream).totalRows
     def idPart(df: DataFrame) =
       df.withColumn("part", pmod(col("id"), lit(64L)).cast("string"))
     val w = SnapshotTable.commit(idPart(planet.ways),
-      s"$out/ways", "part", "pbf-ingest:ways", Seq(in)).totalRows
+      s"$out/ways", "part", s"$operator:ways", upstream).totalRows
     val r = SnapshotTable.commit(idPart(planet.relations),
-      s"$out/relations", "part", "pbf-ingest:relations", Seq(in)).totalRows
+      s"$out/relations", "part", s"$operator:relations", upstream).totalRows
     (n, w, r)
   }
+  def run(spark: SparkSession, in: String, out: String, cellZ: Int = 3): (Long, Long, Long) =
+    commitPlanet(graft.io.OsmPbf.readPlanet(spark, in), out, cellZ, "pbf-ingest", Seq(in))
   def main(args: Array[String]): Unit = {
     val Array(in, out) = args.take(2)
     val cellZ = args.lift(2).map(_.toInt).getOrElse(3)
     val spark = Jobs.session("graft-pbf-ingest")
     val (n, w, r) = run(spark, in, out, cellZ)
     println(s"""{"job": "pbf_ingest", "nodes": $n, "ways": $w, "relations": $r}""")
+    spark.stop()
+  }
+}
+
+/** Incremental planet update — the replication path the reference lacks
+  * entirely: `ApplyChangeJob <planetPbf> <diff.osc[,diff2.osc…]> <outRoot>
+  * [cellZ]` merges OsmChange diffs into the planet (CDC: delete removes,
+  * create/modify upsert, last occurrence wins) and commits the result as
+  * a fresh snapshot planet. Diffs apply in argument order.
+  */
+object ApplyChangeJob {
+  def run(spark: SparkSession, planetPbf: String, oscs: Seq[String], out: String,
+          cellZ: Int = 3): (Long, Long, Long) = {
+    var planet = graft.io.OsmPbf.readPlanet(spark, planetPbf)
+    oscs.foreach(o => planet = graft.io.OsmChange.applyChange(planet, spark, o))
+    PbfIngestJob.commitPlanet(planet, out, cellZ, "apply-change", planetPbf +: oscs)
+  }
+  def main(args: Array[String]): Unit = {
+    val Array(in, oscArg, out) = args.take(3)
+    val cellZ = args.lift(3).map(_.toInt).getOrElse(3)
+    val spark = Jobs.session("graft-apply-change")
+    val (n, w, r) = run(spark, in, oscArg.split(",").toSeq.filter(_.nonEmpty), out, cellZ)
+    println(s"""{"job": "apply_change", "nodes": $n, "ways": $w, "relations": $r}""")
     spark.stop()
   }
 }
