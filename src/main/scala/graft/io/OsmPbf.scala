@@ -762,6 +762,184 @@ object OsmPbf {
       Some(w)
     }
 
+  private def fullInfoRow(r: Row): Boolean = !r.isNullAt(1) && !r.isNullAt(2) &&
+    !r.isNullAt(3) && !r.isNullAt(4) && !r.isNullAt(5)
+  private def noInfoRow(r: Row): Boolean = r.isNullAt(1) && r.isNullAt(2) &&
+    r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)
+
+  /** Encode + frame one node chunk (dense when info is uniform); appends
+    * the blob's stats entry and returns the new file position.
+    */
+  private def writeNodeChunk(out: java.io.OutputStream, chunk: Seq[Row], pos: Long,
+                             idx: mutable.Buffer[IdxEntry]): Long = {
+    var mnLon = Double.MaxValue; var mnLat = Double.MaxValue
+    var mxLon = Double.MinValue; var mxLat = Double.MinValue
+    chunk.foreach { r =>
+      // the same quantized value the reader decodes, so stats bounds
+      // are exact against decoded rows
+      val lo = nanoDeg(Math.round(r.getDouble(6) * 1e7) * 100L)
+      val la = nanoDeg(Math.round(r.getDouble(7) * 1e7) * 100L)
+      if (lo < mnLon) mnLon = lo; if (lo > mxLon) mxLon = lo
+      if (la < mnLat) mnLat = la; if (la > mxLat) mxLat = la
+    }
+    val st = new StringTable
+    val dense = chunk.forall(fullInfoRow) || chunk.forall(noInfoRow)
+    val group = new WireOut
+    if (dense) {
+      val dn = new WireOut
+      var prevId = 0L; var prevLat = 0L; var prevLon = 0L
+      val ids = mutable.ArrayBuffer.empty[Long]
+      val lats = mutable.ArrayBuffer.empty[Long]
+      val lons = mutable.ArrayBuffer.empty[Long]
+      val kvs = mutable.ArrayBuffer.empty[Long]
+      val vsn = mutable.ArrayBuffer.empty[Long]
+      val tss = mutable.ArrayBuffer.empty[Long]
+      val css = mutable.ArrayBuffer.empty[Long]
+      val uids = mutable.ArrayBuffer.empty[Long]
+      val sids = mutable.ArrayBuffer.empty[Long]
+      var pTs = 0L; var pCs = 0L; var pUid = 0L; var pSid = 0L
+      val withInfo = chunk.nonEmpty && fullInfoRow(chunk.head)
+      chunk.foreach { r =>
+        val id = r.getLong(0)
+        val latRaw = Math.round(r.getDouble(7) * 1e7)
+        val lonRaw = Math.round(r.getDouble(6) * 1e7)
+        ids += id - prevId; lats += latRaw - prevLat; lons += lonRaw - prevLon
+        prevId = id; prevLat = latRaw; prevLon = lonRaw
+        r.getMap[String, String](8).foreach { case (k, v) =>
+          kvs += st.id(k).toLong; kvs += st.id(v).toLong
+        }
+        kvs += 0L
+        if (withInfo) {
+          vsn += r.getInt(1).toLong
+          val tsec = Math.floorDiv(r.getTimestamp(2).getTime, 1000L)
+          tss += tsec - pTs; pTs = tsec
+          val c = r.getLong(3); css += c - pCs; pCs = c
+          val u = r.getLong(4); uids += u - pUid; pUid = u
+          val s = st.id(r.getString(5)).toLong; sids += s - pSid; pSid = s
+        }
+      }
+      dn.packedZigzags(1, ids)
+      if (withInfo) {
+        val di = new WireOut
+        di.packedVarints(1, vsn)
+        di.packedZigzags(2, tss)
+        di.packedZigzags(3, css)
+        di.packedZigzags(4, uids)
+        di.packedZigzags(5, sids)
+        dn.message(5, di)
+      }
+      dn.packedZigzags(8, lats)
+      dn.packedZigzags(9, lons)
+      dn.packedVarints(10, kvs)
+      group.message(2, dn)
+    } else {
+      chunk.foreach { r =>
+        val n = new WireOut
+        n.key(1, 0); n.zigzag(r.getLong(0))
+        val tags = r.getMap[String, String](8)
+        n.packedVarints(2, tags.keys.map(st.id(_).toLong))
+        n.packedVarints(3, tags.values.map(st.id(_).toLong))
+        infoMessage(st, if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1)),
+          if (r.isNullAt(2)) null else r.getTimestamp(2),
+          if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
+          if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)),
+          if (r.isNullAt(5)) null else r.getString(5)).foreach(n.message(4, _))
+        n.key(8, 0); n.zigzag(Math.round(r.getDouble(7) * 1e7))
+        n.key(9, 0); n.zigzag(Math.round(r.getDouble(6) * 1e7))
+        group.message(1, n)
+      }
+    }
+    val (h, b) = writeBlock(out, st, group)
+    idx += IdxEntry('n', pos + 4L + h, b, chunk.head.getLong(0), chunk.last.getLong(0),
+      mnLon, mnLat, mxLon, mxLat)
+    pos + 4L + h + b
+  }
+
+  private def writeWayChunk(out: java.io.OutputStream, chunk: Seq[Row], pos: Long,
+                            idx: mutable.Buffer[IdxEntry]): Long = {
+    val st = new StringTable
+    val group = new WireOut
+    chunk.foreach { r =>
+      val wmsg = new WireOut
+      wmsg.key(1, 0); wmsg.varint(r.getLong(0))
+      val tags = r.getMap[String, String](7)
+      wmsg.packedVarints(2, tags.keys.map(st.id(_).toLong))
+      wmsg.packedVarints(3, tags.values.map(st.id(_).toLong))
+      infoMessage(st, if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1)),
+        if (r.isNullAt(2)) null else r.getTimestamp(2),
+        if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
+        if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)),
+        if (r.isNullAt(5)) null else r.getString(5)).foreach(wmsg.message(4, _))
+      val refs = r.getSeq[Long](6)
+      var prev = 0L
+      wmsg.packedZigzags(8, refs.map { v => val d = v - prev; prev = v; d })
+      group.message(3, wmsg)
+    }
+    val (h, b) = writeBlock(out, st, group)
+    idx += IdxEntry('w', pos + 4L + h, b, chunk.head.getLong(0), chunk.last.getLong(0),
+      Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+    pos + 4L + h + b
+  }
+
+  private def writeRelChunk(out: java.io.OutputStream, chunk: Seq[Row], pos: Long,
+                            idx: mutable.Buffer[IdxEntry]): Long = {
+    val st = new StringTable
+    val group = new WireOut
+    chunk.foreach { r =>
+      val rm = new WireOut
+      rm.key(1, 0); rm.varint(r.getLong(0))
+      val tags = r.getMap[String, String](7)
+      rm.packedVarints(2, tags.keys.map(st.id(_).toLong))
+      rm.packedVarints(3, tags.values.map(st.id(_).toLong))
+      infoMessage(st, if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1)),
+        if (r.isNullAt(2)) null else r.getTimestamp(2),
+        if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
+        if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)),
+        if (r.isNullAt(5)) null else r.getString(5)).foreach(rm.message(4, _))
+      val members = r.getSeq[Row](6)
+      rm.packedVarints(8, members.map(m => st.id(m.getString(2)).toLong))
+      var prev = 0L
+      rm.packedZigzags(9, members.map { m =>
+        val v = m.getLong(1); val d = v - prev; prev = v; d
+      })
+      rm.packedVarints(10, members.map(m => MemberTypes.indexOf(m.getString(0)).toLong))
+      group.message(4, rm)
+    }
+    val (h, b) = writeBlock(out, st, group)
+    idx += IdxEntry('r', pos + 4L + h, b, chunk.head.getLong(0), chunk.last.getLong(0),
+      Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+    pos + 4L + h + b
+  }
+
+  private def writeHeaderBlob(out: java.io.OutputStream,
+                              bounds: Option[(Double, Double, Double, Double)]): Long = {
+    val hb = new WireOut
+    bounds.foreach { case (minLon, minLat, maxLon, maxLat) =>
+      val bb = new WireOut
+      bb.key(1, 0); bb.zigzag(Math.round(minLon * 1e9))
+      bb.key(2, 0); bb.zigzag(Math.round(maxLon * 1e9))
+      bb.key(3, 0); bb.zigzag(Math.round(maxLat * 1e9))
+      bb.key(4, 0); bb.zigzag(Math.round(minLat * 1e9))
+      hb.message(1, bb)
+    }
+    hb.string(4, "OsmSchema-V0.6")
+    hb.string(4, "DenseNodes")
+    hb.string(16, "goosmspark")
+    val (h, b) = writeBlob(out, "OSMHeader", hb)
+    4L + h + b
+  }
+
+  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                           fileLen: Long, idx: Seq[IdxEntry]): Unit = {
+    val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      fs.create(new Path(path + ".idx"), true), "UTF-8"))
+    try {
+      w.println(s"pbfidx v1 $fileLen")
+      idx.foreach(e => w.println(s"${e.kind} ${e.offset} ${e.size} ${e.minId} ${e.maxId} " +
+        s"${e.minLon} ${e.minLat} ${e.maxLon} ${e.maxLat}"))
+    } finally w.close()
+  }
+
   /** Write a planet to `.osm.pbf` (driver-side single-file sink, like
     * [[OsmXml.writePlanet]] — but STREAMING: `toLocalIterator` pulls one
     * partition at a time, so driver memory is bounded by a partition + one
@@ -786,183 +964,73 @@ object OsmPbf {
     var pos = 0L
     val idx = mutable.ArrayBuffer.empty[IdxEntry]
     try {
-      // header block
-      val hb = new WireOut
-      p.bounds.foreach { case (minLon, minLat, maxLon, maxLat) =>
-        val bb = new WireOut
-        bb.key(1, 0); bb.zigzag(Math.round(minLon * 1e9))
-        bb.key(2, 0); bb.zigzag(Math.round(maxLon * 1e9))
-        bb.key(3, 0); bb.zigzag(Math.round(maxLat * 1e9))
-        bb.key(4, 0); bb.zigzag(Math.round(minLat * 1e9))
-        hb.message(1, bb)
-      }
-      hb.string(4, "OsmSchema-V0.6")
-      hb.string(4, "DenseNodes")
-      hb.string(16, "goosmspark")
-      locally { val (h, b) = writeBlob(out, "OSMHeader", hb); pos += 4L + h + b }
+      pos += writeHeaderBlob(out, p.bounds)
+      val g = math.max(1, blockElems)
+      nodeRows.grouped(g).foreach { c => nN += c.length; pos = writeNodeChunk(out, c, pos, idx) }
+      wayRows.grouped(g).foreach { c => nW += c.length; pos = writeWayChunk(out, c, pos, idx) }
+      relRows.grouped(g).foreach { c => nR += c.length; pos = writeRelChunk(out, c, pos, idx) }
+    } finally out.close()
+    writeSidecar(fs, path, pos, idx.toSeq)
+    (nN, nW, nR)
+  }
 
-      def fullInfo(r: Row) = !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3) &&
-        !r.isNullAt(4) && !r.isNullAt(5)
-      def noInfo(r: Row) = r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) &&
-        r.isNullAt(4) && r.isNullAt(5)
-
-      nodeRows.grouped(math.max(1, blockElems)).foreach { chunk =>
-        nN += chunk.length
-        var mnLon = Double.MaxValue; var mnLat = Double.MaxValue
-        var mxLon = Double.MinValue; var mxLat = Double.MinValue
-        chunk.foreach { r =>
-          // the same quantized value the reader decodes, so stats bounds
-          // are exact against decoded rows
-          val lo = nanoDeg(Math.round(r.getDouble(6) * 1e7) * 100L)
-          val la = nanoDeg(Math.round(r.getDouble(7) * 1e7) * 100L)
-          if (lo < mnLon) mnLon = lo; if (lo > mxLon) mxLon = lo
-          if (la < mnLat) mnLat = la; if (la > mxLat) mxLat = la
-        }
-        val st = new StringTable
-        val dense = chunk.forall(fullInfo) || chunk.forall(noInfo)
-        val group = new WireOut
-        if (dense) {
-          val dn = new WireOut
-          var prevId = 0L; var prevLat = 0L; var prevLon = 0L
-          val ids = mutable.ArrayBuffer.empty[Long]
-          val lats = mutable.ArrayBuffer.empty[Long]
-          val lons = mutable.ArrayBuffer.empty[Long]
-          val kvs = mutable.ArrayBuffer.empty[Long]
-          val vsn = mutable.ArrayBuffer.empty[Long]
-          val tss = mutable.ArrayBuffer.empty[Long]
-          val css = mutable.ArrayBuffer.empty[Long]
-          val uids = mutable.ArrayBuffer.empty[Long]
-          val sids = mutable.ArrayBuffer.empty[Long]
-          var pTs = 0L; var pCs = 0L; var pUid = 0L; var pSid = 0L
-          val withInfo = chunk.nonEmpty && fullInfo(chunk.head)
-          chunk.foreach { r =>
-            val id = r.getLong(0)
-            val latRaw = Math.round(r.getDouble(7) * 1e7)
-            val lonRaw = Math.round(r.getDouble(6) * 1e7)
-            ids += id - prevId; lats += latRaw - prevLat; lons += lonRaw - prevLon
-            prevId = id; prevLat = latRaw; prevLon = lonRaw
-            r.getMap[String, String](8).foreach { case (k, v) =>
-              kvs += st.id(k).toLong; kvs += st.id(v).toLong
-            }
-            kvs += 0L
-            if (withInfo) {
-              vsn += r.getInt(1).toLong
-              val t = Math.floorDiv(r.getTimestamp(2).getTime, 1000L)
-              tss += t - pTs; pTs = t
-              val c = r.getLong(3); css += c - pCs; pCs = c
-              val u = r.getLong(4); uids += u - pUid; pUid = u
-              val s = st.id(r.getString(5)).toLong; sids += s - pSid; pSid = s
-            }
-          }
-          dn.packedZigzags(1, ids)
-          if (withInfo) {
-            val di = new WireOut
-            di.packedVarints(1, vsn)
-            di.packedZigzags(2, tss)
-            di.packedZigzags(3, css)
-            di.packedZigzags(4, uids)
-            di.packedZigzags(5, sids)
-            dn.message(5, di)
-          }
-          dn.packedZigzags(8, lats)
-          dn.packedZigzags(9, lons)
-          dn.packedVarints(10, kvs)
-          group.message(2, dn)
-        } else {
-          chunk.foreach { r =>
-            val n = new WireOut
-            n.key(1, 0); n.zigzag(r.getLong(0))
-            val tags = r.getMap[String, String](8)
-            n.packedVarints(2, tags.keys.map(st.id(_).toLong))
-            n.packedVarints(3, tags.values.map(st.id(_).toLong))
-            infoMessage(st, if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1)),
-              if (r.isNullAt(2)) null else r.getTimestamp(2),
-              if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
-              if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)),
-              if (r.isNullAt(5)) null else r.getString(5)).foreach(n.message(4, _))
-            n.key(8, 0); n.zigzag(Math.round(r.getDouble(7) * 1e7))
-            n.key(9, 0); n.zigzag(Math.round(r.getDouble(6) * 1e7))
-            group.message(1, n)
-          }
-        }
-        locally {
-          val (h, b) = writeBlock(out, st, group)
-          idx += IdxEntry('n', pos + 4L + h, b, chunk.head.getLong(0), chunk.last.getLong(0),
-            mnLon, mnLat, mxLon, mxLat)
-          pos += 4L + h + b
-        }
-      }
-
-      wayRows.grouped(math.max(1, blockElems)).foreach { chunk =>
-        nW += chunk.length
-        val st = new StringTable
-        val group = new WireOut
-        chunk.foreach { r =>
-          val wmsg = new WireOut
-          wmsg.key(1, 0); wmsg.varint(r.getLong(0))
-          val tags = r.getMap[String, String](7)
-          wmsg.packedVarints(2, tags.keys.map(st.id(_).toLong))
-          wmsg.packedVarints(3, tags.values.map(st.id(_).toLong))
-          infoMessage(st, if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1)),
-            if (r.isNullAt(2)) null else r.getTimestamp(2),
-            if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
-            if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)),
-            if (r.isNullAt(5)) null else r.getString(5)).foreach(wmsg.message(4, _))
-          val refs = r.getSeq[Long](6)
-          var prev = 0L
-          wmsg.packedZigzags(8, refs.map { v => val d = v - prev; prev = v; d })
-          group.message(3, wmsg)
-        }
-        locally {
-          val (h, b) = writeBlock(out, st, group)
-          idx += IdxEntry('w', pos + 4L + h, b, chunk.head.getLong(0), chunk.last.getLong(0),
-            Double.NaN, Double.NaN, Double.NaN, Double.NaN)
-          pos += 4L + h + b
-        }
-      }
-
-      relRows.grouped(math.max(1, blockElems)).foreach { chunk =>
-        nR += chunk.length
-        val st = new StringTable
-        val group = new WireOut
-        chunk.foreach { r =>
-          val rm = new WireOut
-          rm.key(1, 0); rm.varint(r.getLong(0))
-          val tags = r.getMap[String, String](7)
-          rm.packedVarints(2, tags.keys.map(st.id(_).toLong))
-          rm.packedVarints(3, tags.values.map(st.id(_).toLong))
-          infoMessage(st, if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1)),
-            if (r.isNullAt(2)) null else r.getTimestamp(2),
-            if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
-            if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)),
-            if (r.isNullAt(5)) null else r.getString(5)).foreach(rm.message(4, _))
-          val members = r.getSeq[Row](6)
-          rm.packedVarints(8, members.map(m => st.id(m.getString(2)).toLong))
-          var prev = 0L
-          rm.packedZigzags(9, members.map { m =>
-            val v = m.getLong(1); val d = v - prev; prev = v; d
-          })
-          rm.packedVarints(10, members.map(m => MemberTypes.indexOf(m.getString(0)).toLong))
-          group.message(4, rm)
-        }
-        locally {
-          val (h, b) = writeBlock(out, st, group)
-          idx += IdxEntry('r', pos + 4L + h, b, chunk.head.getLong(0), chunk.last.getLong(0),
-            Double.NaN, Double.NaN, Double.NaN, Double.NaN)
-          pos += 4L + h + b
+  /** One element class's rows → a self-contained `.osm.pbf` part file
+    * (header + class blobs + stats sidecar), written to `path + ".inprogress"`
+    * and renamed on success so task retries never leave torn files.
+    * Runs ANYWHERE — this is the executor-side kernel of
+    * [[writePlanetParts]]. Returns the row count.
+    */
+  def writeClassFile(path: String, kind: Char, rows: Iterator[Row],
+                     blockElems: Int, conf: Configuration): Long = {
+    val finalP = new Path(path)
+    val fs = finalP.getFileSystem(conf)
+    val tmpP = new Path(path + ".inprogress")
+    val out = new java.io.BufferedOutputStream(fs.create(tmpP, true))
+    var pos = 0L
+    var count = 0L
+    val idx = mutable.ArrayBuffer.empty[IdxEntry]
+    try {
+      pos += writeHeaderBlob(out, None)
+      rows.grouped(math.max(1, blockElems)).foreach { c =>
+        count += c.length
+        pos = kind match {
+          case 'n' => writeNodeChunk(out, c, pos, idx)
+          case 'w' => writeWayChunk(out, c, pos, idx)
+          case 'r' => writeRelChunk(out, c, pos, idx)
         }
       }
     } finally out.close()
-    locally {
-      val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-        fs.create(new Path(path + ".idx"), true), "UTF-8"))
-      try {
-        w.println(s"pbfidx v1 $pos")
-        idx.foreach(e => w.println(s"${e.kind} ${e.offset} ${e.size} ${e.minId} ${e.maxId} " +
-          s"${e.minLon} ${e.minLat} ${e.maxLon} ${e.maxLat}"))
-      } finally w.close()
-    }
-    (nN, nW, nR)
+    fs.delete(finalP, false)
+    require(fs.rename(tmpP, finalP), s"pbf: rename failed for $path")
+    writeSidecar(fs, path, pos, idx.toSeq)
+    count
+  }
+
+  /** DISTRIBUTED sink: each partition writes its own self-contained part
+    * file (`part-<class>-<n>.osm.pbf` + stats sidecar) in parallel — no
+    * driver bottleneck, unlike the single-file [[writePlanet]] whose
+    * encode is one thread. Rows are range-partitioned and sorted by id,
+    * so every part's blobs carry tight id stats and the directory reads
+    * back through the multi-file scan ([[expandPaths]] accepts the
+    * directory directly, and part sidecars drive blob pruning).
+    */
+  def writePlanetParts(p: OsmXml.Planet, dir: String, blockElems: Int = 8000,
+                       partsPerClass: Int = 0): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val spark = p.nodes.sparkSession
+    val parts =
+      if (partsPerClass > 0) partsPerClass
+      else math.max(1, spark.sparkContext.defaultParallelism)
+    val dp = new Path(dir)
+    dp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dp)
+    def one(df: DataFrame, kind: Char, name: String): Long =
+      df.repartitionByRange(parts, col("id")).sortWithinPartitions("id")
+        .rdd.mapPartitionsWithIndex { (pid, it) =>
+          if (!it.hasNext) Iterator.single(0L)
+          else Iterator.single(writeClassFile(
+            f"$dir/part-$name-$pid%05d.osm.pbf", kind, it, blockElems, new Configuration()))
+        }.sum().toLong
+    (one(p.nodes, 'n', "nodes"), one(p.ways, 'w', "ways"), one(p.relations, 'r', "relations"))
   }
 
   /** Assemble stringtable + one PrimitiveGroup into a PrimitiveBlock and

@@ -225,6 +225,30 @@ class OsmPbfSpec extends SparkSpecBase {
     assert(spark.read.format("osmpbf").load(path).filter(col("lat") < 0.0).count() === 200)
   }
 
+  test("distributed part sink: parallel part files read back whole with pruning sidecars") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pbf_dist").toString + "/parts"
+    val (n, w, r) = OsmPbf.writePlanetParts(planet, dir, blockElems = 100, partsPerClass = 6)
+    assert((n, w, r) === ((2000L, 300L, 30L)))
+    // several self-contained parts per class, each with its own sidecar
+    val files = new java.io.File(dir).list().toSeq
+    assert(files.count(f => f.startsWith("part-nodes-") && f.endsWith(".osm.pbf")) > 1)
+    assert(files.count(_.endsWith(".osm.pbf.idx")) ===
+      files.count(_.endsWith(".osm.pbf")), "every part carries a sidecar")
+    assert(!files.exists(_.endsWith(".inprogress")), "no torn files")
+    // the directory reads back as one planet, equal to the single-file path
+    val single = tmp("single.osm.pbf")
+    OsmPbf.writePlanet(planet, single)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("lon"), col("lat"), col("user"), tagStr)
+      .collect().map(_.toString).toSet
+    assert(key(OsmPbf.nodes(spark, dir)) === key(OsmPbf.nodes(spark, single)))
+    assert(OsmPbf.ways(spark, dir).count() === 300)
+    assert(OsmPbf.relations(spark, dir).count() === 30)
+    // pushed predicates prune across part sidecars too
+    val pruned = spark.read.format("osmpbf").load(dir).filter(col("id") <= 10L)
+    assert(pruned.count() === 10)
+  }
+
   test("PbfIngestJob: pbf planet -> resumable snapshot parquet; rerun is a no-op") {
     val pbf = tmp("ingest.osm.pbf")
     OsmPbf.writePlanet(planet, pbf)
