@@ -92,7 +92,7 @@ for job, _ in JOBS:
 # emb_pairs replication/shuffle isolation leg. One rep: these exist to
 # attribute the end-to-end numbers, not to be one.
 DEDUPE_STAGES = ["dedupe_sig", "dedupe_cand", "dedupe_verify"]
-for job in DEDUPE_STAGES + ["emb_repl", "pbf_kernel", "pbf_pruned"]:
+for job in DEDUPE_STAGES + ["emb_repl", "pbf_kernel", "pbf_pruned", "pbf_write"]:
     for cpus in (8, 32):
         # min-of-2: a single rep's host noise can make a cumulative-prefix
         # MARGINAL go negative (observed on the CC stage)
@@ -385,6 +385,13 @@ lines += [
     f" column pruning SKIPS the tags/info/stringtable wire sections):"
     f" {pp8:.2f} s @8 vs {pp32:.2f} s @32 ({pbf_rows/pp32/1e6:.0f}M nodes/s @32,"
     f" {ps8/pp8:.1f}× the full-schema scan @8).",
+    f"- distributed part sink (decode → range shuffle → parallel"
+    f" encode+deflate → part files): {res[('pbf_write', 8)]['sec']:.1f} s @8 vs"
+    f" {res[('pbf_write', 32)]['sec']:.1f} s @32"
+    f" ({pbf_rows/res[('pbf_write', 32)]['sec']/1e6:.1f}M nodes/s @32) — the"
+    " encoder is the cost (string table + deflate per part), and every"
+    " partition encodes its own part with zero coordination, so the sink"
+    " multiplies out with executors.",
     f"- InternalRow emit minus that kernel: ({ps8:.2f}−{pk8:.2f}) /"
     f" ({ps32:.2f}−{pk32:.2f}) s → efficiency **{pbf_emit_eff:.3f}** —"
     " allocation-bound, the same row-materialization floor every"

@@ -103,6 +103,25 @@ object BenchScaling {
       .collect()(0).getLong(0)
   }
 
+  /** Planet re-encode: decode the 160M-node planet, range-shuffle by id,
+    * and write it back through the DISTRIBUTED part sink (every partition
+    * encodes + deflates its own part file in parallel). End-to-end
+    * read-shuffle-write — the ingest-side counterpart of pbf_scan.
+    */
+  def pbfWriteJob(s: SparkSession): Long = {
+    val outDir = s"$dataDir/pbf_rewrite"
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val empty = (sch: org.apache.spark.sql.types.StructType) => s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+    val (n, _, _) = graft.io.OsmPbf.writePlanetParts(
+      graft.io.OsmXml.Planet(
+        graft.io.OsmPbf.nodes(s, s"$dataDir/planet.osm.pbf"),
+        empty(graft.io.OsmXml.waySchema), empty(graft.io.OsmXml.relationSchema), None),
+      outDir)
+    n
+  }
+
   /** Kernel half of [[pbfScanJob]]: same blobs, same zlib inflate, same
     * varint/zigzag/delta decode of every dense array — but NO row
     * materialization (ids are summed straight off the packed arrays).
@@ -508,6 +527,7 @@ object BenchScaling {
         case "pbf_scan" => pbfScanJob
         case "pbf_kernel" => pbfKernelJob
         case "pbf_pruned" => pbfPrunedJob
+        case "pbf_write" => pbfWriteJob
         case "decode" => decodeJob
         case "decode_row" => decodeRowJob
         case "decode_scan" => decodeScanJob
