@@ -177,7 +177,7 @@ object OsmPbf {
     * Staleness-guarded: the sidecar records the data-file length it was
     * written for and is ignored on mismatch.
     */
-  case class IdxEntry(kind: Char, offset: Long, size: Int,
+  case class IdxEntry(kind: Char, offset: Long, size: Int, count: Long,
                       minId: Long, maxId: Long,
                       minLon: Double, minLat: Double, maxLon: Double, maxLat: Double)
 
@@ -191,15 +191,15 @@ object OsmPbf {
       try {
         val head = in.readLine()
         val parts = if (head == null) Array.empty[String] else head.split(" ")
-        if (parts.length != 3 || parts(0) != "pbfidx" || parts(1) != "v1" ||
+        if (parts.length != 3 || parts(0) != "pbfidx" || parts(1) != "v2" ||
             parts(2).toLong != fs.getFileStatus(fp).getLen) return None
         val entries = mutable.ArrayBuffer.empty[IdxEntry]
         var line = in.readLine()
         while (line != null) {
           val f = line.split(" ")
-          entries += IdxEntry(f(0).charAt(0), f(1).toLong, f(2).toInt,
-            f(3).toLong, f(4).toLong,
-            f(5).toDouble, f(6).toDouble, f(7).toDouble, f(8).toDouble)
+          entries += IdxEntry(f(0).charAt(0), f(1).toLong, f(2).toInt, f(3).toLong,
+            f(4).toLong, f(5).toLong,
+            f(6).toDouble, f(7).toDouble, f(8).toDouble, f(9).toDouble)
           line = in.readLine()
         }
         Some(entries.toSeq)
@@ -850,8 +850,8 @@ object OsmPbf {
       }
     }
     val (h, b) = writeBlock(out, st, group)
-    idx += IdxEntry('n', pos + 4L + h, b, chunk.head.getLong(0), chunk.last.getLong(0),
-      mnLon, mnLat, mxLon, mxLat)
+    idx += IdxEntry('n', pos + 4L + h, b, chunk.length.toLong,
+      chunk.head.getLong(0), chunk.last.getLong(0), mnLon, mnLat, mxLon, mxLat)
     pos + 4L + h + b
   }
 
@@ -876,7 +876,8 @@ object OsmPbf {
       group.message(3, wmsg)
     }
     val (h, b) = writeBlock(out, st, group)
-    idx += IdxEntry('w', pos + 4L + h, b, chunk.head.getLong(0), chunk.last.getLong(0),
+    idx += IdxEntry('w', pos + 4L + h, b, chunk.length.toLong,
+      chunk.head.getLong(0), chunk.last.getLong(0),
       Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     pos + 4L + h + b
   }
@@ -906,7 +907,8 @@ object OsmPbf {
       group.message(4, rm)
     }
     val (h, b) = writeBlock(out, st, group)
-    idx += IdxEntry('r', pos + 4L + h, b, chunk.head.getLong(0), chunk.last.getLong(0),
+    idx += IdxEntry('r', pos + 4L + h, b, chunk.length.toLong,
+      chunk.head.getLong(0), chunk.last.getLong(0),
       Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     pos + 4L + h + b
   }
@@ -934,9 +936,9 @@ object OsmPbf {
     val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
       fs.create(new Path(path + ".idx"), true), "UTF-8"))
     try {
-      w.println(s"pbfidx v1 $fileLen")
-      idx.foreach(e => w.println(s"${e.kind} ${e.offset} ${e.size} ${e.minId} ${e.maxId} " +
-        s"${e.minLon} ${e.minLat} ${e.maxLon} ${e.maxLat}"))
+      w.println(s"pbfidx v2 $fileLen")
+      idx.foreach(e => w.println(s"${e.kind} ${e.offset} ${e.size} ${e.count} " +
+        s"${e.minId} ${e.maxId} ${e.minLon} ${e.minLat} ${e.maxLon} ${e.maxLat}"))
     } finally w.close()
   }
 

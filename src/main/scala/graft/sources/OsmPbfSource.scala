@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.io.{OsmPbf, OsmXml}
@@ -75,9 +76,11 @@ class OsmPbfTable(path: String, element: String, tableSchema: StructType)
 }
 
 class OsmPbfScanBuilder(path: String, element: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var countFromStats: Option[Long] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   /** id/lon/lat range predicates prune whole blobs against the sidecar's
@@ -90,10 +93,70 @@ class OsmPbfScanBuilder(path: String, element: String, full: StructType)
     filters // all residual — blob skipping is stats-based, not exact
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new OsmPbfScan(path, element, full, required, pushed)
+
+  /** COUNT(*) with no grouping and NO filters answers straight from the
+    * stats sidecars — a metadata-only planet count, like parquet's
+    * row-count optimization. (Filtered queries never reach aggregate
+    * pushdown here: every filter is kept as residual, and Spark only
+    * pushes aggregates below fully-pushed filters.) Requires a valid
+    * sidecar on EVERY matched file; otherwise declined.
+    */
+  private def statsCount(agg: Aggregation): Option[Long] = {
+    val shapeOk = pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+    if (!shapeOk) return None
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val kindChar = "nwr".charAt(OsmPbfScan.wantOf(element))
+    val perFile = OsmPbf.expandPaths(path, conf)
+      .map(f => OsmPbf.readIndex(f, conf).map(_.filter(_.kind == kindChar).map(_.count).sum))
+    if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    countFromStats = statsCount(agg)
+    countFromStats.isDefined
+  }
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    countFromStats = statsCount(agg)
+    countFromStats.isDefined
+  }
+  override def build(): Scan = countFromStats match {
+    case Some(n) => new OsmPbfCountScan(path, element, n)
+    case None => new OsmPbfScan(path, element, full, required, pushed)
+  }
+}
+
+/** Metadata-only COUNT(*): one partition, one row, zero blobs read. */
+class OsmPbfCountScan(path: String, element: String, count: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count_star", LongType, false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"osmpbf $element COUNT(*)=$count from sidecar $path"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PbfCountPartition(count))
+  override def createReaderFactory(): PartitionReaderFactory = PbfCountReaderFactory()
+}
+
+case class PbfCountPartition(count: Long) extends InputPartition
+
+case class PbfCountReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private val n = partition.asInstanceOf[PbfCountPartition].count
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](n))
+      override def close(): Unit = ()
+    }
 }
 
 object OsmPbfScan {
+  def wantOf(element: String): Int = element match {
+    case "nodes" => 0
+    case "ways" => 1
+    case "relations" => 2
+  }
   private val Attrs = Set("id", "lon", "lat")
   def supported(f: Filter): Boolean = f match {
     case EqualTo(a, v: Number) => Attrs(a) && (v ne null)
@@ -128,22 +191,21 @@ object OsmPbfScan {
 }
 
 class OsmPbfScan(path: String, element: String, full: StructType, required: StructType,
-                 pushed: Array[Filter]) extends Scan with Batch {
+                 pushed: Array[Filter]) extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"osmpbf $element ${required.fieldNames.mkString("[", ",", "]")}" +
       s"${if (pushed.nonEmpty) pushed.mkString(" pushed:[", ",", "]") else ""} $path"
 
-  private def want: Int = element match {
-    case "nodes" => 0
-    case "ways" => 1
-    case "relations" => 2
-  }
+  private def want: Int = OsmPbfScan.wantOf(element)
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val conf = spark.sparkContext.hadoopConfiguration
+  /** Blobs surviving filter pruning, plus their exact row count when every
+    * matched file carries a sidecar (an upper bound under pushed filters —
+    * blob stats keep superset blobs; used for planner ESTIMATES only).
+    */
+  private lazy val planning: (Seq[(String, Long, Int)], Option[Long]) = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val b = OsmPbfScan.bounds(pushed)
     val keep: OsmPbf.IdxEntry => Boolean = { e =>
       def hit(attr: String, mn: Double, mx: Double): Boolean = b.get(attr) match {
@@ -157,8 +219,39 @@ class OsmPbfScan(path: String, element: String, full: StructType, required: Stru
         case None => true
       }) && hit("lon", e.minLon, e.maxLon) && hit("lat", e.minLat, e.maxLat)
     }
-    val blobs: Seq[(String, Long, Int)] = OsmPbf.expandPaths(path, conf)
-      .flatMap(f => OsmPbf.dataBlobs(f, conf, want, keep))
+    val kindChar = "nwr".charAt(want)
+    var rowsKnown = true
+    var rows = 0L
+    val blobs = OsmPbf.expandPaths(path, conf).flatMap { f =>
+      OsmPbf.readIndex(f, conf) match {
+        case Some(entries) =>
+          val kept = entries.filter(e => e.kind == kindChar && keep(e))
+          rows += kept.map(_.count).sum
+          kept.map(e => (f, e.offset, e.size))
+        case None =>
+          rowsKnown = false
+          OsmPbf.blockIndex(f, conf).filter(_.kind == "OSMData")
+            .map(bb => (f, bb.offset, bb.size))
+      }
+    }
+    (blobs, if (rowsKnown) Some(rows) else None)
+  }
+
+  /** Sidecar-derived planner statistics: Catalyst's join strategy (e.g.
+    * the engine's own SpatialJoin.autoJoin threshold) then sees real
+    * sizes for pbf tables instead of defaulting to "huge".
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, planning._1.map(_._3.toLong).sum))
+    override def numRows(): java.util.OptionalLong =
+      planning._2.map(java.util.OptionalLong.of)
+        .getOrElse(java.util.OptionalLong.empty())
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val blobs = planning._1
     val nParts = math.max(1, math.min(blobs.size, spark.sparkContext.defaultParallelism * 2))
     val per = math.max(1, (blobs.size + nParts - 1) / nParts)
     blobs.grouped(per).map(g => PbfInputPartition(g.toArray): InputPartition).toArray

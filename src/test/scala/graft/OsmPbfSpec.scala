@@ -225,6 +225,29 @@ class OsmPbfSpec extends SparkSpecBase {
     assert(spark.read.format("osmpbf").load(path).filter(col("lat") < 0.0).count() === 200)
   }
 
+  test("sidecar-backed COUNT(*) pushdown and planner statistics") {
+    val path = tmp("cnt.osm.pbf")
+    OsmPbf.writePlanet(planet, path)
+    val df = spark.read.format("osmpbf").load(path)
+    // count(*) with no filters answers from the sidecar: metadata only
+    val cnt = df.groupBy().count()
+    val desc = cnt.queryExecution.executedPlan.toString
+    assert(desc.contains("COUNT(*)=2000"), desc.take(1500))
+    assert(cnt.collect().head.getLong(0) === 2000L)
+    assert(df.count() === 2000L) // Dataset.count() rides the same pushdown
+    // a filtered count does NOT (blob stats are superset-safe, not exact)
+    val f = df.filter(col("id") <= 10L).groupBy().count()
+    assert(!f.queryExecution.executedPlan.toString.contains("COUNT(*)="))
+    assert(f.collect().head.getLong(0) === 10L)
+    // planner statistics come from the sidecar: sizeInBytes = compressed
+    // blob bytes (not the "assume huge" default), rowCount exact if exposed
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < (100L << 20), stats.sizeInBytes)
+    stats.rowCount.foreach(rc => assert(rc === BigInt(2000)))
+    // ways element counts independently
+    assert(spark.read.format("osmpbf").option("element", "ways").load(path).count() === 300L)
+  }
+
   test("distributed part sink: parallel part files read back whole with pruning sidecars") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pbf_dist").toString + "/parts"
     val (n, w, r) = OsmPbf.writePlanetParts(planet, dir, blockElems = 100, partsPerClass = 6)
