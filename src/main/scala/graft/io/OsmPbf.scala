@@ -117,6 +117,27 @@ object OsmPbf {
     def toBytes: Array[Byte] = out.toByteArray
   }
 
+  /** Serializable snapshot of a Hadoop configuration. Executor-side code
+    * must see the SESSION'S settings (spark.hadoop.* credentials,
+    * endpoints, filesystem tunables) — a bare `new Configuration()` on the
+    * executor silently drops them, so planning and execution could even
+    * resolve different filesystems. Hadoop's own Configuration is not
+    * Serializable; this carries the flattened key/values.
+    */
+  final class ConfBits(@transient conf0: Configuration) extends Serializable {
+    private val kv: Array[(String, String)] = {
+      val it = conf0.iterator()
+      val b = mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.toArray
+    }
+    def toConf: Configuration = {
+      val c = new Configuration(false)
+      kv.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+  }
+
   // ---- blob framing --------------------------------------------------------
 
   /** One blob's position in the file: `offset` points at the Blob message
@@ -214,15 +235,23 @@ object OsmPbf {
     * still skips foreign groups at the tag level).
     */
   def dataBlobs(file: String, conf: Configuration, want: Int,
-                keep: IdxEntry => Boolean = _ => true): Seq[(String, Long, Int)] = {
+                keep: IdxEntry => Boolean = _ => true): Seq[(String, Long, Int)] =
+    dataBlobsDetailed(file, conf, want, keep)._1
+
+  /** [[dataBlobs]] plus the kept blobs' exact row count (None when the file
+    * has no valid sidecar and the count would need a decode).
+    */
+  def dataBlobsDetailed(file: String, conf: Configuration, want: Int,
+                        keep: IdxEntry => Boolean = _ => true)
+      : (Seq[(String, Long, Int)], Option[Long]) = {
     val kindChar = "nwr".charAt(want)
     readIndex(file, conf) match {
       case Some(entries) =>
-        entries.filter(e => e.kind == kindChar && keep(e))
-          .map(e => (file, e.offset, e.size))
+        val kept = entries.filter(e => e.kind == kindChar && keep(e))
+        (kept.map(e => (file, e.offset, e.size)), Some(kept.map(_.count).sum))
       case None =>
-        blockIndex(file, conf).filter(_.kind == "OSMData")
-          .map(b => (file, b.offset, b.size))
+        (blockIndex(file, conf).filter(_.kind == "OSMData")
+          .map(b => (file, b.offset, b.size)), None)
     }
   }
 
@@ -317,9 +346,9 @@ object OsmPbf {
     val groups = mutable.ArrayBuffer.empty[WireIn]
     val top = new WireIn(payload, 0, payload.length)
     top.fields {
-      case (1, 2) => // stringtable — only strings feed tags/usernames, so a
-        // projection keeping neither skips materializing it entirely
-        if (pm.needTags || pm.needInfo) {
+      case (1, 2) => // stringtable — strings feed tags/usernames/roles, so a
+        // projection keeping none of them skips materializing it entirely
+        if (pm.needStrings) {
           val st = top.lenDelim()
           val b = mutable.ArrayBuffer.empty[UTF8String]
           st.fields {
@@ -392,6 +421,11 @@ object OsmPbf {
     val needTags: Boolean = s(tagsOrd)
     /** coords (nodes) / refs (ways) / members (relations) */
     val needBody: Boolean = s(6) || (want == NODES && s(7))
+    /** relation MEMBERS carry string roles, so a members-only projection
+      * still needs the block string table (a members+no-tags read once
+      * indexed an empty table and crashed on any role sid > 0)
+      */
+    val needStrings: Boolean = needTags || needInfo || (want == RELS && s(6))
   }
 
   private def decodePlainNode(m: WireIn, ctx: BlockCtx, pm: PbfProj): InternalRow = {
@@ -608,6 +642,7 @@ object OsmPbf {
     val conf = spark.sparkContext.hadoopConfiguration
     val blocks: Seq[(String, Long, Int)] =
       expandPaths(path, conf).flatMap(f => dataBlobs(f, conf, want))
+    val confBits = new ConfBits(conf)
     val slices = math.max(1, math.min(blocks.size, spark.sparkContext.defaultParallelism * 2))
     val rdd = spark.sparkContext
       .parallelize(blocks, slices)
@@ -638,7 +673,7 @@ object OsmPbf {
               if (in == null || inFile != file) {
                 if (in != null) in.close()
                 val p = new Path(file)
-                in = p.getFileSystem(new Configuration()).open(p)
+                in = p.getFileSystem(confBits.toConf).open(p)
                 inFile = file
               }
               val buf = new Array[Byte](size)
@@ -962,6 +997,10 @@ object OsmPbf {
 
     val hp = new Path(path)
     val fs = hp.getFileSystem(new Configuration())
+    // old sidecar out first (see writeClassFile): a reader during/after a
+    // partial rewrite must fall back to blockIndex, not pair the new bytes
+    // with stale blob offsets
+    fs.delete(new Path(path + ".idx"), false)
     val out = new java.io.BufferedOutputStream(fs.create(hp, true))
     var pos = 0L
     val idx = mutable.ArrayBuffer.empty[IdxEntry]
@@ -986,6 +1025,10 @@ object OsmPbf {
                      blockElems: Int, conf: Configuration): Long = {
     val finalP = new Path(path)
     val fs = finalP.getFileSystem(conf)
+    // drop any previous sidecar FIRST: if this write crashes after the data
+    // rename but before the new sidecar lands, readers see data-without-idx
+    // (correct blockIndex fallback), never new-data-with-old-idx
+    fs.delete(new Path(path + ".idx"), false)
     val tmpP = new Path(path + ".inprogress")
     val out = new java.io.BufferedOutputStream(fs.create(tmpP, true))
     var pos = 0L
@@ -1025,12 +1068,13 @@ object OsmPbf {
       else math.max(1, spark.sparkContext.defaultParallelism)
     val dp = new Path(dir)
     dp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dp)
+    val confBits = new ConfBits(spark.sparkContext.hadoopConfiguration)
     def one(df: DataFrame, kind: Char, name: String): Long =
       df.repartitionByRange(parts, col("id")).sortWithinPartitions("id")
         .rdd.mapPartitionsWithIndex { (pid, it) =>
           if (!it.hasNext) Iterator.single(0L)
           else Iterator.single(writeClassFile(
-            f"$dir/part-$name-$pid%05d.osm.pbf", kind, it, blockElems, new Configuration()))
+            f"$dir/part-$name-$pid%05d.osm.pbf", kind, it, blockElems, confBits.toConf))
         }.sum().toLong
     (one(p.nodes, 'n', "nodes"), one(p.ways, 'w', "ways"), one(p.relations, 'r', "relations"))
   }

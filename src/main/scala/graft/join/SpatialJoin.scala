@@ -133,8 +133,12 @@ object SpatialJoin {
         .drop(polygons(idCol))
     } else {
       val out = cellJoin(points, lonCol, latCol, polygons, ringCol, z)
-      // align with the broadcast path's schema: expose the id as polygon_id
-      if (idCol == "polygon_id") out else out.withColumnRenamed(idCol, "polygon_id")
+      // align with the broadcast path's schema: same name AND same type
+      // (the probe emits LongType; without the cast, a stats change could
+      // flip the plan and silently change the output schema)
+      val renamed =
+        if (idCol == "polygon_id") out else out.withColumnRenamed(idCol, "polygon_id")
+      renamed.withColumn("polygon_id", renamed("polygon_id").cast("long"))
     }
   }
 

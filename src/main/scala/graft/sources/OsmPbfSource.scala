@@ -56,11 +56,20 @@ class OsmPbfDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     schemaOf(element(options))
 
+  /** `load(a, b, …)` arrives as options("paths") = a JSON string array —
+    * decode it into the comma-list convention the scans already accept.
+    */
+  private def parsePaths(raw: String): String =
+    if (!raw.trim.startsWith("[")) raw
+    else "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(raw)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .mkString(",")
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val path = Option(opts.get("path")).orElse(Option(opts.get("paths"))).getOrElse(
-      throw new IllegalArgumentException("osmpbf: .load(path) is required"))
+    val path = Option(opts.get("path")).orElse(Option(opts.get("paths")).map(parsePaths))
+      .getOrElse(throw new IllegalArgumentException("osmpbf: .load(path) is required"))
     new OsmPbfTable(path, element(opts), schemaOf(element(opts)))
   }
 }
@@ -101,16 +110,21 @@ class OsmPbfScanBuilder(path: String, element: String, full: StructType)
     * pushes aggregates below fully-pushed filters.) Requires a valid
     * sidecar on EVERY matched file; otherwise declined.
     */
-  private def statsCount(agg: Aggregation): Option[Long] = {
-    val shapeOk = pushed.isEmpty && agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
-    if (!shapeOk) return None
+  /** one sidecar sweep per builder — supportCompletePushDown and
+    * pushAggregation both consult it
+    */
+  private lazy val sidecarTotal: Option[Long] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val kindChar = "nwr".charAt(OsmPbfScan.wantOf(element))
     val perFile = OsmPbf.expandPaths(path, conf)
       .map(f => OsmPbf.readIndex(f, conf).map(_.filter(_.kind == kindChar).map(_.count).sum))
     if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
+  }
+  private def statsCount(agg: Aggregation): Option[Long] = {
+    val shapeOk = pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+    if (shapeOk) sidecarTotal else None
   }
   override def supportCompletePushDown(agg: Aggregation): Boolean = {
     countFromStats = statsCount(agg)
@@ -219,20 +233,15 @@ class OsmPbfScan(path: String, element: String, full: StructType, required: Stru
         case None => true
       }) && hit("lon", e.minLon, e.maxLon) && hit("lat", e.minLat, e.maxLat)
     }
-    val kindChar = "nwr".charAt(want)
     var rowsKnown = true
     var rows = 0L
     val blobs = OsmPbf.expandPaths(path, conf).flatMap { f =>
-      OsmPbf.readIndex(f, conf) match {
-        case Some(entries) =>
-          val kept = entries.filter(e => e.kind == kindChar && keep(e))
-          rows += kept.map(_.count).sum
-          kept.map(e => (f, e.offset, e.size))
-        case None =>
-          rowsKnown = false
-          OsmPbf.blockIndex(f, conf).filter(_.kind == "OSMData")
-            .map(bb => (f, bb.offset, bb.size))
+      val (bl, cnt) = OsmPbf.dataBlobsDetailed(f, conf, want, keep)
+      cnt match {
+        case Some(c) => rows += c
+        case None => rowsKnown = false
       }
+      bl
     }
     (blobs, if (rowsKnown) Some(rows) else None)
   }
@@ -259,15 +268,17 @@ class OsmPbfScan(path: String, element: String, full: StructType, required: Stru
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // required-schema fields resolved to full-schema ordinals BY NAME on
-    // the driver; the factory ships only primitives
+    // the driver; the factory ships primitives + the session Hadoop conf
     val ords = required.fieldNames.map(full.fieldIndex)
-    PbfReaderFactory(want, ords)
+    PbfReaderFactory(want, ords,
+      new OsmPbf.ConfBits(SparkSession.active.sparkContext.hadoopConfiguration))
   }
 }
 
 case class PbfInputPartition(blobs: Array[(String, Long, Int)]) extends InputPartition
 
-case class PbfReaderFactory(want: Int, ords: Array[Int]) extends PartitionReaderFactory {
+case class PbfReaderFactory(want: Int, ords: Array[Int],
+                            confBits: OsmPbf.ConfBits) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val blobs = partition.asInstanceOf[PbfInputPartition].blobs
     new PartitionReader[InternalRow] {
@@ -283,7 +294,7 @@ case class PbfReaderFactory(want: Int, ords: Array[Int]) extends PartitionReader
           if (in == null || inFile != file) {
             if (in != null) in.close()
             val p = new org.apache.hadoop.fs.Path(file)
-            in = p.getFileSystem(new Configuration()).open(p)
+            in = p.getFileSystem(confBits.toConf).open(p)
             inFile = file
           }
           val buf = new Array[Byte](size)

@@ -38,7 +38,18 @@ object Streams {
                    delay: String): DataFrame =
     if (df.isStreaming)
       df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
-    else df.dropDuplicates(keyCols)
+    else {
+      // "first arrival" must mean the same thing a replay computes:
+      // earliest EVENT TIME per key (plain dropDuplicates keeps whichever
+      // row a partition surfaces first — nondeterministic across runs and
+      // different from the streaming semantics). Equal-timestamp
+      // duplicates are exact dupes in practice; among them the pick is
+      // arbitrary but value-identical for the dedup contract.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
 
   /** Streaming source over a parquet directory (file-arrival stream). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
@@ -82,7 +93,14 @@ object Streams {
       val t = e.ts.getTime
       cur match {
         case Some(s) if t - s.lastMs <= gapMs =>
-          (None, SessionState(s.startMs, t, s.n + 1, s.total + e.value))
+          // merge with min/max, NOT (start, t): a cross-trigger out-of-order
+          // but non-late event (t < lastMs, inside the watermark) used to
+          // REGRESS lastMs — the session could report end < start and a
+          // following event measured its gap from the stale smaller value,
+          // wrongly closing the session. Batch is (ts)-pre-sorted, so there
+          // min/max degenerates to the old behavior exactly.
+          (None, SessionState(math.min(s.startMs, t), math.max(s.lastMs, t),
+            s.n + 1, s.total + e.value))
         case Some(s) => (Some(finish(e.user_id, s)), SessionState(t, t, 1, e.value))
         case None => (None, SessionState(t, t, 1, e.value))
       }

@@ -225,6 +225,33 @@ class OsmPbfSpec extends SparkSpecBase {
     assert(spark.read.format("osmpbf").load(path).filter(col("lat") < 0.0).count() === 200)
   }
 
+  test("members-only relation projection keeps the string table (roles) — regression") {
+    val path = tmp("relproj.osm.pbf")
+    OsmPbf.writePlanet(planet, path)
+    // pruning away tags+info must NOT prune the string table member roles
+    // live in (this once indexed an empty table and crashed on sid > 0)
+    val mem = spark.read.format("osmpbf").option("element", "relations").load(path)
+      .select(col("id"), col("members"))
+    val got = mem.collect().map(r => (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1)
+      .map(m => (m.getString(0), m.getLong(1), m.getString(2))))).toMap
+    val full = OsmPbf.relations(spark, path)
+      .select(col("id"), col("members"))
+      .collect().map(r => (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1)
+        .map(m => (m.getString(0), m.getLong(1), m.getString(2))))).toMap
+    assert(got === full)
+    assert(got.values.exists(_.exists(_._3.nonEmpty)), "fixture must carry non-empty roles")
+  }
+
+  test("multi-path load(a, b) decodes Spark's JSON paths option — regression") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pbf_mp").toString
+    val a = OsmFixtures.planet(spark, nNodes = 60, nWays = 5, nRelations = 1, seed = 3L)
+    val b = OsmFixtures.planet(spark, nNodes = 40, nWays = 5, nRelations = 1, seed = 4L)
+    OsmPbf.writePlanet(a, s"$dir/a.osm.pbf")
+    OsmPbf.writePlanet(b, s"$dir/b.osm.pbf")
+    val df = spark.read.format("osmpbf").load(s"$dir/a.osm.pbf", s"$dir/b.osm.pbf")
+    assert(df.count() === 100)
+  }
+
   test("sidecar-backed COUNT(*) pushdown and planner statistics") {
     val path = tmp("cnt.osm.pbf")
     OsmPbf.writePlanet(planet, path)

@@ -70,6 +70,46 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("cross-trigger out-of-order event cannot regress the session end — regression") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Streams.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000, streaming = true)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo").start()
+    try {
+      mem.addData(Event(1L, "a", ts(8), 1.0))
+      q.processAllAvailable()
+      // an EARLIER (but in-session) event arrives in the next trigger: it
+      // must merge via min/max — the old code set lastMs = 2, making the
+      // session end precede its start and mis-measuring the next gap
+      mem.addData(Event(1L, "a", ts(2), 2.0))
+      q.processAllAvailable()
+      // ts(17) is 9 min after the TRUE last event ts(8) (within gap) but
+      // 15 min after the regressed ts(2): the buggy state closed here
+      mem.addData(Event(1L, "a", ts(17), 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_ooo").count() === 0, "session must still be open")
+      mem.addData(Event(1L, "a", ts(50), 4.0)) // real gap: closes it
+      q.processAllAvailable()
+      val closed = spark.table("sess_ooo")
+        .collect().map(s => (s.getLong(0), s.getTimestamp(1), s.getTimestamp(2), s.getInt(3)))
+      assert(closed.toSeq === Seq((1L, ts(2), ts(17), 3)),
+        "one session, start=min, end=max over all three events")
+    } finally q.stop()
+  }
+
+  test("batch dedupeStream keeps the EARLIEST event per key, deterministically") {
+    import spark.implicits._
+    val rows = Seq(
+      Event(1L, "k", ts(30), 9.0), Event(1L, "k", ts(3), 1.0), Event(1L, "k", ts(10), 5.0),
+      Event(2L, "k", ts(7), 2.0))
+      .toDF()
+    val got = Streams.dedupeStream(rows, Seq("user_id", "event_type"), "ts", "10 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getDouble(3))).toSet
+    assert(got === Set((1L, ts(3), 1.0), (2L, ts(7), 2.0)),
+      "first ARRIVAL must mean earliest event time, not partition luck")
+  }
+
   test("idle-flush sessionization is replay-deterministic (event-time timeout)") {
     implicit val sqlCtx = spark.sqlContext
     // the idle flush must be driven by the WATERMARK (event time), not the
