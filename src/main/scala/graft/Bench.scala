@@ -35,6 +35,9 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // release any internal persist before the NEXT query is timed —
+      // cached leftovers both distort later timings and pin exec memory
+      spark.catalog.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -170,14 +170,18 @@ object Dfl {
           case o => array_contains(operand(o, resolve), operand(l, resolve).cast("string"))
         }
       case "like" =>
-        (r: @unchecked) match {
+        r match {
           case Lit(s: String) if s.contains("%") => operand(l, resolve).like(s)
           case Lit(v) => operand(l, resolve) === lit(v)
+          case other => throw new IllegalArgumentException(
+            s"like: pattern must be a literal (quoted or bareword), got $other")
         }
       case "ilike" =>
-        (r: @unchecked) match {
+        r match {
           case Lit(s: String) if s.contains("%") => operand(l, resolve).ilike(s)
           case Lit(v) => lower(operand(l, resolve)) === lower(lit(v))
+          case other => throw new IllegalArgumentException(
+            s"ilike: pattern must be a literal (quoted or bareword), got $other")
         }
       case "==" | "=" => operand(l, resolve) === operand(r, resolve)
       case "!=" => operand(l, resolve) =!= operand(r, resolve)
@@ -301,16 +305,30 @@ object Dfl {
       if (c.isWhitespace) i += 1
       else if ("()[],".indexOf(c) >= 0) { out += c.toString; i += 1 }
       else if (c == '\'' || c == '"') {
-        val j = s.indexOf(c, i + 1)
-        require(j > 0, s"unterminated string at $i")
-        out += s.substring(i, j + 1); i = j + 1
+        // doubled quote = one literal quote char ('O''Brien' -> O'Brien)
+        val sb = new StringBuilder
+        sb += c
+        var j = i + 1
+        var closed = false
+        while (!closed) {
+          require(j < s.length, s"unterminated string at $i")
+          val cj = s.charAt(j)
+          if (cj == c) {
+            if (j + 1 < s.length && s.charAt(j + 1) == c) { sb += c; j += 2 }
+            else { sb += c; j += 1; closed = true }
+          } else { sb += cj; j += 1 }
+        }
+        out += sb.result(); i = j
       } else if ("<>!=".indexOf(c) >= 0) {
         val two = s.substring(i, math.min(i + 2, s.length))
         if (two == "<=" || two == ">=" || two == "==" || two == "!=") { out += two; i += 2 }
         else { out += c.toString; i += 1 }
       } else {
         var j = i
-        while (j < s.length && !s.charAt(j).isWhitespace && "()[],<>!=".indexOf(s.charAt(j)) < 0) j += 1
+        // quotes stop barewords: a mid-word quote (it's) is a syntax error,
+        // not a silent single token that can never match
+        while (j < s.length && !s.charAt(j).isWhitespace &&
+          "()[],<>!='\"".indexOf(s.charAt(j)) < 0) j += 1
         out += s.substring(i, j); i = j
       }
     }

@@ -40,7 +40,11 @@ object OsmChange {
     */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
     val f = XMLInputFactory.newInstance()
-    val r = f.createXMLStreamReader(OsmXml.openIn(path))
+    // keep the source handle: XMLStreamReader.close() does NOT close it
+    // (StAX contract), and a replay of thousands of diffs must not leak fds
+    val src = OsmXml.openIn(path)
+    try {
+      val r = f.createXMLStreamReader(src)
     val nodes = mutable.ArrayBuffer.empty[Row]
     val ways = mutable.ArrayBuffer.empty[Row]
     val rels = mutable.ArrayBuffer.empty[Row]
@@ -110,11 +114,12 @@ object OsmChange {
         case _ =>
       }
     }
-    r.close()
-    import scala.jdk.CollectionConverters._
-    (spark.createDataFrame(nodes.asJava, nodeChangeSchema),
-      spark.createDataFrame(ways.asJava, wayChangeSchema),
-      spark.createDataFrame(rels.asJava, relationChangeSchema))
+      r.close()
+      import scala.jdk.CollectionConverters._
+      (spark.createDataFrame(nodes.asJava, nodeChangeSchema),
+        spark.createDataFrame(ways.asJava, wayChangeSchema),
+        spark.createDataFrame(rels.asJava, relationChangeSchema))
+    } finally src.close()
   }
 
   /** Last occurrence (document order) per id — osmosis semantics when an

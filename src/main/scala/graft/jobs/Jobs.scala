@@ -218,6 +218,9 @@ object StreamJob {
         if (continuous) org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds")
         else org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    // --continuous runs until the process is stopped (the JSON summary
+    // below is only reached in AvailableNow mode — a continuous stream
+    // has no final row count by definition)
     q.awaitTermination()
     val rows = spark.read.parquet(s"$out/event_windows").count()
     println(s"""{"rows": $rows, "sink": "$out/event_windows"}""")

@@ -125,6 +125,19 @@ class DflSpec extends SparkSpecBase {
     assert(gotDot === Set(1L))
   }
 
+  test("quote handling: doubled-quote escape; mid-word quote is an error; like needs a literal") {
+    val odf = Seq((1L, Map("name" -> "O'Brien"), 0.0), (2L, Map("name" -> "Smith"), 0.0))
+      .toDF("id", "tags", "qty")
+    val got = odf.filter(Dfl.compile("@name like 'O''Brien'",
+      k => element_at(col("tags"), k))).select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L))
+    // a quote mid-bareword is a parse error, not a silently-unmatchable token
+    intercept[IllegalArgumentException](run("@craft like it's"))
+    // like with a non-literal right side gets a descriptive error, not a MatchError
+    val e = intercept[IllegalArgumentException](run("@craft like @qty"))
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("long-tail string functions: substr/contains") {
     assert(run("substr(@craft, 1, 4) == brew") === Set(1L, 4L))
     assert(run("contains(@craft, rew)") === Set(1L, 4L))
