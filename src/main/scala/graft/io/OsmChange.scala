@@ -1,6 +1,6 @@
 package graft.io
 
-import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import javax.xml.stream.XMLInputFactory
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -45,76 +45,36 @@ object OsmChange {
     val src = OsmXml.openIn(path)
     try {
       val r = f.createXMLStreamReader(src)
-    val nodes = mutable.ArrayBuffer.empty[Row]
-    val ways = mutable.ArrayBuffer.empty[Row]
-    val rels = mutable.ArrayBuffer.empty[Row]
-
-    var op: String = null
-    var ord = 0L
-    var curKind: String = null
-    var attrs: Map[String, String] = Map.empty
-    var tags = mutable.LinkedHashMap.empty[String, String]
-    var refs = mutable.ArrayBuffer.empty[Long]
-    var members = mutable.ArrayBuffer.empty[Row]
-
-    def attr(name: String): Option[String] = attrs.get(name)
-    def parseTs(s: String): java.sql.Timestamp =
-      java.sql.Timestamp.from(java.time.OffsetDateTime.parse(s).toInstant)
-    def finishElement(): Unit = {
-      val id = attr("id").map(_.toLong).getOrElse(0L)
-      val version = attr("version").map(v => java.lang.Integer.valueOf(v.toInt)).orNull
-      val ts = attr("timestamp").map(parseTs).orNull
-      val cs = attr("changeset").map(v => java.lang.Long.valueOf(v.toLong)).orNull
-      val uid = attr("uid").map(v => java.lang.Long.valueOf(v.toLong)).orNull
-      val user = attr("user").orNull
-      curKind match {
-        case "node" =>
-          nodes += Row(op, ord, id, version, ts, cs, uid, user,
-            attr("lon").map(_.toDouble).getOrElse(0.0),
-            attr("lat").map(_.toDouble).getOrElse(0.0), tags.toMap)
-        case "way" =>
-          ways += Row(op, ord, id, version, ts, cs, uid, user, refs.toSeq, tags.toMap)
-        case "relation" =>
-          rels += Row(op, ord, id, version, ts, cs, uid, user, members.toSeq, tags.toMap)
-        case _ =>
-      }
-      ord += 1
-      curKind = null
-    }
-
-    while (r.hasNext) {
-      r.next() match {
-        case XMLStreamConstants.START_ELEMENT =>
-          val name = r.getLocalName
-          def readAttrs(): Map[String, String] =
-            (0 until r.getAttributeCount)
-              .map(i => r.getAttributeLocalName(i) -> r.getAttributeValue(i)).toMap
-          name match {
-            case "create" | "modify" | "delete" => op = name
-            case "node" | "way" | "relation" if op != null =>
-              curKind = name; attrs = readAttrs()
-              tags = mutable.LinkedHashMap.empty; refs = mutable.ArrayBuffer.empty
-              members = mutable.ArrayBuffer.empty
-            case "tag" if curKind != null =>
-              val a = readAttrs(); tags += (a.getOrElse("k", "") -> a.getOrElse("v", ""))
-            case "nd" if curKind == "way" =>
-              readAttrs().get("ref").foreach(v => refs += v.toLong)
-            case "member" if curKind == "relation" =>
-              val a = readAttrs()
-              members += Row(a.getOrElse("type", ""),
-                a.get("ref").map(_.toLong).getOrElse(0L), a.getOrElse("role", ""))
-            case _ => // unknown: ignored, OsmXml-style
+      val nodes = mutable.ArrayBuffer.empty[Row]
+      val ways = mutable.ArrayBuffer.empty[Row]
+      val rels = mutable.ArrayBuffer.empty[Row]
+      var op: String = null
+      var ord = 0L
+      // element handling is OsmXml.parseElements — structurally the same
+      // parser the planet codec uses, so tolerance/timestamp/tag semantics
+      // cannot drift between the two formats. This wrapper only tracks the
+      // enclosing create/modify/delete section and stamps (op, ord).
+      OsmXml.parseElements(r,
+        (kind, c, lonLat, tags, refs, members) => if (op != null) {
+          kind match {
+            case "node" =>
+              nodes += Row(op, ord, c._1, c._2, c._3, c._4, c._5, c._6,
+                lonLat._1, lonLat._2, tags)
+            case "way" =>
+              ways += Row(op, ord, c._1, c._2, c._3, c._4, c._5, c._6, refs, tags)
+            case "relation" =>
+              rels += Row(op, ord, c._1, c._2, c._3, c._4, c._5, c._6, members, tags)
           }
-        case XMLStreamConstants.END_ELEMENT =>
-          r.getLocalName match {
-            case "create" | "modify" | "delete" => op = null
-            case n if curKind != null && n == curKind => finishElement()
-            case _ =>
-          }
-        case _ =>
-      }
-    }
-      r.close()
+          ord += 1
+        },
+        onOtherStart = {
+          case (n @ ("create" | "modify" | "delete"), _) => op = n
+          case _ => // unknown: ignored, OsmXml-style
+        },
+        onOtherEnd = {
+          case "create" | "modify" | "delete" => op = null
+          case _ =>
+        })
       import scala.jdk.CollectionConverters._
       (spark.createDataFrame(nodes.asJava, nodeChangeSchema),
         spark.createDataFrame(ways.asJava, wayChangeSchema),

@@ -89,14 +89,24 @@ object OsmXml {
     java.sql.Timestamp.from(java.time.OffsetDateTime.parse(s, tsFmt).toInstant)
 
   /** Read a .osm / .osm.gz planet file into typed DataFrames. */
-  def readPlanet(spark: SparkSession, path: String): Planet = {
-    val f = XMLInputFactory.newInstance()
-    val r = f.createXMLStreamReader(openIn(path))
-    val nodes = mutable.ArrayBuffer.empty[Row]
-    val ways = mutable.ArrayBuffer.empty[Row]
-    val rels = mutable.ArrayBuffer.empty[Row]
-    var bounds: Option[(Double, Double, Double, Double)] = None
-
+  /** Shared StAX walk over OSM element streams — `.osm` planets and `.osc`
+    * change sections alike (the two codecs must never drift: same
+    * unknown-attribute/element tolerance, same timestamp parsing, same
+    * tag/nd/member handling). Each COMPLETED node/way/relation is handed to
+    * `onElement`; elements outside that set (`bounds`, osmChange's
+    * `create`/`modify`/`delete` section markers, unknowns) surface through
+    * `onOtherStart`/`onOtherEnd` — unknowns are ignored by the default
+    * callbacks, mirroring the reference's switch-with-default parse.
+    *
+    * `common` = (id, version, ts, changeset, uid, user), absent attrs null.
+    */
+  private[io] def parseElements(
+      r: javax.xml.stream.XMLStreamReader,
+      onElement: (String,
+        (Long, Integer, java.sql.Timestamp, java.lang.Long, java.lang.Long, String),
+        (Double, Double), Map[String, String], Seq[Long], Seq[Row]) => Unit,
+      onOtherStart: (String, Map[String, String]) => Unit = (_, _) => (),
+      onOtherEnd: String => Unit = _ => ()): Unit = {
     var curKind: String = null
     var attrs: Map[String, String] = Map.empty
     var tags = mutable.LinkedHashMap.empty[String, String]
@@ -105,23 +115,16 @@ object OsmXml {
 
     def attr(name: String): Option[String] = attrs.get(name)
     def finishElement(): Unit = {
-      val id = attr("id").map(_.toLong).getOrElse(0L)
-      val version = attr("version").map(v => java.lang.Integer.valueOf(v.toInt)).orNull
-      val ts = attr("timestamp").map(parseTs).orNull
-      val cs = attr("changeset").map(v => java.lang.Long.valueOf(v.toLong)).orNull
-      val uid = attr("uid").map(v => java.lang.Long.valueOf(v.toLong)).orNull
-      val user = attr("user").orNull
-      curKind match {
-        case "node" =>
-          nodes += Row(id, version, ts, cs, uid, user,
-            attr("lon").map(_.toDouble).getOrElse(0.0),
-            attr("lat").map(_.toDouble).getOrElse(0.0), tags.toMap)
-        case "way" =>
-          ways += Row(id, version, ts, cs, uid, user, refs.toSeq, tags.toMap)
-        case "relation" =>
-          rels += Row(id, version, ts, cs, uid, user, members.toSeq, tags.toMap)
-        case _ =>
-      }
+      val common = (
+        attr("id").map(_.toLong).getOrElse(0L),
+        attr("version").map(v => java.lang.Integer.valueOf(v.toInt)).orNull,
+        attr("timestamp").map(parseTs).orNull,
+        attr("changeset").map(v => java.lang.Long.valueOf(v.toLong)).orNull,
+        attr("uid").map(v => java.lang.Long.valueOf(v.toLong)).orNull,
+        attr("user").orNull)
+      onElement(curKind, common,
+        (attr("lon").map(_.toDouble).getOrElse(0.0), attr("lat").map(_.toDouble).getOrElse(0.0)),
+        tags.toMap, refs.toSeq, members.toSeq)
       curKind = null
     }
 
@@ -144,24 +147,50 @@ object OsmXml {
               val a = readAttrs()
               members += Row(a.getOrElse("type", ""), a.get("ref").map(_.toLong).getOrElse(0L),
                 a.getOrElse("role", ""))
-            case "bounds" =>
-              val a = readAttrs()
-              bounds = Some((a("minlon").toDouble, a("minlat").toDouble,
-                a("maxlon").toDouble, a("maxlat").toDouble))
-            case _ => // unknown element: ignored (reference default case)
+            case other => onOtherStart(other, readAttrs())
           }
         case XMLStreamConstants.END_ELEMENT =>
           if (curKind != null && r.getLocalName == curKind) finishElement()
+          else if (curKind == null) onOtherEnd(r.getLocalName)
         case _ =>
       }
     }
     r.close()
-    import scala.jdk.CollectionConverters._
-    Planet(
-      spark.createDataFrame(nodes.asJava, nodeSchema),
-      spark.createDataFrame(ways.asJava, waySchema),
-      spark.createDataFrame(rels.asJava, relationSchema),
-      bounds)
+    // the caller owns closing the underlying source stream: per the StAX
+    // contract XMLStreamReader.close() does not close it
+  }
+
+  def readPlanet(spark: SparkSession, path: String): Planet = {
+    val f = XMLInputFactory.newInstance()
+    val src = openIn(path)
+    try {
+      val r = f.createXMLStreamReader(src)
+      val nodes = mutable.ArrayBuffer.empty[Row]
+      val ways = mutable.ArrayBuffer.empty[Row]
+      val rels = mutable.ArrayBuffer.empty[Row]
+      var bounds: Option[(Double, Double, Double, Double)] = None
+      parseElements(r,
+        (kind, c, lonLat, tags, refs, members) => kind match {
+          case "node" =>
+            nodes += Row(c._1, c._2, c._3, c._4, c._5, c._6, lonLat._1, lonLat._2, tags)
+          case "way" =>
+            ways += Row(c._1, c._2, c._3, c._4, c._5, c._6, refs, tags)
+          case "relation" =>
+            rels += Row(c._1, c._2, c._3, c._4, c._5, c._6, members, tags)
+        },
+        onOtherStart = {
+          case ("bounds", a) =>
+            bounds = Some((a("minlon").toDouble, a("minlat").toDouble,
+              a("maxlon").toDouble, a("maxlat").toDouble))
+          case _ => // unknown element: ignored (reference default case)
+        })
+      import scala.jdk.CollectionConverters._
+      Planet(
+        spark.createDataFrame(nodes.asJava, nodeSchema),
+        spark.createDataFrame(ways.asJava, waySchema),
+        spark.createDataFrame(rels.asJava, relationSchema),
+        bounds)
+    } finally src.close()
   }
 
   /** Write DataFrames back to .osm / .osm.gz in the reference's order:
