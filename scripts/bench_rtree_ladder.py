@@ -1,0 +1,180 @@
+#!/usr/bin/env python3
+"""Same-epoch re-measure of the broadcast-R-tree executor ladder at 4x the
+shard size (30M images per shard vs the authoritative run's 7.5M).
+
+Why: the 2026-08-19 authoritative run's rtree 4-way rung rode ~4-6 s walls,
+where per-stage fixed costs (driver barriers, broadcast build) and one
+cold-page-cache rep dominate the measured region — min-of-2 still carried
+an 8-9 s cold rep on the 4-way rung. 4x the per-shard work gives every rung
+a measured region that dwarfs those floors; min-of-3 with an explicit
+page-cache pre-warm removes the cold rep entirely.
+
+EPOCH RULE (same as bench_scaling.py): every ratio pairs numbers from THIS
+one continuous session — the three rungs are interleaved per rep, and the
+host ALU/streaming 4-process ceilings are re-measured in the same session.
+
+Usage: python3 scripts/bench_rtree_ladder.py [reps]   (default 3)
+Appends a dated subsection to BENCH_SCALING.md and prints one JSON line.
+"""
+import datetime
+import glob
+import json
+import os
+import pathlib
+import re
+import subprocess
+import sys
+
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+XL_DIR = os.environ.get("GRAFT_BENCH_DIR", "/tmp/graft_bench_xl")
+N_IMAGES, N_POLYS = 120_000_000, 1000  # 4x the authoritative run's 30M
+REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
+CPUSETS = ["0-7", "8-15", "16-23", "24-31"]
+ADD_OPENS = sum((["--add-opens", p + "=ALL-UNNAMED"] for p in [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"]), [])
+
+
+def sbt(cmd, env_extra=None):
+    out = subprocess.run(
+        ["sbt", "-batch", cmd], capture_output=True, text=True,
+        env={**os.environ, "SPARK_DRIVER_MEM": "12g",
+             **(env_extra or {})}).stdout
+    m = re.findall(r'\{.*\}', out)
+    if not m:
+        print(out[-3000:], file=sys.stderr)
+        sys.exit(1)
+    return json.loads(m[-1])
+
+
+def java_leg(main_args, heap, cpuset, log, extra_jvm=(), env_extra=None):
+    f = open(log, "w")
+    cmd = (["taskset", "-c", cpuset, "java"] + ADD_OPENS + [
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        f"-Xmx{heap}", f"-Xms{heap}", "-XX:+UseG1GC", *extra_jvm,
+        "-cp", CP] + list(main_args))
+    return subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT,
+                            env={**os.environ, **(env_extra or {})})
+
+
+def shard_leg(shard, cpuset, log):
+    # 6g pre-touched: same sizing rationale as bench_scaling.py's shard_leg
+    # (AlwaysPreTouch moves heap fault service before the measured region;
+    # this hypervisor serializes fault service across concurrent JVMs).
+    return java_leg(["graft.BenchScaling", "run", "join_rtree", "8", "1"],
+                    "6g", cpuset, log, extra_jvm=["-XX:+AlwaysPreTouch"],
+                    env_extra={"GRAFT_JOIN_SHARD": shard,
+                               "GRAFT_BENCH_DIR": XL_DIR})
+
+
+def shard_json(log):
+    m = re.findall(r'\{.*\}', open(log).read())
+    if not m:
+        print(open(log).read()[-3000:], file=sys.stderr)
+        sys.exit(1)
+    return json.loads(m[-1])
+
+
+# 1. Fixture: only the LITE fixtures at 120M matter — everything else is
+# keyed tiny so prep skips real work. A separate GRAFT_BENCH_DIR keeps the
+# authoritative 30M fixture byte-untouched for future full runs.
+sbt(f"runMain graft.BenchScaling prep {N_IMAGES} {N_POLYS} 1000 "
+    "1000 1000 100000 100 1000", env_extra={"GRAFT_BENCH_DIR": XL_DIR})
+
+# 2. Page-cache pre-warm: every rung's first rep otherwise pays a cold read
+# of shards the previous rungs never touched (the authoritative run's 4-way
+# rep 0 ran 8-9 s vs 6.0-6.4 s warm for exactly this reason).
+for f in (glob.glob(f"{XL_DIR}/images_lite_shards/__shard=*/*")
+          + glob.glob(f"{XL_DIR}/boundaries/*")):
+    with open(f, "rb") as fh:
+        while fh.read(1 << 22):
+            pass
+
+# 3. The ladder, reps interleaved across rungs so intra-session drift hits
+# every rung equally rather than biasing whichever ran last.
+secs = {1: [], 2: [], 4: []}
+rowcounts = {}
+for rep in range(REPS):
+    for ways in (1, 2, 4):
+        logs = [f"/tmp/rtree_xl_{ways}w_{i}_{rep}.log" for i in range(ways)]
+        procs = [shard_leg(f"{i}/4", CPUSETS[i], logs[i])
+                 for i in range(ways)]
+        for p in procs:
+            p.wait()
+        outs = [shard_json(l) for l in logs]
+        secs[ways].append(max(o["sec"] for o in outs))
+        rowcounts[ways] = sum(o["rows"] for o in outs)
+        print(json.dumps({"job": "rtree_xl_ladder", "ways": ways,
+                          "rep": rep, "max_wall_sec": secs[ways][-1]}),
+              flush=True)
+ladder = {w: min(s) for w, s in secs.items()}
+
+# 4. Host controls, same session (identical legs to bench_scaling.py).
+java_leg(["graft.AluFloor", "8", "2"], "12g", CPUSETS[0],
+         "/tmp/alu_xl_1w.log").wait()
+alu_solo = shard_json("/tmp/alu_xl_1w.log")["sec"]
+procs = [java_leg(["graft.AluFloor", "8", "2"], "12g", CPUSETS[i],
+                  f"/tmp/alu_xl_4w_{i}.log") for i in range(4)]
+for p in procs:
+    p.wait()
+alu_four = max(shard_json(f"/tmp/alu_xl_4w_{i}.log")["sec"] for i in range(4))
+# 32 passes = 64 GB per measured run (~1.5-2 s walls): the default 4-pass
+# wall is ~0.2 s, which quantizes the solo/4-way ratio into noise.
+java_leg(["graft.MemFloor", "8", "2", "32"], "12g", CPUSETS[0],
+         "/tmp/mem_xl_1w.log").wait()
+mem_solo = shard_json("/tmp/mem_xl_1w.log")["sec"]
+procs = [java_leg(["graft.MemFloor", "8", "2", "32"], "12g", CPUSETS[i],
+                  f"/tmp/mem_xl_4w_{i}.log") for i in range(4)]
+for p in procs:
+    p.wait()
+mem_four = max(shard_json(f"/tmp/mem_xl_4w_{i}.log")["sec"] for i in range(4))
+alu_ceiling, mem_ceiling = alu_solo / alu_four, mem_solo / mem_four
+
+eff2, eff4 = ladder[1] / ladder[2], ladder[1] / ladder[4]
+lines = [
+    f"\n## Broadcast R-tree executor ladder, 4×-shard re-measure ({datetime.date.today()})\n",
+    f"Same harness as the authoritative section's ladder (pinned `local[8]`"
+    f" JVMs over pre-split physical shards, `GRAFT_JOIN_SHARD`), but each"
+    f" shard now carries {N_IMAGES // 4_000_000}M images (4× the"
+    " authoritative run's), all shards page-cache pre-warmed, min of"
+    f" {REPS} reps per rung with reps INTERLEAVED across rungs. The"
+    " authoritative run's 4-way rung rode 4-6 s walls where per-stage fixed"
+    " costs and one cold-cache rep dominate; these walls are 4× longer."
+    " EPOCH RULE: all rungs and both host controls below are one continuous"
+    " session.\n",
+    "| concurrent 8-core JVMs | images joined | max wall (min of"
+    f" {REPS}) | weak-scaling eff vs solo |",
+    "|---|---|---|---|",
+    f"| 1 | {N_IMAGES // 4_000_000}M | {ladder[1]:.1f} s | 1.000 |",
+    f"| 2 | {N_IMAGES // 2_000_000}M | {ladder[2]:.1f} s | {eff2:.3f} |",
+    f"| 4 | {N_IMAGES // 1_000_000}M | {ladder[4]:.1f} s | {eff4:.3f} |",
+    f"\n- Same-session host 4-process ceilings: pure-ALU"
+    f" **{alu_ceiling:.3f}** (AluFloor {alu_solo:.1f} s solo /"
+    f" {alu_four:.1f} s 4-way), pure-streaming **{mem_ceiling:.3f}**"
+    f" (MemFloor {mem_solo:.1f} s / {mem_four:.1f} s). The join computes"
+    " (R-tree probe + PIP refine) and streams (parquet scan + row"
+    " materialization), so its rung is bounded by a mix of the two — both"
+    " are THIS socket's shared clock/L3/DRAM and vanish on a real N→4N"
+    " cluster where every node brings its own.",
+    f"- Per-rep walls (rung: reps): 1: {', '.join(f'{s:.1f}' for s in secs[1])} s;"
+    f" 2: {', '.join(f'{s:.1f}' for s in secs[2])} s;"
+    f" 4: {', '.join(f'{s:.1f}' for s in secs[4])} s.",
+]
+out_path = pathlib.Path("BENCH_SCALING.md")
+prior = out_path.read_text() if out_path.exists() else ""
+sep = "\n\n---\n\n" if prior.strip() else "\n"
+out_path.write_text("\n".join(lines) + sep + prior)
+print(json.dumps({
+    "bench": "rtree_xl_ladder", "n_images": N_IMAGES,
+    "solo_sec": ladder[1], "two_way_sec": ladder[2],
+    "four_way_sec": ladder[4],
+    "efficiency_2way": round(eff2, 3), "efficiency_4way": round(eff4, 3),
+    "alu_4proc_ceiling": round(alu_ceiling, 3),
+    "mem_4proc_ceiling": round(mem_ceiling, 3),
+    "rows_joined_4way": rowcounts.get(4)}))

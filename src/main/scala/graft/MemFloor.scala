@@ -19,14 +19,18 @@ import java.util.concurrent.atomic.AtomicLong
   * Protocol matches [[AluFloor]]: allocation + first-touch before timing,
   * warm-up pass excluded, min of reps, one JSON line.
   *
-  *   runMain graft.MemFloor <threads> [reps]
+  *   runMain graft.MemFloor <threads> [reps] [passes]
+  *
+  * `passes` sizes the measured wall: 4 passes ≈ 8 GB ≈ 0.2 s at this
+  * host's ~45 GB/s — too short for a stable solo/4-way ratio (the 2-decimal
+  * print alone quantizes it). 32+ passes give multi-second walls.
   */
 object MemFloor {
-  private val Passes = 4
 
   def main(args: Array[String]): Unit = {
     val threads = args.headOption.map(_.toInt).getOrElse(8)
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val Passes = args.lift(2).map(_.toInt).getOrElse(4)
     val n = (256L << 20).toInt / 8 // 256 MB of longs per thread
     val arrays = Array.tabulate(threads) { t =>
       val a = new Array[Long](n)
@@ -65,6 +69,6 @@ object MemFloor {
       run()
       (System.nanoTime() - t0) / 1e9
     }.min
-    println(f"""{"job": "mem_floor", "cpus": $threads, "rows": $bytes, "sec": $best%.2f, "gb_per_s": ${bytes / best / 1e9}%.1f}""")
+    println(f"""{"job": "mem_floor", "cpus": $threads, "rows": $bytes, "sec": $best%.3f, "gb_per_s": ${bytes / best / 1e9}%.1f}""")
   }
 }
