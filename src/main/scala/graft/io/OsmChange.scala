@@ -85,7 +85,7 @@ object OsmChange {
   /** Last occurrence (document order) per id — osmosis semantics when an
     * element appears several times in one change stream.
     */
-  private def lastPerId(change: DataFrame): DataFrame = {
+  def lastPerId(change: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("ord").desc)
     change.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

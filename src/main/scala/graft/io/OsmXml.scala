@@ -75,6 +75,8 @@ object OsmXml {
       if (path == "stdin" || path == "-") System.in
       else if (path.startsWith("http://") || path.startsWith("https://"))
         new java.net.URL(path).openStream()
+      else if (path.startsWith("file:")) // file-stream sources hand URIs
+        new FileInputStream(java.nio.file.Paths.get(java.net.URI.create(path)).toString)
       else new FileInputStream(path)
     val buf = new BufferedInputStream(raw)
     if (path.endsWith(".gz")) new GZIPInputStream(buf)

@@ -31,6 +31,11 @@ object SnapshotTable {
   case class CommitReport(snapshotId: String, written: Seq[String],
                           skipped: Seq[String], totalRows: Long)
 
+  /** A committed partition's physical location + row count — the unit a
+    * copy-on-write commit ([[commitCow]]) inherits from a parent version.
+    */
+  case class PartRef(location: String, rows: Long)
+
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -65,7 +70,27 @@ object SnapshotTable {
     * @param upstream upstream snapshot ids / source URIs (lineage)
     */
   def commit(df: DataFrame, root: String, partCol: String,
-             operator: String, upstream: Seq[String] = Nil): CommitReport = {
+             operator: String, upstream: Seq[String] = Nil): CommitReport =
+    commitImpl(df, root, partCol, operator, upstream, Map.empty)
+
+  /** Copy-on-write commit: `df`'s partitions are written as real data under
+    * this root; `inherited` partitions are committed as manifest POINTERS to
+    * a parent version's files — no data copied or rewritten, so a minutely
+    * diff against a 10^9-row planet costs only its touched partitions. The
+    * new root reads as the full table ([[read]] follows locations). Parent
+    * data is immutable by contract: never delete an ancestor version a
+    * descendant references. Inherited refs pass through unchanged, so
+    * inheritance chains collapse to the original writer's dir — reads never
+    * walk ancestors.
+    */
+  def commitCow(df: DataFrame, root: String, partCol: String,
+                operator: String, upstream: Seq[String],
+                inherited: Map[String, PartRef]): CommitReport =
+    commitImpl(df, root, partCol, operator, upstream, inherited)
+
+  private def commitImpl(df: DataFrame, root: String, partCol: String,
+                         operator: String, upstream: Seq[String],
+                         inherited: Map[String, PartRef]): CommitReport = {
     val spark = df.sparkSession
     val rootP = new Path(root)
     val f = fs(spark, rootP)
@@ -74,6 +99,9 @@ object SnapshotTable {
     val counts: Map[String, Long] = df
       .groupBy(col(partCol).cast("string").as("k")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val overlap = inherited.keySet.intersect(counts.keySet)
+    require(overlap.isEmpty,
+      s"partitions both rewritten and inherited: ${overlap.toSeq.sorted.take(5)}")
 
     // 2. committed = manifests present
     val manDir = new Path(rootP, "manifests")
@@ -100,37 +128,90 @@ object SnapshotTable {
         writeFile(spark, new Path(manDir, s"$k.json"), m)
       }
     }
+    // 4b. inherited partitions: a manifest POINTER per key (no data write);
+    //     resume-safe like real partitions — already-present manifests skip
+    inherited.toSeq.sortBy(_._1).foreach { case (k, ref) =>
+      if (!committed.contains(k)) {
+        val m = s"""{"key": "${esc(k)}", "rows": ${ref.rows}, "operator": "${esc(operator)}", "upstream": [${upstream.map(u => "\"" + esc(u) + "\"").mkString(", ")}], "location": "${esc(ref.location)}"}"""
+        writeFile(spark, new Path(manDir, s"$k.json"), m)
+      }
+    }
 
-    // 5. snapshot: parent chain + full partition inventory
+    // 5. snapshot: parent chain + full partition inventory (real + inherited)
+    val inventory = counts ++ inherited.map { case (k, r) => k -> r.rows }
     val parent = currentSnapshotId(spark, root)
     val snapId = f"s${parent.map(_.drop(1).toInt + 1).getOrElse(0)}%04d"
-    val partsJson = counts.toSeq.sortBy(_._1)
+    val partsJson = inventory.toSeq.sortBy(_._1)
       .map { case (k, n) => s"""{"key": "${esc(k)}", "rows": $n}""" }.mkString(", ")
     val snap =
       s"""{"id": "$snapId", "parent": ${parent.map("\"" + _ + "\"").getOrElse("null")},
          | "operator": "${esc(operator)}", "upstream": [${upstream.map(u => "\"" + esc(u) + "\"").mkString(", ")}],
-         | "total_rows": ${counts.values.sum}, "partitions": [$partsJson]}""".stripMargin
+         | "total_rows": ${inventory.values.sum}, "partitions": [$partsJson]}""".stripMargin
     writeFile(spark, new Path(rootP, s"snapshots/$snapId.json"), snap)
     writeFile(spark, new Path(rootP, "CURRENT"), snapId)
 
-    CommitReport(snapId, missing, skipped, counts.values.sum)
+    CommitReport(snapId, missing, skipped, inventory.values.sum)
   }
 
   def currentSnapshotId(spark: SparkSession, root: String): Option[String] =
     readFile(spark, new Path(root, "CURRENT")).map(_.trim).filter(_.nonEmpty)
 
-  /** Read the committed table (manifested partitions only). */
-  def read(spark: SparkSession, root: String, partCol: String): DataFrame = {
+  /** Atomic small-file pointer (tmp + rename, the CURRENT protocol) — for
+    * callers that chain versioned tables (e.g. the replication consumer's
+    * LATEST).
+    */
+  def writePointer(spark: SparkSession, path: String, value: String): Unit =
+    writeFile(spark, new Path(path), value)
+
+  def readPointer(spark: SparkSession, path: String): Option[String] =
+    readFile(spark, new Path(path)).map(_.trim).filter(_.nonEmpty)
+
+  /** The committed partition inventory as physical refs. A partition this
+    * root wrote resolves to its own data dir; one inherited by
+    * [[commitCow]] resolves to the location its manifest records (the
+    * original writer's dir).
+    */
+  def partitionRefs(spark: SparkSession, root: String,
+                    partCol: String): Map[String, PartRef] = {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val manDir = new Path(rootP, "manifests")
-    val keys =
-      if (!f.exists(manDir)) Seq.empty[String]
-      else f.listStatus(manDir).map(_.getPath.getName).filter(_.endsWith(".json"))
-        .map(_.stripSuffix(".json")).toSeq.sorted
-    require(keys.nonEmpty, s"no committed partitions under $root")
-    val dirs = keys.map(k => new Path(rootP, s"data/$partCol=$k").toString)
-    spark.read.option("basePath", new Path(rootP, "data").toString).parquet(dirs: _*)
+    if (!f.exists(manDir)) Map.empty
+    else f.listStatus(manDir).map(_.getPath).filter(_.getName.endsWith(".json")).map { p =>
+      val s = readFile(spark, p).get
+      val key = """"key": "([^"]*)"""".r.findFirstMatchIn(s).get.group(1)
+      val rows = """"rows": (\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+      val loc = """"location": "([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+        .getOrElse(new Path(rootP, s"data/$partCol=$key").toString)
+      key -> PartRef(loc, rows)
+    }.toMap
+  }
+
+  /** Read the committed table (manifested partitions only; inherited
+    * partitions stream straight from their original location).
+    */
+  def read(spark: SparkSession, root: String, partCol: String): DataFrame =
+    readRefs(spark, partitionRefs(spark, root, partCol), root)
+
+  /** Read only the named partitions — explicit pruning for merge slices;
+    * keys absent from the table are ignored.
+    */
+  def readPartitions(spark: SparkSession, root: String, partCol: String,
+                     keys: Seq[String]): DataFrame = {
+    val want = keys.toSet
+    readRefs(spark, partitionRefs(spark, root, partCol).filter(kv => want(kv._1)), root)
+  }
+
+  private def readRefs(spark: SparkSession, refs: Map[String, PartRef],
+                       root: String): DataFrame = {
+    require(refs.nonEmpty, s"no committed partitions under $root")
+    // partition-column values come from dir names, so each distinct parent
+    // data dir needs its own basePath scan; union the (few) groups
+    refs.values.toSeq.map(_.location)
+      .groupBy(l => new Path(l).getParent.toString).toSeq.sortBy(_._1)
+      .map { case (base, dirs) =>
+        spark.read.option("basePath", base).parquet(dirs.sorted: _*)
+      }.reduce(_.unionByName(_))
   }
 
   /** Per-partition row-count metrics from manifests (lineage audit). */

@@ -39,6 +39,13 @@ object Jobs {
   def partitionKey(df: DataFrame, z: Int = 3): DataFrame =
     df.withColumn("part_cell",
       graft.functions.GeoFunctions.cell_id(col("lon"), col("lat"), z).cast("string"))
+
+  /** Id-block partition key for the non-spatial planet classes (ways,
+    * relations) — computable from the id alone, so merges can find a
+    * changed element's partition without scanning the base table.
+    */
+  def idPartitionKey(df: DataFrame): DataFrame =
+    df.withColumn("part", pmod(col("id"), lit(64L)).cast("string"))
 }
 
 /** Generate the synthetic geotagged image+caption table (fixture stand-in
@@ -122,11 +129,9 @@ object PbfIngestJob {
                    operator: String, upstream: Seq[String]): (Long, Long, Long) = {
     val n = SnapshotTable.commit(Jobs.partitionKey(planet.nodes, cellZ),
       s"$out/nodes", "part_cell", s"$operator:nodes", upstream).totalRows
-    def idPart(df: DataFrame) =
-      df.withColumn("part", pmod(col("id"), lit(64L)).cast("string"))
-    val w = SnapshotTable.commit(idPart(planet.ways),
+    val w = SnapshotTable.commit(Jobs.idPartitionKey(planet.ways),
       s"$out/ways", "part", s"$operator:ways", upstream).totalRows
-    val r = SnapshotTable.commit(idPart(planet.relations),
+    val r = SnapshotTable.commit(Jobs.idPartitionKey(planet.relations),
       s"$out/relations", "part", s"$operator:relations", upstream).totalRows
     (n, w, r)
   }
@@ -161,6 +166,139 @@ object ApplyChangeJob {
     val spark = Jobs.session("graft-apply-change")
     val (n, w, r) = run(spark, in, oscArg.split(",").toSeq.filter(_.nonEmpty), out, cellZ)
     println(s"""{"job": "apply_change", "nodes": $n, "ways": $w, "relations": $r}""")
+    spark.stop()
+  }
+}
+
+/** Continuous replication consumer — the streaming form of
+  * [[ApplyChangeJob]], the shape of a real OSM replication feed (minutely/
+  * daily `.osc.gz` drops landing in a directory):
+  * `ReplicationStreamJob <planetRoot> <oscDir> <outRoot> [cellZ] [--continuous]`.
+  *
+  * A file-arrival stream watches `oscDir` for `*.osc*` files (checkpointed,
+  * so every diff is consumed exactly once across restarts); each micro-batch
+  * folds its diffs — path-sorted, the replication sequence order — into the
+  * current planet version and commits a NEW copy-on-write version
+  * `outRoot/b<batchId>`: only partitions holding a changed element are
+  * rewritten, everything else is inherited from the parent by manifest
+  * pointer ([[graft.io.SnapshotTable.commitCow]]). A minutely diff against a
+  * 10^9-row planet therefore costs its touched partitions, not a planet
+  * rewrite. `outRoot/LATEST` advances atomically after all three classes
+  * commit; a batch replayed after a crash either recomputes byte-identically
+  * (manifest-gated resume) or, if LATEST already names it, no-ops.
+  *
+  * Old-partition discovery: ways/relations partition by id block, so a
+  * changed element's partition is computed from the diff alone; nodes
+  * partition spatially, so one column-pruned (id, part_cell) scan of the
+  * base semi-joined against the (broadcast-tiny) changed-id set finds the
+  * partitions a moved/deleted node leaves.
+  */
+object ReplicationStreamJob {
+  import graft.io.{OsmChange, SnapshotTable}
+
+  /** Union change frames from several `.osc` files with each file's document
+    * order offset, so last-occurrence-wins holds across files in
+    * replication-sequence order.
+    */
+  private def unionChanges(frames: Seq[DataFrame]): DataFrame =
+    frames.zipWithIndex.map { case (df, i) =>
+      df.withColumn("ord", col("ord") + lit(i.toLong * (1L << 40)))
+    }.reduce(_.unionByName(_))
+
+  /** COW-merge one element class: rewrite only the touched partitions (old
+    * partitions of changed ids + new partitions of upserts), inherit the
+    * rest from the parent version by manifest pointer.
+    */
+  private def mergeClass(spark: SparkSession, parentRoot: String, outRoot: String,
+                         table: String, partCol: String, change: DataFrame,
+                         partKey: DataFrame => DataFrame, oldPartsNeedScan: Boolean,
+                         operator: String, upstream: Seq[String]): Long = {
+    val root = s"$parentRoot/$table"
+    val refs = SnapshotTable.partitionRefs(spark, root, partCol)
+    val last = OsmChange.lastPerId(change)
+    val upserts = last.filter(col("op") =!= "delete").drop("op", "ord")
+    val newParts = partKey(upserts).select(col(partCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    val oldParts: Set[String] =
+      if (oldPartsNeedScan)
+        // spatial partitioning: a changed node's OLD cell is in the base, not
+        // the diff — one column-pruned scan, changed ids broadcast
+        SnapshotTable.read(spark, root, partCol)
+          .join(broadcast(last.select("id")), Seq("id"), "left_semi")
+          .select(col(partCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSet
+      else // id-block partitioning: computable from the diff alone
+        partKey(last.select("id")).select(col(partCol)).distinct()
+          .collect().map(_.getString(0)).toSet
+    val touched = (newParts ++ oldParts).toSeq.sorted
+    val present = touched.filter(refs.contains)
+    val baseSlice =
+      if (present.nonEmpty)
+        SnapshotTable.readPartitions(spark, root, partCol, present).drop(partCol)
+      else SnapshotTable.read(spark, root, partCol).limit(0).drop(partCol)
+    val merged = partKey(OsmChange.applyClass(baseSlice, change))
+    SnapshotTable.commitCow(merged, s"$outRoot/$table", partCol, operator,
+      upstream, inherited = refs -- touched).totalRows
+  }
+
+  /** Apply one micro-batch of diff files (path-sorted) on top of the current
+    * version, committing `outRoot/b<batchId>` and advancing LATEST.
+    */
+  def applyBatch(spark: SparkSession, planetRoot: String, outRoot: String,
+                 cellZ: Int, batchId: Long, paths: Seq[String]): Unit = {
+    val version = s"b$batchId"
+    val latest = SnapshotTable.readPointer(spark, s"$outRoot/LATEST")
+    if (latest.contains(version)) return // replayed after LATEST advanced: done
+    val baseRoot = latest.map(v => s"$outRoot/$v").getOrElse(planetRoot)
+    val changes = paths.map(p => OsmChange.read(spark, p))
+    val cn = unionChanges(changes.map(_._1))
+    val cw = unionChanges(changes.map(_._2))
+    val cr = unionChanges(changes.map(_._3))
+    val vRoot = s"$outRoot/$version"
+    val upstream = baseRoot +: paths
+    val op = s"replication:$version"
+    mergeClass(spark, baseRoot, vRoot, "nodes", "part_cell", cn,
+      Jobs.partitionKey(_, cellZ), oldPartsNeedScan = true, op, upstream)
+    mergeClass(spark, baseRoot, vRoot, "ways", "part", cw,
+      Jobs.idPartitionKey, oldPartsNeedScan = false, op, upstream)
+    mergeClass(spark, baseRoot, vRoot, "relations", "part", cr,
+      Jobs.idPartitionKey, oldPartsNeedScan = false, op, upstream)
+    SnapshotTable.writePointer(spark, s"$outRoot/LATEST", version)
+  }
+
+  def run(spark: SparkSession, planetRoot: String, oscDir: String,
+          outRoot: String, cellZ: Int = 3,
+          continuous: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("binaryFile")
+      // the binaryFile schema is fixed, but file STREAM sources still demand
+      // it explicitly (schema inference is off by default for streams)
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", "*.osc*")
+      .load(oscDir)
+      .select(col("path")) // content never projected: binaryFile prunes it
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val paths = batch.collect().map(_.getString(0)).sorted.toSeq
+        if (paths.nonEmpty) applyBatch(spark, planetRoot, outRoot, cellZ, batchId, paths)
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoint")
+      .trigger(
+        if (continuous) org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds")
+        else org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  def main(args: Array[String]): Unit = {
+    val Array(planetRoot, oscDir, outRoot) = args.take(3)
+    val cellZ = args.lift(3).filterNot(_.startsWith("--")).map(_.toInt).getOrElse(3)
+    val continuous = args.contains("--continuous")
+    val spark = Jobs.session("graft-replication-stream")
+    run(spark, planetRoot, oscDir, outRoot, cellZ, continuous).awaitTermination()
+    val latest = SnapshotTable.readPointer(spark, s"$outRoot/LATEST")
+    println(s"""{"job": "replication_stream", "latest": ${latest.map("\"" + _ + "\"").getOrElse("null")}}""")
     spark.stop()
   }
 }

@@ -125,6 +125,78 @@ class OsmChangeSpec extends SparkSpecBase {
     assert(untouchedAfter.except(untouchedBefore).count() === 0)
   }
 
+  test("replication stream: COW versions rewrite only touched partitions, chain, and match batch") {
+    import graft.io.SnapshotTable
+    val planet = OsmFixtures.planet(spark, nNodes = 300, nWays = 40, nRelations = 5)
+    val dir = Files.createTempDirectory("graft_repl").toString
+    OsmPbf.writePlanet(planet, s"$dir/base.osm.pbf")
+    graft.jobs.PbfIngestJob.run(spark, s"$dir/base.osm.pbf", s"$dir/planet")
+    val oscDir = Files.createDirectory(java.nio.file.Paths.get(s"$dir/diffs")).toString
+    def drop(name: String, content: String): String =
+      Files.writeString(java.nio.file.Paths.get(s"$oscDir/$name"), content).toString
+    def latest(): String =
+      SnapshotTable.readPointer(spark, s"$dir/versions/LATEST").get
+    def runStream(): Unit =
+      graft.jobs.ReplicationStreamJob
+        .run(spark, s"$dir/planet", oscDir, s"$dir/versions")
+        .awaitTermination()
+
+    val d1 = drop("000001.osc",
+      """<osmChange version="0.6">
+        |  <delete><node id="10" lat="0" lon="0"/></delete>
+        |  <create><node id="888888" version="1" lat="45.0" lon="45.0"/></create>
+        |</osmChange>""".stripMargin)
+    runStream()
+    val v0 = s"$dir/versions/${latest()}"
+    val v0n = SnapshotTable.read(spark, s"$v0/nodes", "part_cell")
+    assert(v0n.count() === 300) // -1 +1
+    assert(v0n.filter(col("id") === 10L).count() === 0)
+    assert(v0n.filter(col("id") === 888888L).count() === 1)
+    // COW: the diff-free ways table is ALL manifest pointers into the base
+    // planet (40 id-block partitions, zero data rewritten); the nodes table
+    // has at least one real rewritten partition under the version root
+    val w0 = SnapshotTable.partitionRefs(spark, s"$v0/ways", "part")
+    assert(w0.nonEmpty && w0.values.forall(_.location.startsWith(s"$dir/planet")))
+    val n0 = SnapshotTable.partitionRefs(spark, s"$v0/nodes", "part_cell")
+    assert(n0.values.exists(_.location.startsWith(v0)))
+    assert(SnapshotTable.read(spark, s"$v0/ways", "part").count() === 40)
+
+    // second diff: cross-cell node move + delete of the b0-created node —
+    // a new version chains off the previous one
+    val d2 = drop("000002.osc",
+      """<osmChange version="0.6">
+        |  <modify><node id="11" version="9" lat="80.0" lon="170.0"/></modify>
+        |  <delete><node id="888888" lat="45.0" lon="45.0"/></delete>
+        |</osmChange>""".stripMargin)
+    runStream()
+    val lat1 = latest()
+    val v1 = s"$dir/versions/$lat1"
+    assert(v1 !== v0)
+    val v1n = SnapshotTable.read(spark, s"$v1/nodes", "part_cell")
+    assert(v1n.count() === 299)
+    assert(v1n.filter(col("id") === 888888L).count() === 0)
+    val n11 = v1n.filter(col("id") === 11L).head()
+    assert(n11.getDouble(6) === 170.0 && n11.getDouble(7) === 80.0)
+    // inheritance chains collapse: v1's untouched ways still point at the
+    // ORIGINAL planet dirs, not at v0
+    val w1 = SnapshotTable.partitionRefs(spark, s"$v1/ways", "part")
+    assert(w1.values.forall(_.location.startsWith(s"$dir/planet")))
+
+    // rerun with no new files: checkpoint says everything consumed — no new
+    // version, LATEST unchanged
+    runStream()
+    assert(latest() === lat1)
+
+    // the streamed chain equals the batch job over the same diffs
+    graft.jobs.ApplyChangeJob.run(spark, s"$dir/base.osm.pbf", Seq(d1, d2), s"$dir/batch")
+    val bn = SnapshotTable.read(spark, s"$dir/batch/nodes", "part_cell")
+    val proj = Seq("id", "lon", "lat", "user")
+    assert(v1n.select(proj.map(col): _*).except(bn.select(proj.map(col): _*)).count() === 0)
+    assert(bn.select(proj.map(col): _*).except(v1n.select(proj.map(col): _*)).count() === 0)
+    assert(SnapshotTable.read(spark, s"$v1/relations", "part").count() ===
+      SnapshotTable.read(spark, s"$dir/batch/relations", "part").count())
+  }
+
   test("ApplyChangeJob commits the merged planet as a snapshot table") {
     val planet = OsmFixtures.planet(spark, nNodes = 200, nWays = 20, nRelations = 3)
     val dir = Files.createTempDirectory("graft_osc_job").toString
