@@ -438,6 +438,17 @@ object SparkEntry {
       Dedup.simhash(docs(s, dir), "doc_id", "text", bits = 16)
         .orderBy("doc_id")),
 
+    // EXACT Hamming near-dup pairs over the simhash fingerprint via
+    // pigeonhole banding (3 bands over 16 bits for maxDist=2): candidates
+    // from one band-key shuffle, never an all-pairs join, yet provably
+    // complete at the distance bar — the oracle IS the brute-force join
+    "q45_hamming_neardup" -> ((s, dir) => {
+      val sim = Dedup.simhash(docs(s, dir), "doc_id", "text", bits = 16)
+      Dedup.hammingNearDupPairs(sim, "doc_id", "simhash", maxDist = 2,
+        bits = 16, bucketCap = 64)
+        .orderBy("id_1", "id_2")
+    }),
+
     // similarity search: exact top-k by int-quantized dot product
     "q27_ann_dot_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -902,6 +913,8 @@ object SparkEntry {
 
       "q26_simhash" -> simhashSql,
 
+      "q45_hamming_neardup" -> hammingNearDupSql,
+
       "q30_embedding_neardup" ->
         """WITH q AS (
           |  SELECT vec_id, [CAST(FLOOR(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT) for x in embedding] AS qe
@@ -1245,8 +1258,10 @@ object SparkEntry {
        |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
   }
 
-  /** SimHash oracle mirroring [[graft.dedup.Dedup.simhash]] (16 bits). */
-  private def simhashSql: String = {
+  /** Shared SimHash CTE chain mirroring [[graft.dedup.Dedup.simhash]]
+    * (16 bits): defines `sh(doc_id, simhash)` for the queries below.
+    */
+  private def simhashCte: String = {
     val hExpr = (1 to 5).map(j =>
       s"CAST(ascii(substr(rpad(tok, 5, 'q'), $j, 1)) AS BIGINT) * ${math.pow(81, 5 - j).toLong}")
       .mkString(" + ")
@@ -1258,7 +1273,24 @@ object SparkEntry {
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
        |), h AS (
        |  SELECT doc_id, ($hExpr) + length(tok) AS h FROM tok WHERE tok <> ''
-       |), v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
-       |SELECT doc_id, $bits AS simhash FROM v ORDER BY doc_id""".stripMargin
+       |), v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $bits AS simhash FROM v)""".stripMargin
   }
+
+  /** SimHash oracle mirroring [[graft.dedup.Dedup.simhash]] (16 bits). */
+  private def simhashSql: String =
+    s"""$simhashCte
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+
+  /** Brute-force all-pairs Hamming oracle for q45: the engine's banded
+    * plan must reproduce the quadratic join EXACTLY (pigeonhole
+    * completeness — not a recall bound).
+    */
+  private def hammingNearDupSql: String =
+    s"""$simhashCte
+       |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+       |ORDER BY id_1, id_2""".stripMargin
 }

@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   *    results are engine-independent.
   *  - [[simhash]] — token-hash sign-aggregation fingerprint; near-dups =
   *    small Hamming distance (use graft.functions.GeoFunctions.hamming64).
+  *  - [[hammingNearDupPairs]] — EXACT near-dup pairs over any ≤64-bit
+  *    fingerprint column (simhash, image aHash) by pigeonhole banding:
+  *    sub-quadratic like LSH, but complete — no recall loss at the bar.
   */
 object Dedup {
 
@@ -534,6 +537,56 @@ object Dedup {
   /** Token hash mirroring [[shingleHash]] on the (right-padded) first 5
     * chars plus the token length — exact and SQL-expressible.
     */
+  /** EXACT Hamming near-duplicate pairs over an integer fingerprint column
+    * ([[simhash]], image aHash/pHash) via pigeonhole banding — the
+    * multi-index Hamming approach: the `bits`-bit hash is split into
+    * `maxDist + 1` disjoint contiguous bands; two hashes within Hamming
+    * distance ≤ maxDist differ in at most maxDist bit positions, so at
+    * least one band is bit-identical (pigeonhole). Banding is therefore a
+    * COMPLETE candidate generator, and the hamming64 verify makes the
+    * output exact, not approximate (HammingNearDupSpec: equal to the
+    * all-pairs oracle).
+    *
+    * Scale shape: one explode to (maxDist+1)·n band rows, ONE shuffle on
+    * the band key (bandedPairs' shared repartition), and the verify rides
+    * the join row — the hash travels with the id inside the banding
+    * struct, so candidates never re-join the hash frame. `bucketCap` arms
+    * the mega-bucket triangle guard exactly as in [[lshCandidates]] for
+    * degenerate corpora (e.g. millions of identical fingerprints), keeping
+    * per-task pair generation O(cap²) with the identical pair set.
+    *
+    * Output: id_1, id_2, dist — id_1 < id_2, one row per pair with
+    * Hamming distance ≤ maxDist.
+    */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                          maxDist: Int, bits: Int = 64,
+                          bucketCap: Int = 0): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits in [1,64]: $bits")
+    require(maxDist >= 0 && maxDist < bits,
+      s"maxDist in [0, bits): $maxDist vs $bits bits")
+    val nb = maxDist + 1
+    val keys = (0 until nb).map { b =>
+      // band b covers bit positions [lo, hi) — contiguous split, widths
+      // differing by at most one; the mask keeps sign-extension bits of
+      // the arithmetic shift out of the key
+      val lo = b * bits / nb
+      val hi = (b + 1) * bits / nb
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      concat_ws("_", lit(b),
+        shiftright(col(hashCol).cast("long"), lo).bitwiseAND(lit(mask)))
+    }
+    // id-first struct: bandedPairs orders/distincts by this column, and
+    // struct comparison is field-order lexicographic, so with unique ids
+    // the pair ordering is exactly id ordering
+    val banded = hashes.select(
+      struct(col(idCol).as("id"), col(hashCol).cast("long").as("h")).as("__ih"),
+      explode(array(keys: _*)).as("band_key"))
+    bandedPairs(banded, "__ih", Seq("band_key"), bucketCap)
+      .select(col("id_1.id").as("id_1"), col("id_2.id").as("id_2"),
+        graft.functions.GeoFunctions.hamming64(col("id_1.h"), col("id_2.h")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   def tokenHash(token: Column): Column =
     shingleHash(rpad(token, 5, "q"), 5) + length(token)
 

@@ -450,6 +450,23 @@ object Media {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Image near-duplicate pairs: fused decode → 64-bit aHash
+    * ([[imageFeatures]], the one pixel-touching pass), then EXACT Hamming
+    * near-dup pairs via pigeonhole banding
+    * ([[graft.dedup.Dedup.hammingNearDupPairs]]) — the image-side analogue
+    * of text SimHash dedup. Sub-quadratic: candidates come from a single
+    * band-key shuffle of (maxDist+1)·n 16-byte rows, never an all-pairs
+    * join, and the result is still exact at the Hamming bar (two images
+    * whose aHashes differ in ≤ maxDist of 64 bits). `bucketCap` guards
+    * degenerate corpora (e.g. a million copies of one logo) exactly as in
+    * LSH banding. Input: (image_id, bytes). Output: id_1, id_2, dist.
+    */
+  def imageNearDupPairs(df: DataFrame, maxDist: Int,
+                        bucketCap: Int = 0): DataFrame =
+    graft.dedup.Dedup.hammingNearDupPairs(
+      imageFeatures(df).select(col("image_id"), col("phash")),
+      "image_id", "phash", maxDist, bits = 64, bucketCap = bucketCap)
+
   /** Per-row decoded-pixel comparison of two payload columns: exact match
     * count and PSNR (the input_hint acceptance invariant). Input:
     * (image_id, bytes_a, bytes_b). Output adds exact:boolean, psnr:double.

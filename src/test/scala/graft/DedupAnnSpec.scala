@@ -198,6 +198,66 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(dists.count(_ <= 4) >= 32, s"simhash near-dup distances too large: $dists")
   }
 
+  // ---- exact Hamming near-dup (pigeonhole banding) -----------------------------
+
+  /** clustered 64-bit fingerprints: seeds + satellites at 1..5 bit flips,
+    * plus two exact copies so maxDist=0 is non-trivial
+    */
+  private lazy val hashCorpus: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    val seeds = (0 until 30).map(i => (i.toLong, rnd.nextLong()))
+    val sats = seeds.flatMap { case (id, h) =>
+      (1 to 3).map { j =>
+        var v = h
+        (0 until j + 2).foreach(_ => v ^= 1L << rnd.nextInt(64))
+        (1000L + id * 10 + j, v)
+      }
+    }
+    seeds ++ sats ++ Seq((2000L, seeds(0)._2), (2001L, seeds(1)._2))
+  }
+
+  private def bruteHamming(all: Seq[(Long, Long)], d: Int): Set[(Long, Long, Int)] =
+    (for {
+      (i1, h1) <- all; (i2, h2) <- all
+      if i1 < i2
+      dist = java.lang.Long.bitCount(h1 ^ h2)
+      if dist <= d
+    } yield (i1, i2, dist)).toSet
+
+  test("hammingNearDupPairs equals the brute-force all-pairs oracle (64-bit)") {
+    val df = hashCorpus.toDF("id", "h")
+    for (d <- Seq(0, 2, 5)) {
+      val got = Dedup.hammingNearDupPairs(df, "id", "h", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val exp = bruteHamming(hashCorpus, d)
+      assert(exp.nonEmpty, s"fixture must plant pairs at maxDist=$d")
+      assert(got === exp, s"maxDist=$d")
+    }
+  }
+
+  test("hammingNearDupPairs: 16-bit hashes with uneven band widths") {
+    // 16 bits / 3 bands -> widths 5,5,6: exercises the integer band split
+    val narrow = hashCorpus.map { case (id, h) => (id, h & 0xffffL) }
+    val got = Dedup.hammingNearDupPairs(narrow.toDF("id", "h"), "id", "h",
+        maxDist = 2, bits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === bruteHamming(narrow, 2))
+  }
+
+  test("hammingNearDupPairs: mega-bucket guard is output-identical") {
+    // 300 identical fingerprints blow every band bucket past the cap;
+    // the triangle guard must produce the same 300*299/2 pairs
+    val clones = (0 until 300).map(i => (i.toLong, 0x5a5a5a5aL))
+    val df = clones.toDF("id", "h")
+    val plain = Dedup.hammingNearDupPairs(df, "id", "h", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val guarded = Dedup.hammingNearDupPairs(df, "id", "h", maxDist = 1,
+        bucketCap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(plain.size === 300 * 299 / 2)
+    assert(guarded === plain)
+  }
+
   // ---- ANN -------------------------------------------------------------------
 
   private lazy val embeddings = {

@@ -93,6 +93,37 @@ class MediaSpec extends SparkSpecBase {
     assert(same.filter(!col("exact")).count() === 0)
   }
 
+  test("imageNearDupPairs: banded plan equals brute force over decoded hashes") {
+    import spark.implicits._
+    // 40 base images, each with a quantized (lossy) copy — small
+    // luminance shifts flip only the aHash bits whose block average sits
+    // near the global mean — plus unrelated images as distractors
+    val rows = (0 until 40).flatMap { i =>
+      val px = Media.synthPixels(i.toLong, 32, 32)
+      Seq((f"img$i%03d", Media.encodePng(px, 32, 32)),
+        (f"lossy$i%03d", Media.encodePng(Media.quantize(px), 32, 32)))
+    }
+    val maxDist = 6
+    val got = Media.imageNearDupPairs(rows.toDF("image_id", "bytes"), maxDist)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val hashes = rows.map { case (id, bytes) =>
+      val (px, w, h) = Media.decodePng(bytes)
+      (id, Media.aHash(px, w, h))
+    }
+    val exp = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b
+      dist = java.lang.Long.bitCount(ha ^ hb)
+      if dist <= maxDist
+    } yield (a, b, dist)).toSet
+    assert(got === exp)
+    // the planted lossy copies make the test bite: most land within the bar
+    val hmap = hashes.toMap
+    val planted = (0 until 40).count(i =>
+      java.lang.Long.bitCount(hmap(f"img$i%03d") ^ hmap(f"lossy$i%03d")) <= maxDist)
+    assert(planted >= 30, s"only $planted of 40 lossy copies within $maxDist bits")
+  }
+
   test("fixture generation is partition-count independent (determinism)") {
     val a = GeoFixtures.images(spark, 150).repartition(1)
       .select("image_id", "phash", "lon", "lat", "caption")
