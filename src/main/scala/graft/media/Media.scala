@@ -467,6 +467,212 @@ object Media {
       imageFeatures(df).select(col("image_id"), col("phash")),
       "image_id", "phash", maxDist, bits = 64, bucketCap = bucketCap)
 
+  // ---- DCT perceptual hash + image embeddings ----------------------------------
+
+  /** Orthonormal DCT-II basis for N=32, row-major C(u*32+x): the one table
+    * both [[dct2]] passes share. α(0)=1/√2 makes the transform orthonormal,
+    * so coefficient magnitudes are comparable across frequencies.
+    */
+  private lazy val Dct32: Array[Double] = {
+    val n = 32
+    val t = new Array[Double](n * n)
+    var u = 0
+    while (u < n) {
+      val a = math.sqrt(2.0 / n) * (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+      var x = 0
+      while (x < n) {
+        t(u * n + x) = a * math.cos((2 * x + 1) * u * math.Pi / (2.0 * n))
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Average-downsample an arbitrary raster to an n×n double grid (the
+    * generalization of [[aHash]]'s 8×8 block averaging; block edges by
+    * integer proration, every source pixel charged to exactly one block
+    * when w,h ≥ n).
+    */
+  def downsampleGrid(px: Array[Byte], w: Int, h: Int, n: Int): Array[Double] = {
+    val g = new Array[Double](n * n)
+    var gy = 0
+    while (gy < n) {
+      var gx = 0
+      while (gx < n) {
+        val x0 = gx * w / n; val x1 = ((gx + 1) * w / n).max(x0 + 1)
+        val y0 = gy * h / n; val y1 = ((gy + 1) * h / n).max(y0 + 1)
+        var s = 0L; var c = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += (px(y * w + x) & 0xff); c += 1; x += 1 }
+          y += 1
+        }
+        g(gy * n + gx) = s.toDouble / c
+        gx += 1
+      }
+      gy += 1
+    }
+    g
+  }
+
+  /** Separable 2-D DCT-II of a 32×32 row-major block (orthonormal). */
+  def dct2(block: Array[Double]): Array[Double] = {
+    val n = 32
+    require(block.length == n * n, s"dct2: 32x32 block expected, got ${block.length}")
+    val c = Dct32
+    val tmp = new Array[Double](n * n) // tmp(y*n+u) = Σ_x C(u,x)·block(y*n+x)
+    var y = 0
+    while (y < n) {
+      var u = 0
+      while (u < n) {
+        var s = 0.0; var x = 0
+        while (x < n) { s += c(u * n + x) * block(y * n + x); x += 1 }
+        tmp(y * n + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](n * n) // out(v*n+u) = Σ_y C(v,y)·tmp(y*n+u)
+    var v = 0
+    while (v < n) {
+      var u = 0
+      while (u < n) {
+        var s = 0.0; var yy = 0
+        while (yy < n) { s += c(v * n + yy) * tmp(yy * n + u); yy += 1 }
+        out(v * n + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** DCT perceptual features of one raster: (64-bit pHash, 64-dim unit
+    * embedding), both from ONE 32×32 downsample + 2-D DCT.
+    *
+    *  - pHash (classic DCT hash): the low-frequency 8×8 coefficient block;
+    *    bit i (i>0, row-major (v,u)) set iff coeff(i) > median of the 63
+    *    AC coefficients; the DC bit (i=0) is always 0. Unlike [[aHash]]
+    *    the threshold is frequency-domain, so local texture survives
+    *    global luminance edits: both hash and embedding are EXACTLY
+    *    invariant to affine pixel maps a·px+b (a>0) — DC absorbs b, the
+    *    median threshold and the L2 normalization absorb a.
+    *  - embedding: the same 64 coefficients with DC zeroed, L2-normalized
+    *    to a unit float vector (all-zero for flat images) — components in
+    *    [-1,1] by construction, which is exactly the contract
+    *    [[graft.ann.Ann]]'s factor-100 triangle quantization assumes.
+    */
+  def dctFeatures(px: Array[Byte], w: Int, h: Int): (Long, Array[Float]) = {
+    val coeffs = dct2(downsampleGrid(px, w, h, 32))
+    val low = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) { low(v * 8 + u) = coeffs(v * 32 + u); u += 1 }
+      v += 1
+    }
+    var norm = 0.0
+    var i = 1
+    while (i < 64) { norm += low(i) * low(i); i += 1 }
+    // energy floor: a flat raster's AC coefficients are ~1e-14 cosine-sum
+    // residue, not signal — without this guard the median threshold and the
+    // L2 normalization amplify numerical noise into a garbage hash/unit
+    // vector (MediaSpec pins hash==0, embedding==0 for flat images)
+    if (norm <= 1e-12) return (0L, new Array[Float](64))
+    val ac = java.util.Arrays.copyOfRange(low, 1, 64)
+    java.util.Arrays.sort(ac)
+    val median = ac(31) // element 31 of the 63 sorted AC coefficients
+    var hash = 0L
+    i = 1
+    while (i < 64) { if (low(i) > median) hash |= 1L << i; i += 1 }
+    val inv = 1.0 / math.sqrt(norm)
+    val emb = new Array[Float](64)
+    i = 1
+    while (i < 64) { emb(i) = (low(i) * inv).toFloat; i += 1 }
+    (hash, emb)
+  }
+
+  val dctSchema: StructType = StructType(Seq(
+    StructField("image_id", StringType, nullable = false),
+    StructField("dct_hash", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  /** Fused decode → DCT pHash + unit embedding in ONE pixel-touching pass
+    * (same InternalRow plane as [[decodeFeatures]]). Input:
+    * (image_id, bytes). Output: (image_id, dct_hash, embedding) — the
+    * bridge from the raw payload column to the engine's fingerprint dedup
+    * ([[imageNearDupPairsDct]]) and ANN/cosine operators
+    * ([[imageCosineNearDupPairs]], [[graft.ann.Ann.cosineTopK]]).
+    */
+  def imageEmbeddings(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+    val spark = df.sparkSession
+    val in = df.select(col("image_id"), col("bytes"))
+    val rdd = Bridge.internalRdd(in).mapPartitions { it =>
+      val scratch = new PngScratch
+      val proj = UnsafeProjection.create(dctSchema)
+      val out = new GenericInternalRow(3)
+      it.map { r: InternalRow =>
+        val bytes = r.getBinary(1)
+        val (px, w, h) = decodePngGrayInto(bytes, scratch) match {
+          case Some((w0, h0)) => (scratch.px, w0, h0)
+          case None => decodePngImageIO(bytes)
+        }
+        val (hash, emb) = dctFeatures(px, w, h)
+        out.update(0, r.getUTF8String(0).copy())
+        out.setLong(1, hash)
+        out.update(2, new GenericArrayData(emb))
+        proj(out).copy(): InternalRow
+      }
+    }
+    Bridge.internalDf(spark, rdd, dctSchema)
+  }
+
+  /** [[imageNearDupPairs]] over the DCT hash instead of aHash: same exact
+    * pigeonhole-banded plan, but the fingerprint is robust to global
+    * luminance/contrast edits (see [[dctFeatures]]). Output: id_1, id_2,
+    * dist.
+    */
+  def imageNearDupPairsDct(df: DataFrame, maxDist: Int,
+                           bucketCap: Int = 0): DataFrame =
+    graft.dedup.Dedup.hammingNearDupPairs(
+      imageEmbeddings(df).select(col("image_id"), col("dct_hash")),
+      "image_id", "dct_hash", maxDist, bits = 64, bucketCap = bucketCap)
+
+  /** Embedding-cosine image near-dup pairs straight from the payload
+    * column: fused decode → unit DCT embedding ([[imageEmbeddings]]), then
+    * the EXACT distributed triangle block join
+    * ([[graft.ann.Ann.embeddingNearDupPairs]], cosine ≥ tauNum/tauDen on
+    * factor-100-quantized vectors — that contract holds because the
+    * embedding is unit-norm). String image ids ride as deterministic
+    * xxhash64 surrogates through the primitive-array kernel and are mapped
+    * back by one join against the tiny (surrogate, id) frame; a surrogate
+    * collision (≈n²/2⁶⁴) could at worst drop one pair, and the same-id
+    * guard inside the kernel means it never fabricates one. Output:
+    * id_1, id_2 (strings, id_1 < id_2), dot (quantized integer dot).
+    */
+  def imageCosineNearDupPairs(df: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    val emb = imageEmbeddings(df)
+      .select(col("image_id"), xxhash64(col("image_id")).as("sid"), col("embedding"))
+    val pairs = graft.ann.Ann.embeddingNearDupPairs(
+      emb, "sid", "embedding", tauNum, tauDen)
+    val ids = emb.select(col("sid"), col("image_id"))
+    val named = pairs
+      .join(ids.withColumnRenamed("image_id", "n1"), col("id_1") === col("sid")).drop("sid")
+      .join(ids.withColumnRenamed("image_id", "n2"), col("id_2") === col("sid")).drop("sid")
+    named.select(
+      least(col("n1"), col("n2")).as("id_1"),
+      greatest(col("n1"), col("n2")).as("id_2"),
+      col("dot"))
+  }
+
   /** Per-row decoded-pixel comparison of two payload columns: exact match
     * count and PSNR (the input_hint acceptance invariant). Input:
     * (image_id, bytes_a, bytes_b). Output adds exact:boolean, psnr:double.

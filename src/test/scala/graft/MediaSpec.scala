@@ -124,6 +124,97 @@ class MediaSpec extends SparkSpecBase {
     assert(planted >= 30, s"only $planted of 40 lossy copies within $maxDist bits")
   }
 
+  test("dctFeatures: hash/embedding survive affine pixel maps; aHash-style near-dups hold") {
+    // exact-integer affine map a=2, b=10 over values ≤ 100: DC absorbs b,
+    // median threshold + L2 normalization absorb a — frequency-domain
+    // features must be (near-)invariant where raw-pixel features are not
+    val w = 40; val h = 24
+    val px = Array.tabulate(w * h)(i => ((i * 37) % 101).toByte)
+    val mapped = px.map(v => (2 * (v & 0xff) + 10).toByte)
+    val (h1, e1) = Media.dctFeatures(px, w, h)
+    val (h2, e2) = Media.dctFeatures(mapped, w, h)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 2,
+      s"affine map moved the DCT hash by ${java.lang.Long.bitCount(h1 ^ h2)} bits")
+    val cos = e1.zip(e2).map { case (a, b) => a.toDouble * b }.sum
+    assert(cos >= 0.9999, s"affine map broke the unit embedding: cos=$cos")
+    // embeddings are unit-norm (non-flat image)
+    val n1 = e1.map(x => x.toDouble * x).sum
+    assert(math.abs(n1 - 1.0) < 1e-6, s"embedding not unit-norm: $n1")
+    // flat image: all-zero embedding, zero hash (no AC energy)
+    val (hFlat, eFlat) = Media.dctFeatures(Array.fill(w * h)(77.toByte), w, h)
+    assert(hFlat === 0L)
+    assert(eFlat.forall(_ == 0.0f))
+  }
+
+  test("imageNearDupPairsDct: banded plan equals brute force; lossy copies within bar") {
+    import spark.implicits._
+    val rows = (0 until 30).flatMap { i =>
+      val px = Media.synthPixels(i.toLong, 32, 32)
+      Seq((f"img$i%03d", Media.encodePng(px, 32, 32)),
+        (f"lossy$i%03d", Media.encodePng(Media.quantize(px), 32, 32)))
+    }
+    val maxDist = 8
+    val got = Media.imageNearDupPairsDct(rows.toDF("image_id", "bytes"), maxDist)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val hashes = rows.map { case (id, bytes) =>
+      val (px, w, h) = Media.decodePng(bytes)
+      (id, Media.dctFeatures(px, w, h)._1)
+    }
+    val exp = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b
+      dist = java.lang.Long.bitCount(ha ^ hb)
+      if dist <= maxDist
+    } yield (a, b, dist)).toSet
+    assert(got === exp)
+    val hmap = hashes.toMap
+    val planted = (0 until 30).count(i =>
+      java.lang.Long.bitCount(hmap(f"img$i%03d") ^ hmap(f"lossy$i%03d")) <= maxDist)
+    assert(planted >= 24, s"only $planted of 30 lossy copies within $maxDist bits")
+  }
+
+  test("imageCosineNearDupPairs: payload-to-pairs equals quantized brute force") {
+    import spark.implicits._
+    val rows = (0 until 25).flatMap { i =>
+      val px = Media.synthPixels(i.toLong, 32, 32)
+      Seq((f"img$i%03d", Media.encodePng(px, 32, 32)),
+        (f"lossy$i%03d", Media.encodePng(Media.quantize(px), 32, 32)))
+    }
+    val (tn, td) = (9, 10)
+    val got = Media.imageCosineNearDupPairs(rows.toDF("image_id", "bytes"), tn, td)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // mirror the factor-100 quantized kernel math on locally decoded pixels
+    val quant = rows.map { case (id, bytes) =>
+      val (px, w, h) = Media.decodePng(bytes)
+      val emb = Media.dctFeatures(px, w, h)._2
+      (id, emb.map(x => math.floor(x.toDouble * 100 + 0.5).toLong))
+    }
+    val tn2 = tn.toLong * tn; val td2 = td.toLong * td
+    val exp = (for {
+      (a, qa) <- quant; (b, qb) <- quant
+      if a < b
+      dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      na = qa.map(x => x * x).sum; nb = qb.map(x => x * x).sum
+      if dot > 0 && dot * dot * td2 >= tn2 * na * nb
+    } yield (a, b, dot)).toSet
+    assert(exp.nonEmpty, "fixture must plant cosine pairs above the bar")
+    assert(got === exp)
+    val planted = exp.count { case (a, b, _) =>
+      a.startsWith("img") && b == "lossy" + a.stripPrefix("img") }
+    assert(planted >= 20, s"only $planted of 25 lossy copies above cosine $tn/$td")
+  }
+
+  test("imageEmbeddings is partition-count independent (determinism)") {
+    import spark.implicits._
+    val rows = (0 until 20).map { i =>
+      (f"img$i%03d", Media.encodePng(Media.synthPixels(i.toLong, 24, 24), 24, 24))
+    }
+    def run(parts: Int) =
+      Media.imageEmbeddings(rows.toDF("image_id", "bytes").repartition(parts))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Float](2))).toSet
+    assert(run(1) === run(7))
+  }
+
   test("fixture generation is partition-count independent (determinism)") {
     val a = GeoFixtures.images(spark, 150).repartition(1)
       .select("image_id", "phash", "lon", "lat", "caption")
