@@ -10,7 +10,7 @@ import graft.knn.Knn
 import graft.tiles.Tiles
 import graft.dfl.Dfl
 import graft.functions.GeoFunctions._
-import graft.text.TextOps
+import graft.text.{Corpus, TextOps}
 import graft.dedup.Dedup
 import graft.ann.Ann
 
@@ -448,6 +448,41 @@ object SparkEntry {
         bits = 16, bucketCap = 64)
         .orderBy("id_1", "id_2")
     }),
+
+    // benchmark decontamination: train docs sharing any 20-char shingle
+    // with the (broadcast) benchmark set get contaminated=true — exact
+    // n-gram overlap, the oracle mirrors the semi-join as EXISTS
+    "q46_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      val train = d.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      Corpus.contaminationFlags(train, bench, "doc_id", "text", n = 20)
+        .select(col("doc_id"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic train/val/test split: pure per-row mix-hash arithmetic,
+    // stable under repartitioning and appends (no RNG, no shuffle)
+    "q47_split_assign" -> ((s, dir) =>
+      Corpus.splitAssign(docs(s, dir), "doc_id",
+        Seq("train" -> 9000, "val" -> 500, "test" -> 500))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
+    // per-domain quota sampling: keep at most 12 docs per source, selected
+    // deterministically by mix-hash order (the domain-cap mixture step)
+    "q48_quota_sample" -> ((s, dir) =>
+      Corpus.quotaSample(docs(s, dir), "source", "doc_id", k = 12)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
+    // token-budget shard packing: concat-and-chunk assignment within hash
+    // buckets — (bucket, pack) is the training-shard key; cost = n_chars
+    "q49_pack_budget" -> ((s, dir) =>
+      Corpus.packBudget(docs(s, dir), "doc_id", "n_chars",
+        budget = 4000L, buckets = 8)
+        .select(col("doc_id"), col("bucket"), col("pack"))
+        .orderBy("doc_id")),
 
     // similarity search: exact top-k by int-quantized dot product
     "q27_ann_dot_topk" -> ((s, dir) => {
@@ -914,6 +949,60 @@ object SparkEntry {
       "q26_simhash" -> simhashSql,
 
       "q45_hamming_neardup" -> hammingNearDupSql,
+
+      // exact n-gram-overlap decontamination: EXISTS over the shared
+      // 20-char shingle mirrors the engine's broadcast semi-join
+      "q46_decontaminate" ->
+        """WITH bsh AS (
+          |  SELECT DISTINCT substr(text, i, 20) AS shingle
+          |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-19)) AS i) g
+          |  WHERE doc_id % 97 = 0
+          |), tsh AS (
+          |  SELECT doc_id, substr(text, i, 20) AS shingle
+          |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-19)) AS i) g
+          |  WHERE doc_id % 97 <> 0
+          |)
+          |SELECT d.doc_id,
+          |       EXISTS(SELECT 1 FROM tsh t JOIN bsh b ON t.shingle = b.shingle
+          |              WHERE t.doc_id = d.doc_id) AS contaminated
+          |FROM documents d WHERE d.doc_id % 97 <> 0
+          |ORDER BY doc_id""".stripMargin,
+
+      "q47_split_assign" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, (${Corpus.mixHashSql("doc_id")}) % 10000 AS bucket
+           |  FROM documents
+           |)
+           |SELECT doc_id,
+           |       CASE WHEN bucket < 9000 THEN 'train'
+           |            WHEN bucket < 9500 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM b ORDER BY doc_id""".stripMargin,
+
+      "q48_quota_sample" ->
+        s"""WITH r AS (
+           |  SELECT doc_id, source,
+           |         ROW_NUMBER() OVER (PARTITION BY source
+           |           ORDER BY ${Corpus.mixHashSql("doc_id")}, doc_id) AS rn
+           |  FROM documents
+           |)
+           |SELECT doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
+
+      "q49_pack_budget" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, n_chars,
+           |         (${Corpus.mixHashSql("doc_id")}) AS h,
+           |         (${Corpus.mixHashSql("doc_id")}) % 8 AS bucket
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, bucket, n_chars,
+           |         SUM(n_chars) OVER (PARTITION BY bucket ORDER BY h, doc_id
+           |           ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM b
+           |)
+           |SELECT doc_id, bucket,
+           |       CAST(FLOOR(CAST(cum - n_chars AS DOUBLE) / 4000) AS BIGINT) AS pack
+           |FROM c ORDER BY doc_id""".stripMargin,
 
       "q30_embedding_neardup" ->
         """WITH q AS (

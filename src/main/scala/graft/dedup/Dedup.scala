@@ -56,11 +56,17 @@ object Dedup {
   /** The shared pre-dedup explode of [[shingles]]/[[packedShingles]] — one
     * (id, carry…, shingle) row per text POSITION, duplicates included.
     */
-  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
-                               n: Int, carry: Seq[String]): DataFrame = {
+  private[graft] def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+                                      n: Int, carry: Seq[String]): DataFrame = {
     val keep = (Seq(idCol, textCol) ++ carry).distinct.map(col)
+    // a doc shorter than n has NO shingles: guard the sequence, because
+    // Spark's sequence(1, stop) DESCENDS when stop < 1 (it would emit
+    // positions 1,0,-1,... and fabricate partial shingles)
+    val positions = when(length(col(textCol)) >= n,
+      sequence(lit(1), length(col(textCol)) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
     df.select(keep: _*)
-      .withColumn("i", explode(sequence(lit(1), length(col(textCol)) - (n - 1))))
+      .withColumn("i", explode(positions))
       .withColumn("shingle", substring_index_pos(col(textCol), col("i"), n))
       .select((Seq(idCol) ++ carry).distinct.map(col) :+ col("shingle"): _*)
   }

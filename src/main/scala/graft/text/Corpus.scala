@@ -1,0 +1,171 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Corpus-assembly operators for large-scale training-data pipelines —
+  * the steps BETWEEN dedup and the trainer: benchmark decontamination,
+  * deterministic dataset splits, per-domain quota sampling, and
+  * token-budget shard packing. Like [[TextOps]], every operator is
+  * builtin-composed (codegen'd, no UDFs) with exact cross-engine
+  * semantics, so each has a DuckDB oracle.
+  *
+  * Reference scope note: go-osm has no corpus stage (it is a planet-file
+  * filter engine, main.go:139–196); these are the engine-addition
+  * operators the brief's training-data pipeline axis calls for.
+  */
+object Corpus {
+
+  /** Modulus of [[mixHash]] — shared with [[TextOps.FingerprintP]]. */
+  val MixP: Long = TextOps.FingerprintP
+  /** Knuth's multiplicative constant (2^32 / φ), the [[mixHash]] mixer. */
+  val MixA: Long = 2654435761L
+
+  /** Engine-independent, overflow-free mix hash of an integer id:
+    * `((id mod P) · A) mod P`. Reducing mod P FIRST bounds the product by
+    * (P−1)·A ≈ 2.7e18 < 2^63, so the arithmetic never overflows for ANY
+    * int64 id — a plain `id · A` would overflow past |id| ≈ 3.5e9, i.e.
+    * exactly at the 10^12-row scale this engine targets. pmod keeps
+    * negative ids well-defined and identical to the SQL mirror.
+    */
+  def mixHash(id: Column): Column =
+    pmod(pmod(id, lit(MixP)) * lit(MixA), lit(MixP))
+
+  /** The SQL mirror of [[mixHash]] for oracle queries (DuckDB `%` matches
+    * pmod for the non-negative left sides produced by the inner mod).
+    */
+  def mixHashSql(idExpr: String): String =
+    s"((($idExpr % $MixP + $MixP) % $MixP) * $MixA) % $MixP"
+
+  // ---- deterministic splits ---------------------------------------------------
+
+  /** Deterministic train/val/test assignment: bucket = [[mixHash]](id) mod
+    * 10000, split = the first label whose cumulative weight (in basis
+    * points) exceeds the bucket. Pure per-row arithmetic — no shuffle, no
+    * RNG, stable under repartitioning, re-runs, and appends (a new row's
+    * split never depends on what else is in the table), which is the
+    * property actual training pipelines need from a split: re-ingesting
+    * the corpus must not migrate documents across the train/eval boundary.
+    * `splits` are (label, basis points) and must sum to 10000.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.map(_._2).sum == 10000,
+      s"split weights must sum to 10000 bp: ${splits.map(_._2).sum}")
+    val bucket = mixHash(col(idCol)) % lit(10000L)
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.zip(cum).foldRight(lit(splits.last._1): Column) {
+      case (((label, _), hi), acc) => when(bucket < hi, lit(label)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
+  // ---- benchmark decontamination ------------------------------------------------
+
+  /** Ids of training documents sharing at least one character n-gram with
+    * any benchmark document — the standard n-gram-overlap eval-set
+    * decontamination test. Scale shape: the benchmark shingle set is
+    * small by contract (eval sets are ~10^5 docs vs 10^12 train), so it is
+    * distinct-ed and BROADCAST; the train side's exploded shingle frame is
+    * then consumed map-side by the left-semi join — the 10^12-row
+    * explosion never crosses an exchange, and only the (tiny) surviving
+    * id set is shuffled for its distinct. Exact string comparison, no
+    * hashing — zero false positives/negatives at the n-gram bar.
+    */
+  def contaminatedIds(train: DataFrame, bench: DataFrame, idCol: String,
+                      textCol: String, n: Int): DataFrame = {
+    val benchSh = Dedup.shingles(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    Dedup.explodedShingles(train, idCol, textCol, n, Nil)
+      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  /** [[contaminatedIds]] as a flag column on the full train frame:
+    * adds `contaminated: boolean`. The flag join broadcasts the (small)
+    * contaminated-id set, so this too is exchange-free on the train side.
+    */
+  def contaminationFlags(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    val ids = contaminatedIds(train, bench, idCol, textCol, n)
+      .withColumn("__cont", lit(true))
+    train.join(broadcast(ids), Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("__cont"), lit(false)))
+      .drop("__cont")
+  }
+
+  /** Training rows with every contaminated document removed. */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame =
+    train.join(broadcast(contaminatedIds(train, bench, idCol, textCol, n)),
+      Seq(idCol), "left_anti")
+
+  // ---- per-domain quota sampling --------------------------------------------------
+
+  /** Keep at most `k` documents per domain, selected deterministically by
+    * [[mixHash]] order (id tie-break) — the domain-cap step that keeps one
+    * giant crawl domain from dominating a mixture. Exactly-k (not a
+    * probabilistic threshold), and the kept set is stable under
+    * repartitioning because the order key is a pure function of the id.
+    *
+    * Scale shape: ONE hash exchange on the domain column feeds both the
+    * sort and the row_number (Spark plans the window as
+    * exchange+sort+window). Domain skew (the reason this operator exists)
+    * is real at 10^12 rows: a single-domain partition is processed by one
+    * task. AQE cannot split a window partition, so for pathological
+    * domains pre-filter with a cheap upper bound first — e.g. keep only
+    * rows with mixHash < (quantile bound) per domain from a broadcast
+    * count frame — then apply this exact pass on the survivors; the
+    * composition stays exactly-k.
+    */
+  def quotaSample(df: DataFrame, domainCol: String, idCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"quota must be >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(mixHash(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  // ---- token-budget shard packing -------------------------------------------------
+
+  /** Concat-and-chunk shard assignment: documents are bucketed by
+    * [[mixHash]](id) mod `buckets`, ordered within each bucket by
+    * (mixHash, id), and cut into packs of at most `budget` cost by the
+    * exclusive running sum — `pack = floor((cumsum − cost) / budget)`,
+    * the standard "concatenate documents, then chunk every `budget`
+    * tokens" assignment of LLM pre-training shard builders (a document
+    * that crosses a boundary starts the pack that its first token lands
+    * in). Output adds `bucket` and `pack` (pack numbering restarts per
+    * bucket; (bucket, pack) is the shard key).
+    *
+    * Scale shape: the window is PARTITIONED BY bucket, so the job is one
+    * hash exchange on bucket and then `buckets`-way parallel — never a
+    * global single-task sort. Size `buckets` so a bucket's rows fit a
+    * task comfortably (10^12 rows / 10^5 buckets = 10^7 rows/task);
+    * because bucket membership is a pure id function, assignments are
+    * deterministic and append-stable per bucket. `cost` is any
+    * non-negative integer column (token count, byte length, n_chars).
+    * The running sum stays < rows·maxCost ≈ 2^53 at any realistic scale,
+    * so the floor-division through double is exact.
+    */
+  def packBudget(df: DataFrame, idCol: String, costCol: String,
+                 budget: Long, buckets: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(mixHash(col(idCol)), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("bucket", mixHash(col(idCol)) % lit(buckets.toLong))
+      .withColumn("__cum", sum(col(costCol).cast("long")).over(w))
+      .withColumn("pack",
+        floor((col("__cum") - col(costCol).cast("long")).cast("double") / lit(budget.toDouble))
+          .cast("long"))
+      .drop("__cum")
+  }
+}

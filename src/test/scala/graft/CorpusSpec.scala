@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Corpus
+
+/** Corpus-assembly operators: decontamination, splits, quota sampling,
+  * budget packing — each checked against a locally computed model of the
+  * exact semantics, plus the stability properties the scaladocs promise
+  * (repartition-invariance, append-stability).
+  */
+class CorpusSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val words = Vector("alpha", "beta", "gamma", "delta", "rho", "sigma")
+
+  /** deterministic doc corpus with planted benchmark overlaps */
+  private lazy val corpus: Seq[(Long, String, String)] = {
+    val rnd = new scala.util.Random(7)
+    (0L until 120L).map { id =>
+      val body = Seq.fill(20)(words(rnd.nextInt(words.length))).mkString(" ")
+      // docs 0,10,20,... carry a long unique marker; docs 5,15,25,... copy
+      // the PREVIOUS marker doc's marker → true contamination when the
+      // marker doc is in the benchmark set
+      val text =
+        if (id % 10 == 0) s"$body unique-marker-fragment-number-${id / 10} tail"
+        else if (id % 10 == 5) s"$body unique-marker-fragment-number-${id / 10} tail"
+        else body
+      (id, text, s"dom${(id % 7)}")
+    }
+  }
+
+  private def mix(id: Long): Long =
+    ((id % Corpus.MixP) * Corpus.MixA) % Corpus.MixP
+
+  test("mixHash: overflow-free and equal to the local model for extreme ids") {
+    val ids = Seq(0L, 1L, 97L, Long.MaxValue, Long.MaxValue - 1, 3400000000L)
+    val got = ids.toDF("id").select(col("id"), Corpus.mixHash(col("id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    ids.foreach { id =>
+      val expected = ((id % Corpus.MixP) * Corpus.MixA) % Corpus.MixP
+      assert(got(id) === expected, s"id=$id")
+      assert(got(id) >= 0 && got(id) < Corpus.MixP)
+    }
+  }
+
+  test("contaminationFlags equals a brute-force n-gram overlap model") {
+    val df = corpus.toDF("doc_id", "text", "source")
+    val bench = df.filter(col("doc_id") % 20 === 0) // the marker docs 0,20,40,...
+    val train = df.filter(col("doc_id") % 20 =!= 0)
+    val n = 25
+    val got = Corpus.contaminationFlags(train, bench, "doc_id", "text", n)
+      .select("doc_id", "contaminated")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val benchSh = corpus.filter(_._1 % 20 == 0)
+      .flatMap(_._2.sliding(n)).toSet
+    val exp = corpus.filter(_._1 % 20 != 0).map { case (id, text, _) =>
+      id -> text.sliding(n).exists(benchSh.contains)
+    }.toMap
+    assert(got === exp)
+    assert(exp.values.count(identity) >= 3, "fixture must plant contaminated docs")
+    assert(exp.values.count(!_) >= 3, "fixture must keep clean docs")
+    // decontaminate = exactly the clean rows
+    val clean = Corpus.decontaminate(train, bench, "doc_id", "text", n)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === exp.filter(!_._2).keySet)
+  }
+
+  test("splitAssign: exact thresholds, repartition- and append-stable") {
+    val df = corpus.toDF("doc_id", "text", "source")
+    val splits = Seq("train" -> 9000, "val" -> 500, "test" -> 500)
+    val got = Corpus.splitAssign(df, "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    corpus.foreach { case (id, _, _) =>
+      val b = mix(id) % 10000
+      val exp = if (b < 9000) "train" else if (b < 9500) "val" else "test"
+      assert(got(id) === exp, s"id=$id bucket=$b")
+    }
+    // append-stability: the same ids in a different (subset) frame get the
+    // same split — assignment is a pure per-row function
+    val subset = Corpus.splitAssign(df.filter(col("doc_id") < 30).repartition(5),
+        "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    subset.foreach { case (id, s) => assert(s === got(id)) }
+  }
+
+  test("splitAssign rejects weights not summing to 10000") {
+    val df = corpus.toDF("doc_id", "text", "source")
+    intercept[IllegalArgumentException] {
+      Corpus.splitAssign(df, "doc_id", Seq("a" -> 1, "b" -> 2))
+    }
+  }
+
+  test("quotaSample: exactly-k per domain, deterministic under repartitioning") {
+    val df = corpus.toDF("doc_id", "text", "source")
+    val k = 4
+    val got = Corpus.quotaSample(df.repartition(7), "source", "doc_id", k)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byDom = got.groupBy(_._2)
+    corpus.groupBy(_._3).foreach { case (dom, rows) =>
+      val expected = rows.map(_._1).sortBy(id => (mix(id), id)).take(k).toSet
+      assert(byDom(dom).map(_._1).toSet === expected, s"domain $dom")
+    }
+    // and stable across a different partitioning
+    val again = Corpus.quotaSample(df.repartition(2), "source", "doc_id", k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === got.map(_._1).toSet)
+  }
+
+  test("packBudget: concat-and-chunk model within buckets; no pack exceeds budget+maxCost") {
+    val df = corpus.toDF("doc_id", "text", "source")
+      .withColumn("cost", length(col("text")).cast("long"))
+    val budget = 300L
+    val buckets = 4
+    val got = Corpus.packBudget(df, "doc_id", "cost", budget, buckets)
+      .select("doc_id", "bucket", "pack").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // local model
+    val costs = corpus.map { case (id, text, _) => id -> text.length.toLong }.toMap
+    val exp = corpus.map(_._1).groupBy(id => mix(id) % buckets).flatMap {
+      case (bucket, ids) =>
+        var cum = 0L
+        ids.sortBy(id => (mix(id), id)).map { id =>
+          val pack = cum / budget
+          cum += costs(id)
+          (id, bucket, pack)
+        }
+    }.toSet
+    assert(got.toSet === exp)
+    // every bucket uses >0 packs and pack ids are dense from 0
+    got.groupBy(_._2).foreach { case (b, rows) =>
+      val packs = rows.map(_._3).toSet
+      assert(packs.min === 0L, s"bucket $b")
+      assert(packs === (0L until packs.size.toLong).toSet, s"bucket $b packs not dense")
+    }
+    // chunk invariant: the summed cost of a pack's docs, minus its last
+    // doc, stays under the budget (a doc may straddle the boundary)
+    got.groupBy(r => (r._2, r._3)).foreach { case ((b, p), rows) =>
+      val ordered = rows.map(_._1).sortBy(id => (mix(id), id))
+      val withoutLast = ordered.dropRight(1).map(costs).sum
+      assert(withoutLast < budget, s"bucket $b pack $p overfilled before its last doc")
+    }
+  }
+}
