@@ -1,0 +1,209 @@
+#!/usr/bin/env python3
+"""Scaling evidence for the image-DCT pipeline (the round-5 image-axis
+additions): `dct_embed` (fused decode -> 32x32 downsample -> truncated 2-D
+DCT -> pHash + unit embedding, 3M payload images, shuffle-free) and
+`image_neardup` (decode -> DCT pHash -> pigeonhole-banded EXACT Hamming
+pairs on a deterministic 150k subsample; the synthetic pattern family
+makes TRUE pair volume quadratic, so the subsample keeps walls in the
+bench window while the pair-generation work stays distributed).
+
+Three measurements, all in ONE continuous session (EPOCH RULE —
+cross-session ratios are corrupted by this host's ~35% drift):
+  1. in-JVM thread-scaling legs (local[8] vs local[32], fresh JVM each,
+     min of REPS after warm-up) for both jobs — comparable to the main
+     bench_scaling.py table, and bounded by this socket's shared DRAM/L3;
+  2. the executor-shaped ladder for dct_embed: 1/2/4 concurrent pinned
+     `local[8]` JVMs over pre-split physical quarter shards
+     (GRAFT_DCT_SHARD) — the honest N vs 4N emulation for a shuffle-free
+     map stage (a real cluster adds zero cross-node traffic);
+  3. same-session AluFloor/MemFloor 4-process host ceilings.
+
+Uses its own fixture dir (/tmp/graft_bench_dct) — the authoritative
+bench_scaling.py fixture is left untouched.
+
+Usage: python3 scripts/bench_dct_scaling.py [reps]   (default 3)
+Prepends a dated section to BENCH_SCALING.md and prints one JSON line.
+"""
+import datetime
+import glob
+import json
+import os
+import pathlib
+import re
+import subprocess
+import sys
+
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+DATA_DIR = os.environ.get("GRAFT_BENCH_DIR", "/tmp/graft_bench_dct")
+N_PAYLOAD = 3_000_000
+REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
+CPUSETS = ["0-7", "8-15", "16-23", "24-31"]
+ADD_OPENS = sum((["--add-opens", p + "=ALL-UNNAMED"] for p in [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"]), [])
+
+JOBS = [
+    ("dct_embed",
+     f"image DCT embed kernel (decode + truncated 32x32 DCT pHash + unit "
+     f"embedding, {N_PAYLOAD // 1_000_000}M images, shuffle-free)"),
+    ("image_neardup",
+     "image near-dup dedup end-to-end (decode + DCT pHash + banded exact "
+     "Hamming pairs, 150k-image subsample, quadratic true-pair volume)"),
+]
+
+
+def sbt(cmd):
+    out = subprocess.run(
+        ["sbt", "-batch", cmd], capture_output=True, text=True,
+        env={**os.environ, "GRAFT_BENCH_DIR": DATA_DIR,
+             "SPARK_DRIVER_MEM": "12g"}).stdout
+    m = re.findall(r'\{.*\}', out)
+    if not m:
+        print(out[-3000:], file=sys.stderr)
+        sys.exit(1)
+    return json.loads(m[-1])
+
+
+def java_leg(main_args, heap, cpuset, log, extra_jvm=(), env_extra=None):
+    f = open(log, "w")
+    cmd = (["taskset", "-c", cpuset, "java"] + ADD_OPENS + [
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        f"-Xmx{heap}", f"-Xms{heap}", "-XX:+UseG1GC", *extra_jvm,
+        "-cp", CP] + list(main_args))
+    return subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT,
+                            env={**os.environ, **(env_extra or {})})
+
+
+def shard_leg(shard, cpuset, log):
+    return java_leg(["graft.BenchScaling", "run", "dct_embed", "8", "1"],
+                    "6g", cpuset, log, extra_jvm=["-XX:+AlwaysPreTouch"],
+                    env_extra={"GRAFT_DCT_SHARD": shard,
+                               "GRAFT_BENCH_DIR": DATA_DIR})
+
+
+def shard_json(log):
+    m = re.findall(r'\{.*\}', open(log).read())
+    if not m:
+        print(open(log).read()[-3000:], file=sys.stderr)
+        sys.exit(1)
+    return json.loads(m[-1])
+
+
+# 1. fixture: only the payload table (+ its quarter shards) is real-sized;
+# everything else the shared prep builds is passed at token size
+print(sbt(f"runMain graft.BenchScaling prep 1000 16 {N_PAYLOAD} "
+          "1000 1000 10000 100 10000"), flush=True)
+
+# 2. in-JVM thread-scaling legs (fresh JVM per (job, cpus), min-of-REPS)
+res = {}
+for job, _ in JOBS:
+    for cpus in (8, 32):
+        res[(job, cpus)] = sbt(f"runMain graft.BenchScaling run {job} {cpus} {REPS}")
+        print(json.dumps(res[(job, cpus)]), flush=True)
+
+# 3. page-cache pre-warm for the ladder shards, then the ladder with reps
+# interleaved across rungs
+for f in glob.glob(f"{DATA_DIR}/images_full_shards/__shard=*/*"):
+    with open(f, "rb") as fh:
+        while fh.read(1 << 22):
+            pass
+secs = {1: [], 2: [], 4: []}
+rowcounts = {}
+for rep in range(REPS):
+    for ways in (1, 2, 4):
+        logs = [f"/tmp/dct_ladder_{ways}w_{i}_{rep}.log" for i in range(ways)]
+        procs = [shard_leg(f"{i}/4", CPUSETS[i], logs[i]) for i in range(ways)]
+        for p in procs:
+            p.wait()
+        outs = [shard_json(l) for l in logs]
+        secs[ways].append(max(o["sec"] for o in outs))
+        rowcounts[ways] = sum(o["rows"] for o in outs)
+        print(json.dumps({"job": "dct_ladder", "ways": ways, "rep": rep,
+                          "max_wall_sec": secs[ways][-1]}), flush=True)
+ladder = {w: min(s) for w, s in secs.items()}
+
+# 4. host controls, same session
+java_leg(["graft.AluFloor", "8", "2"], "12g", CPUSETS[0],
+         "/tmp/alu_dct_1w.log").wait()
+alu_solo = shard_json("/tmp/alu_dct_1w.log")["sec"]
+procs = [java_leg(["graft.AluFloor", "8", "2"], "12g", CPUSETS[i],
+                  f"/tmp/alu_dct_4w_{i}.log") for i in range(4)]
+for p in procs:
+    p.wait()
+alu_four = max(shard_json(f"/tmp/alu_dct_4w_{i}.log")["sec"] for i in range(4))
+java_leg(["graft.MemFloor", "8", "2", "32"], "12g", CPUSETS[0],
+         "/tmp/mem_dct_1w.log").wait()
+mem_solo = shard_json("/tmp/mem_dct_1w.log")["sec"]
+procs = [java_leg(["graft.MemFloor", "8", "2", "32"], "12g", CPUSETS[i],
+                  f"/tmp/mem_dct_4w_{i}.log") for i in range(4)]
+for p in procs:
+    p.wait()
+mem_four = max(shard_json(f"/tmp/mem_dct_4w_{i}.log")["sec"] for i in range(4))
+alu_ceiling, mem_ceiling = alu_solo / alu_four, mem_solo / mem_four
+
+eff2, eff4 = ladder[1] / ladder[2], ladder[1] / ladder[4]
+combined = {"bench": "dct_scaling", "n_payload": N_PAYLOAD, "reps": REPS,
+            "ladder_solo_sec": ladder[1], "ladder_two_way_sec": ladder[2],
+            "ladder_four_way_sec": ladder[4],
+            "ladder_efficiency_2way": round(eff2, 3),
+            "ladder_efficiency_4way": round(eff4, 3),
+            "alu_4proc_ceiling": round(alu_ceiling, 3),
+            "mem_4proc_ceiling": round(mem_ceiling, 3)}
+
+lines = [f"\n## Image-DCT pipeline scaling ({datetime.date.today()})\n",
+         "Round-5 image-axis legs: fused decode → truncated 2-D DCT pHash "
+         "+ unit embedding (`Media.imageEmbeddings`), and the banded "
+         "exact-Hamming image near-dup built on it. One continuous "
+         "session; fresh JVM per leg; min of "
+         f"{REPS} reps after warm-up.\n",
+         "In-JVM thread scaling (`local[8]` vs `local[32]`, same parquet "
+         "input — bounded by this single socket's shared DRAM/L3, like "
+         "every in-JVM image leg in the main table):\n",
+         "| job | output rows | T(8 cores) | T(32 cores) | rows/s @8 | "
+         "rows/s @32 | efficiency (T8/T32)/4 |",
+         "|---|---|---|---|---|---|---|"]
+for job, desc in JOBS:
+    a, b = res[(job, 8)], res[(job, 32)]
+    eff = (a["sec"] / b["sec"]) / 4
+    combined[job] = {"rows": a["rows"], "sec_8": a["sec"], "sec_32": b["sec"],
+                     "rows_per_sec_8": round(a["rows"] / a["sec"]),
+                     "rows_per_sec_32": round(b["rows"] / b["sec"]),
+                     "efficiency": round(eff, 3)}
+    lines.append(f"| {desc} | {a['rows']} | {a['sec']:.2f} s | {b['sec']:.2f} s | "
+                 f"{a['rows']/a['sec']:.0f} | {b['rows']/b['sec']:.0f} | {eff:.3f} |")
+
+lines += [
+    "\ndct_embed executor-shaped ladder (the honest N vs 4N emulation for "
+    "this SHUFFLE-FREE map stage: 1/2/4 concurrent cpuset-pinned "
+    "`local[8]` JVMs, each reading its own pre-split physical quarter "
+    f"shard of {N_PAYLOAD // 4_000_000}×4M images; page-cache pre-warmed; "
+    "reps interleaved across rungs):\n",
+    f"| concurrent 8-core JVMs | images embedded | max wall (min of {REPS}) "
+    "| weak-scaling eff vs solo |",
+    "|---|---|---|---|",
+    f"| 1 | {N_PAYLOAD // 4_000_000}.{(N_PAYLOAD // 400_000) % 10}M | {ladder[1]:.1f} s | 1.000 |",
+    f"| 2 | {N_PAYLOAD // 2_000_000}.{(N_PAYLOAD // 200_000) % 10}M | {ladder[2]:.1f} s | {eff2:.3f} |",
+    f"| 4 | {N_PAYLOAD // 1_000_000}M | {ladder[4]:.1f} s | {eff4:.3f} |",
+    f"\n- Same-session host 4-process ceilings: pure-ALU "
+    f"**{alu_ceiling:.3f}** (AluFloor {alu_solo:.1f} s solo / "
+    f"{alu_four:.1f} s 4-way), pure-streaming **{mem_ceiling:.3f}** "
+    f"(MemFloor {mem_solo:.1f} s / {mem_four:.1f} s). The embed stage "
+    "computes (inflate + DCT) and streams (parquet payload scan), so its "
+    "rungs are bounded by a mix of the two — both are THIS socket's "
+    "shared clock/L3/DRAM and vanish on a real N→4N cluster where every "
+    "node brings its own.",
+    f"- Per-rep walls (rung: reps): 1: {', '.join(f'{s:.1f}' for s in secs[1])} s; "
+    f"2: {', '.join(f'{s:.1f}' for s in secs[2])} s; "
+    f"4: {', '.join(f'{s:.1f}' for s in secs[4])} s.",
+]
+out_path = pathlib.Path(f"{REPO}/BENCH_SCALING.md")
+prior = out_path.read_text() if out_path.exists() else ""
+sep = "\n\n---\n\n" if prior.strip() else "\n"
+out_path.write_text("\n".join(lines) + sep + prior)
+print(json.dumps(combined), flush=True)

@@ -377,6 +377,49 @@ object BenchScaling {
   /** Kernel-only leg: columnar scan + PNG inflate/unfilter, no feature
     * extraction and no output rows — isolates the decode kernel's scaling.
     */
+  /** Image-axis embedding kernel: fused decode → 32×32 downsample →
+    * orthonormal 2-D DCT → pHash + 64-dim unit embedding
+    * ([[graft.media.Media.imageEmbeddings]]) over the payload table.
+    * Pure per-row compute (≈2·32³ mult-adds per image on top of the
+    * inflate), NO shuffle — scaling is bounded only by cores, so this is
+    * the cleanest image-side weak-scaling probe above the decode legs.
+    */
+  def dctEmbedJob(s: SparkSession): Long = {
+    // GRAFT_DCT_SHARD="i/4": physical quarter shard of the payload table
+    // (pre-split directories, as a real executor reads only its own
+    // splits). The stage is a pure map — no shuffle, no broadcast — so
+    // concurrent quarter-shard JVMs emulate N vs 4N executors exactly.
+    val imgs = sys.env.get("GRAFT_DCT_SHARD") match {
+      case Some(spec) =>
+        val Array(i, n) = spec.split("/").map(_.trim.toInt)
+        require(n == 4, s"GRAFT_DCT_SHARD=$spec: prep writes 4 physical shards")
+        s.read.parquet(s"$dataDir/images_full_shards/__shard=$i")
+      case None => s.read.parquet(s"$dataDir/images_full")
+    }
+    graft.media.Media.imageEmbeddings(imgs).count()
+  }
+
+  /** End-to-end image near-dup dedup: decode → DCT pHash →
+    * pigeonhole-banded EXACT Hamming pairs
+    * ([[graft.media.Media.imageNearDupPairsDct]]) — the [[dctEmbedJob]]
+    * map stage plus ONE band-key shuffle of (maxDist+1)·n 16-byte rows
+    * and the in-row verify. The mega-bucket guard is armed: synthetic
+    * corpora concentrate a few low-energy hash patterns into giant bands.
+    */
+  def imageNearDupJob(s: SparkSession): Long = {
+    // deterministic 1-in-20 subsample of the payload table: the synthetic
+    // generator draws from a small pattern family (~2.2k distinct DCT
+    // hashes per 100k images), so TRUE pair volume is quadratic in corpus
+    // size — 150k images yield ~30M pairs, the full 3M would yield ~12B.
+    // The quadratic pair GENERATION is distributed (triangle blocks under
+    // bucketCap), so the leg still measures parallel work, with walls that
+    // fit the bench window.
+    val imgs = s.read.parquet(s"$dataDir/images_full")
+      .filter(pmod(substring(col("image_id"), 4, 9).cast("long"), lit(20)) === 0)
+    graft.media.Media.imageNearDupPairsDct(imgs, maxDist = 4, bucketCap = 256)
+      .count()
+  }
+
   def decodeKernelJob(s: SparkSession): Long = {
     import org.apache.spark.sql.graftbridge.Bridge
     val in = s.read.parquet(s"$dataDir/images_full").select(col("image_id"), col("bytes"))
@@ -389,12 +432,9 @@ object BenchScaling {
       it.foreach { b =>
         var r = 0
         while (r < b.numRows()) {
-          val arr = b.column(byIdx).getArray(r)
-          val plen = arr.numElements()
-          val buf = scratch.ensurePayload(plen)
-          var i = 0
-          while (i < plen) { buf(i) = arr.getByte(i); i += 1 }
-          require(graft.media.Media.decodePngGrayInto(buf, plen, scratch).isDefined)
+          val plen = graft.media.Media.stagePayload(b.column(byIdx), r, scratch)
+          require(graft.media.Media.decodePngGrayInto(
+            scratch.payload, plen, scratch).isDefined)
           n += 1; r += 1
         }
       }
@@ -442,6 +482,17 @@ object BenchScaling {
         graft.geo.GeoFixtures.images(prep, nPayload)
           .repartition(256)
           .write.mode("overwrite").parquet(s"$dataDir/images_full")
+      }
+      once(s"_READY_FULLS_$nPayload") { prep =>
+        // physical quarter shards of the payload table for the dct_embed
+        // executor ladder (GRAFT_DCT_SHARD) — same pattern as images_lite:
+        // image_id is "img" + 9 digits; suffix mod 4 splits evenly
+        prep.read.parquet(s"$dataDir/images_full")
+          .withColumn("__shard",
+            pmod(substring(col("image_id"), 4, 9).cast("long"), lit(4)))
+          .repartition(64)
+          .write.partitionBy("__shard").mode("overwrite")
+          .parquet(s"$dataDir/images_full_shards")
       }
       val nDocs = args.lift(4).map(_.toLong).getOrElse(100000L)
       val nEmb = args.lift(5).map(_.toLong).getOrElse(24000L)
@@ -534,6 +585,8 @@ object BenchScaling {
         case "decode_row" => decodeRowJob
         case "decode_scan" => decodeScanJob
         case "decode_kernel" => decodeKernelJob
+        case "dct_embed" => dctEmbedJob
+        case "image_neardup" => imageNearDupJob
         case "dedupe_decision" => dedupeDecisionJob
         case "dedupe_sig" => dedupeSigJob
         case "dedupe_cand" => dedupeCandJob

@@ -484,6 +484,15 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), col("pack"))
         .orderBy("doc_id")),
 
+    // mixture-epoch expansion: 2.5 epochs of src0/src1, quarter-epoch
+    // downsample of src2/src3, one epoch elsewhere — fractional copies
+    // decided deterministically per doc by mix-hash bucket
+    "q50_mixture_expand" -> ((s, dir) =>
+      Corpus.mixtureExpand(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 25000, "src1" -> 25000, "src2" -> 2500, "src3" -> 2500))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")),
+
     // similarity search: exact top-k by int-quantized dot product
     "q27_ann_dot_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -987,6 +996,23 @@ object SparkEntry {
            |  FROM documents
            |)
            |SELECT doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
+
+      "q50_mixture_expand" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, source,
+           |         CASE WHEN source IN ('src0','src1') THEN 25000
+           |              WHEN source IN ('src2','src3') THEN 2500
+           |              ELSE 10000 END AS bp,
+           |         (${Corpus.mixHashSql("doc_id")}) % 10000 AS bucket
+           |  FROM documents
+           |), r AS (
+           |  SELECT doc_id, source,
+           |         bp // 10000 + CASE WHEN bucket < bp % 10000 THEN 1 ELSE 0 END AS reps
+           |  FROM w
+           |)
+           |SELECT doc_id, source, CAST(e AS INT) AS epoch
+           |FROM r, LATERAL (SELECT unnest(generate_series(1, reps)) AS e) g
+           |ORDER BY doc_id, epoch""".stripMargin,
 
       "q49_pack_budget" ->
         s"""WITH b AS (

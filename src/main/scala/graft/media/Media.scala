@@ -186,6 +186,35 @@ object Media {
   def decodePng(bytes: Array[Byte]): (Array[Byte], Int, Int) =
     decodePngGray(bytes).getOrElse(decodePngImageIO(bytes))
 
+  /** Stage one binary payload off a parquet column vector into the reused
+    * scratch buffer; returns the payload length. The zero-copy accessor —
+    * `getArray` — is NOT dictionary-aware in Spark's WritableColumnVector:
+    * on dictionary-encoded pages the array offsets/lengths are never
+    * populated, so it returns 0-length views while `getBinary` (which IS
+    * dict-aware) returns the real bytes. A column chunk stays fully
+    * dictionary-encoded exactly when its distinct-value footprint is small
+    * (tiny files, highly repetitive payloads) — there `getBinary`'s
+    * per-row allocation is harmless; everywhere else the zero-copy path
+    * runs. Found the hard way: a 100k-image fixture (~390 rows per file
+    * after repartition(256)) decoded as all-empty payloads.
+    */
+  def stagePayload(cv: org.apache.spark.sql.vectorized.ColumnVector, r: Int,
+                   scratch: PngScratch): Int = cv match {
+    case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector
+        if w.hasDictionary =>
+      val b = w.getBinary(r)
+      val buf = scratch.ensurePayload(b.length)
+      System.arraycopy(b, 0, buf, 0, b.length)
+      b.length
+    case _ =>
+      val arr = cv.getArray(r)
+      val plen = arr.numElements()
+      val buf = scratch.ensurePayload(plen)
+      var i = 0
+      while (i < plen) { buf(i) = arr.getByte(i); i += 1 }
+      plen
+  }
+
   private def decodePngImageIO(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
     ImageIO.setUseCache(false) // the default disk cache serializes threads
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
@@ -343,12 +372,10 @@ object Media {
             (0 until batch.numRows()).iterator.map { r =>
               // stage the payload into a REUSED buffer straight off the
               // column vector (getBinary would allocate a fresh array per
-              // image — at 1M img/s that alone is GB/s of garbage)
-              val arr = byCol.getArray(r)
-              val plen = arr.numElements()
-              val buf = scratch.ensurePayload(plen)
-              var bi = 0
-              while (bi < plen) { buf(bi) = arr.getByte(bi); bi += 1 }
+              // image — at 1M img/s that alone is GB/s of garbage);
+              // dictionary-encoded pages take getBinary via stagePayload
+              val plen = stagePayload(byCol, r, scratch)
+              val buf = scratch.payload
               val (px, w, h) = decodePngGrayInto(buf, plen, scratch) match {
                 case Some((w0, h0)) => (scratch.px, w0, h0)
                 case None => decodePngImageIO(java.util.Arrays.copyOf(buf, plen))
@@ -496,6 +523,13 @@ object Media {
     */
   def downsampleGrid(px: Array[Byte], w: Int, h: Int, n: Int): Array[Double] = {
     val g = new Array[Double](n * n)
+    downsampleGridInto(px, w, h, n, g)
+    g
+  }
+
+  /** [[downsampleGrid]] into a caller-owned buffer (hot path: no alloc). */
+  def downsampleGridInto(px: Array[Byte], w: Int, h: Int, n: Int,
+                         g: Array[Double]): Unit = {
     var gy = 0
     while (gy < n) {
       var gx = 0
@@ -514,7 +548,6 @@ object Media {
       }
       gy += 1
     }
-    g
   }
 
   /** Separable 2-D DCT-II of a 32×32 row-major block (orthonormal). */
@@ -565,14 +598,62 @@ object Media {
     *    [[graft.ann.Ann]]'s factor-100 triangle quantization assumes.
     */
   def dctFeatures(px: Array[Byte], w: Int, h: Int): (Long, Array[Float]) = {
-    val coeffs = dct2(downsampleGrid(px, w, h, 32))
+    val s = new DctScratch
+    val hash = dctFeaturesInto(px, w, h, s)
+    (hash, s.emb.clone())
+  }
+
+  /** Reusable per-thread workspace of [[dctFeaturesInto]] — the hot-path
+    * form allocates NOTHING per image (3M images × ~25 KB of fresh
+    * arrays/image measured as the dominant non-compute cost of the
+    * allocating form). After a call, `emb` holds the unit embedding until
+    * the next call.
+    */
+  final class DctScratch {
+    val grid = new Array[Double](32 * 32)
+    val tmp = new Array[Double](32 * 8)
     val low = new Array[Double](64)
+    val ac = new Array[Double](63)
+    val emb = new Array[Float](64)
+  }
+
+  /** Allocation-free [[dctFeatures]]: returns the pHash, leaves the unit
+    * embedding in `s.emb`. Identical math with one structural shortcut:
+    * only the 8×8 low-frequency block feeds the hash and embedding, so the
+    * separable DCT is TRUNCATED — pass 1 computes u<8 only (32×8 instead
+    * of 32×32 sums), pass 2 v<8 only (8×8) — 10k mult-adds per image
+    * instead of the full transform's 65k. MediaSpec pins equality of the
+    * truncated block against the full [[dct2]]'s corner.
+    */
+  def dctFeaturesInto(px: Array[Byte], w: Int, h: Int, s: DctScratch): Long = {
+    downsampleGridInto(px, w, h, 32, s.grid)
+    val c = Dct32
+    val n = 32
+    // tmp(y*8+u) = Σ_x C(u,x)·grid(y*n+x), u < 8 only
+    var y = 0
+    while (y < n) {
+      var u = 0
+      while (u < 8) {
+        var sum = 0.0; var x = 0
+        while (x < n) { sum += c(u * n + x) * s.grid(y * n + x); x += 1 }
+        s.tmp(y * 8 + u) = sum
+        u += 1
+      }
+      y += 1
+    }
+    // low(v*8+u) = Σ_y C(v,y)·tmp(y*8+u), v < 8 only
     var v = 0
     while (v < 8) {
       var u = 0
-      while (u < 8) { low(v * 8 + u) = coeffs(v * 32 + u); u += 1 }
+      while (u < 8) {
+        var sum = 0.0; var yy = 0
+        while (yy < n) { sum += c(v * n + yy) * s.tmp(yy * 8 + u); yy += 1 }
+        s.low(v * 8 + u) = sum
+        u += 1
+      }
       v += 1
     }
+    val low = s.low
     var norm = 0.0
     var i = 1
     while (i < 64) { norm += low(i) * low(i); i += 1 }
@@ -580,18 +661,18 @@ object Media {
     // residue, not signal — without this guard the median threshold and the
     // L2 normalization amplify numerical noise into a garbage hash/unit
     // vector (MediaSpec pins hash==0, embedding==0 for flat images)
-    if (norm <= 1e-12) return (0L, new Array[Float](64))
-    val ac = java.util.Arrays.copyOfRange(low, 1, 64)
-    java.util.Arrays.sort(ac)
-    val median = ac(31) // element 31 of the 63 sorted AC coefficients
+    if (norm <= 1e-12) { java.util.Arrays.fill(s.emb, 0.0f); return 0L }
+    System.arraycopy(low, 1, s.ac, 0, 63)
+    java.util.Arrays.sort(s.ac)
+    val median = s.ac(31) // element 31 of the 63 sorted AC coefficients
     var hash = 0L
     i = 1
     while (i < 64) { if (low(i) > median) hash |= 1L << i; i += 1 }
     val inv = 1.0 / math.sqrt(norm)
-    val emb = new Array[Float](64)
+    s.emb(0) = 0.0f
     i = 1
-    while (i < 64) { emb(i) = (low(i) * inv).toFloat; i += 1 }
-    (hash, emb)
+    while (i < 64) { s.emb(i) = (low(i) * inv).toFloat; i += 1 }
+    hash
   }
 
   val dctSchema: StructType = StructType(Seq(
@@ -610,27 +691,71 @@ object Media {
   def imageEmbeddings(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
-    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.codegen.{UnsafeArrayWriter, UnsafeRowWriter}
 
     val spark = df.sparkSession
     val in = df.select(col("image_id"), col("bytes"))
-    val rdd = Bridge.internalRdd(in).mapPartitions { it =>
+
+    // Direct UnsafeRow assembly (the shape codegen emits for a struct with
+    // an array field): the alternative — GenericInternalRow + projection —
+    // BOXES the 64 floats per row (GenericArrayData's float[] ctor copies
+    // to Object[]); this path writes them straight into the reused row
+    // buffer. Combined with the DctScratch and the buffer-reuse output
+    // contract (buffering consumers copy), the whole stage allocates
+    // nothing per image.
+    abstract class RowFn {
       val scratch = new PngScratch
-      val proj = UnsafeProjection.create(dctSchema)
-      val out = new GenericInternalRow(3)
-      it.map { r: InternalRow =>
-        val bytes = r.getBinary(1)
-        val (px, w, h) = decodePngGrayInto(bytes, scratch) match {
-          case Some((w0, h0)) => (scratch.px, w0, h0)
-          case None => decodePngImageIO(bytes)
-        }
-        val (hash, emb) = dctFeatures(px, w, h)
-        out.update(0, r.getUTF8String(0).copy())
-        out.setLong(1, hash)
-        out.update(2, new GenericArrayData(emb))
-        proj(out).copy(): InternalRow
+      val dct = new DctScratch
+      private val rowWriter = new UnsafeRowWriter(3)
+      private val arrWriter = new UnsafeArrayWriter(rowWriter, 4)
+      def emit(id: org.apache.spark.unsafe.types.UTF8String,
+                         hash: Long): InternalRow = {
+        rowWriter.reset()
+        rowWriter.zeroOutNullBytes()
+        rowWriter.write(0, id)
+        rowWriter.write(1, hash)
+        val prev = rowWriter.cursor()
+        arrWriter.initialize(64)
+        var i = 0
+        while (i < 64) { arrWriter.write(i, dct.emb(i)); i += 1 }
+        rowWriter.setOffsetAndSizeFromPreviousCursor(2, prev)
+        rowWriter.getRow
       }
+      def hashOf(buf: Array[Byte], len: Int): Long =
+        decodePngGrayInto(buf, len, scratch) match {
+          case Some((w0, h0)) => dctFeaturesInto(scratch.px, w0, h0, dct)
+          case None =>
+            val (px, w, h) = decodePngImageIO(java.util.Arrays.copyOf(buf, len))
+            dctFeaturesInto(px, w, h, dct)
+        }
+    }
+
+    val rdd = Bridge.columnarScan(in) match {
+      case Some((batches, names)) if names.contains("image_id") && names.contains("bytes") =>
+        // columnar fast path: payload staged into a reused buffer straight
+        // off the parquet column vectors (getBinary would allocate per row)
+        val idIdx = names.indexOf("image_id")
+        val byIdx = names.indexOf("bytes")
+        batches.mapPartitions { it =>
+          val fn = new RowFn {}
+          it.flatMap { batch =>
+            val idCol = batch.column(idIdx)
+            val byCol = batch.column(byIdx)
+            (0 until batch.numRows()).iterator.map { r =>
+              val plen = stagePayload(byCol, r, fn.scratch)
+              fn.emit(idCol.getUTF8String(r),
+                fn.hashOf(fn.scratch.payload, plen)): InternalRow
+            }
+          }
+        }
+      case _ =>
+        Bridge.internalRdd(in).mapPartitions { it =>
+          val fn = new RowFn {}
+          it.map { r: InternalRow =>
+            val bytes = r.getBinary(1)
+            fn.emit(r.getUTF8String(0), fn.hashOf(bytes, bytes.length)): InternalRow
+          }
+        }
     }
     Bridge.internalDf(spark, rdd, dctSchema)
   }

@@ -131,6 +131,37 @@ object Corpus {
       .drop("__rn")
   }
 
+  // ---- mixture-epoch expansion ----------------------------------------------------
+
+  /** Deterministic mixture up/down-sampling: each document is emitted
+    * `weight` times in expectation, where `weight` is its domain's epoch
+    * count in basis points (25000 = 2.5 epochs, 2500 = keep 1 in 4). The
+    * integer part replicates whole copies; the fractional part emits one
+    * extra copy iff [[mixHash]](id) mod 10000 < frac — so a 2.5-epoch
+    * domain gets exactly 2 or 3 copies per doc, deterministically by id,
+    * and a 0.25-epoch domain keeps exactly the docs a [[splitAssign]]-style
+    * bucket selects. Output repeats the input row with `epoch` = 1..reps
+    * (docs with reps = 0 are dropped). Pure per-row arithmetic + explode:
+    * no shuffle, append-stable, and re-runs produce the identical corpus —
+    * the property mixture builders need so shard hashes are reproducible.
+    * Domains absent from `weightsBp` default to 10000 (one epoch).
+    */
+  def mixtureExpand(df: DataFrame, idCol: String, domainCol: String,
+                    weightsBp: Map[String, Int]): DataFrame = {
+    require(weightsBp.values.forall(_ >= 0), "epoch weights must be >= 0")
+    val w = weightsBp.foldRight(lit(10000): Column) { case ((dom, bp), acc) =>
+      when(col(domainCol) === dom, lit(bp)).otherwise(acc)
+    }
+    val reps = (w / lit(10000)).cast("int") +
+      when(mixHash(col(idCol)) % lit(10000L) < (w % lit(10000)).cast("long"), lit(1))
+        .otherwise(lit(0))
+    // sequence(1, 0) DESCENDS in Spark (it would emit epochs 1 and 0):
+    // guard reps = 0 with an explicit empty array so the row is dropped
+    val epochs = when(reps >= 1, sequence(lit(1), reps))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("epoch", explode(epochs))
+  }
+
   // ---- token-budget shard packing -------------------------------------------------
 
   /** Concat-and-chunk shard assignment: documents are bucketed by

@@ -110,6 +110,29 @@ class CorpusSpec extends SparkSpecBase {
     assert(again === got.map(_._1).toSet)
   }
 
+  test("mixtureExpand: fractional epochs match the per-id model; zero-weight drops") {
+    val df = corpus.toDF("doc_id", "text", "source")
+    val weights = Map("dom0" -> 25000, "dom1" -> 10000, "dom2" -> 2500, "dom3" -> 0)
+    val got = Corpus.mixtureExpand(df, "doc_id", "source", weights)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toList
+    val exp = corpus.flatMap { case (id, _, dom) =>
+      val bp = weights.getOrElse(dom, 10000)
+      val reps = bp / 10000 + (if (mix(id) % 10000 < bp % 10000) 1 else 0)
+      (1 to reps).map(e => (id, e))
+    }.toList
+    assert(got.sorted === exp.sorted)
+    // the fixture exercises every branch: whole copies, fractional extra,
+    // fractional drop, zero-weight drop, and the one-epoch default
+    val byDom = corpus.groupBy(_._3).view.mapValues(_.map(_._1)).toMap
+    val gotIds = got.map(_._1).toSet
+    assert(byDom("dom3").forall(id => !gotIds.contains(id)), "dom3 must drop")
+    assert(byDom("dom0").forall(id => got.count(_._1 == id) >= 2), "dom0 >= 2 copies")
+    assert(byDom("dom0").exists(id => got.count(_._1 == id) == 3), "dom0 plants a 3-copy doc")
+    assert(byDom("dom2").exists(id => gotIds.contains(id)), "dom2 keeps some")
+    assert(byDom("dom2").exists(id => !gotIds.contains(id)), "dom2 drops some")
+  }
+
   test("packBudget: concat-and-chunk model within buckets; no pack exceeds budget+maxCost") {
     val df = corpus.toDF("doc_id", "text", "source")
       .withColumn("cost", length(col("text")).cast("long"))

@@ -146,6 +146,29 @@ class MediaSpec extends SparkSpecBase {
     assert(eFlat.forall(_ == 0.0f))
   }
 
+  test("truncated DCT (dctFeaturesInto) equals the full dct2 corner bit-exactly") {
+    val w = 48; val h = 32
+    val px = Media.synthPixels(123L, w, h)
+    val full = Media.dct2(Media.downsampleGrid(px, w, h, 32))
+    val s = new Media.DctScratch
+    val hash = Media.dctFeaturesInto(px, w, h, s)
+    // same summation order → identical doubles, not just close
+    val low = new Array[Double](64)
+    for (v <- 0 until 8; u <- 0 until 8) low(v * 8 + u) = full(v * 32 + u)
+    val (hashPure, embPure) = Media.dctFeatures(px, w, h)
+    assert(hash === hashPure)
+    assert(s.emb.toSeq === embPure.toSeq)
+    // reconstruct hash/embedding from the full-transform corner
+    val norm = (1 until 64).map(i => low(i) * low(i)).sum
+    val ac = (1 until 64).map(low).sorted
+    val median = ac(31)
+    var expHash = 0L
+    (1 until 64).foreach(i => if (low(i) > median) expHash |= 1L << i)
+    assert(hash === expHash)
+    val inv = 1.0 / math.sqrt(norm)
+    (1 until 64).foreach(i => assert(s.emb(i) === (low(i) * inv).toFloat, s"i=$i"))
+  }
+
   test("imageNearDupPairsDct: banded plan equals brute force; lossy copies within bar") {
     import spark.implicits._
     val rows = (0 until 30).flatMap { i =>
@@ -248,6 +271,35 @@ class MediaSpec extends SparkSpecBase {
       .columnarScan(scan.sample(0.5, 42L).select("image_id", "bytes")).isEmpty)
     assert(org.apache.spark.sql.graftbridge.Bridge
       .columnarScan(scan.limit(10).select("image_id", "bytes")).isEmpty)
+  }
+
+  test("columnar staging survives dictionary-encoded payload pages") {
+    import spark.implicits._
+    // repeated payloads make parquet KEEP the dictionary encoding (unique
+    // values trip its compression-fallback to plain) — the layout where
+    // WritableColumnVector.getArray returns 0-length views (offsets are
+    // never populated for dict pages) while getBinary decodes via the
+    // dictionary; stagePayload must route around it
+    val dir = java.nio.file.Files.createTempDirectory("media_dict").toString
+    val five = (0 until 5).map(i =>
+      Media.encodePng(Media.synthPixels(i.toLong, 32, 32), 32, 32))
+    val rows = (0 until 200).map(i => (f"img$i%03d", five(i % 5)))
+    rows.toDF("image_id", "bytes").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/imgs")
+    val scan = spark.read.parquet(s"$dir/imgs")
+    assert(org.apache.spark.sql.graftbridge.Bridge
+      .columnarScan(scan.select("image_id", "bytes")).isDefined)
+    val rowPath = Media.imageFeatures(scan).collect().map(_.toSeq).toSet
+    val colPath = Media.imageFeaturesColumnar(scan).collect().map(_.toSeq).toSet
+    assert(colPath === rowPath)
+    assert(colPath.size === 200)
+    // the embedding stage rides the same staging
+    val embRow = Media.imageEmbeddings(scan.repartition(3))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Float](2))).toSet
+    val embCol = Media.imageEmbeddings(scan)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Float](2))).toSet
+    assert(embCol === embRow)
+    assert(embCol.size === 200)
   }
 
   test("decode bounds-checks chunk lengths against the payload limit") {
