@@ -182,7 +182,7 @@ lines += [
     "\ndct_embed executor-shaped ladder (the honest N vs 4N emulation for "
     "this SHUFFLE-FREE map stage: 1/2/4 concurrent cpuset-pinned "
     "`local[8]` JVMs, each reading its own pre-split physical quarter "
-    f"shard of {N_PAYLOAD // 4_000_000}×4M images; page-cache pre-warmed; "
+    f"shard of {N_PAYLOAD / 4_000_000:.2f}M images; page-cache pre-warmed; "
     "reps interleaved across rungs):\n",
     f"| concurrent 8-core JVMs | images embedded | max wall (min of {REPS}) "
     "| weak-scaling eff vs solo |",
