@@ -470,9 +470,12 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // per-domain quota sampling: keep at most 12 docs per source, selected
-    // deterministically by mix-hash order (the domain-cap mixture step)
+    // deterministically by mix-hash order (the domain-cap mixture step).
+    // Runs the SKEW-SAFE composition (map-side bounded per-domain top-k
+    // prefilter, then the exact window) — proven output-identical to the
+    // plain window, so the oracle needn't model the prefilter
     "q48_quota_sample" -> ((s, dir) =>
-      Corpus.quotaSample(docs(s, dir), "source", "doc_id", k = 12)
+      Corpus.quotaSampleSkewSafe(docs(s, dir), "source", "doc_id", k = 12)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 

@@ -131,6 +131,93 @@ object Corpus {
       .drop("__rn")
   }
 
+  /** Map-side survivor cut for [[quotaSample]]: within each INPUT
+    * partition, keep only each domain's `k` smallest (mixHash, id) rows —
+    * a bounded per-domain max-heap in one `mapPartitions` pass, NO
+    * shuffle. Every row of the global per-domain top-k survives its own
+    * partition's cut (the same partition-invariance argument as the kNN
+    * partial top-k), so composing the exact window after this prefilter
+    * is output-identical while the exchange carries at most
+    * k·inputPartitions rows per domain instead of the domain's full row
+    * count — the skew cap for the one-giant-domain corpora this operator
+    * exists for. Returns the survivor frame with the input schema.
+    */
+  def quotaPrefilter(df: DataFrame, domainCol: String, idCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"quota must be >= 1: $k")
+    val spark = df.sparkSession
+    val schema = df.schema
+    val domIdx = schema.fieldIndex(domainCol)
+    val idIdx = schema.fieldIndex(idCol)
+    require(schema(domIdx).dataType == org.apache.spark.sql.types.StringType,
+      s"$domainCol must be string: ${schema(domIdx).dataType}")
+    require(schema(idIdx).dataType == org.apache.spark.sql.types.LongType,
+      s"$idCol must be bigint: ${schema(idIdx).dataType}")
+    val rdd = org.apache.spark.sql.graftbridge.Bridge.internalRdd(df)
+      .mapPartitions { it =>
+        // per-domain bounded max-heap of (h, id) with the row riding along;
+        // heap root = worst kept, so a non-qualifying row costs one compare
+        final class Heap {
+          val h = new Array[Long](k)
+          val id = new Array[Long](k)
+          val row = new Array[org.apache.spark.sql.catalyst.InternalRow](k)
+          var n = 0
+          @inline def worse(h1: Long, i1: Long, h2: Long, i2: Long): Boolean =
+            h1 > h2 || (h1 == h2 && i1 > i2)
+          def offer(hv: Long, iv: Long,
+                    r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+            if (n < k) {
+              var c = n; h(c) = hv; id(c) = iv; row(c) = r.copy(); n += 1
+              while (c > 0 && worse(h(c), id(c), h((c - 1) / 2), id((c - 1) / 2))) {
+                val p = (c - 1) / 2
+                val th = h(c); val ti = id(c); val tr = row(c)
+                h(c) = h(p); id(c) = id(p); row(c) = row(p)
+                h(p) = th; id(p) = ti; row(p) = tr
+                c = p
+              }
+            } else if (worse(h(0), id(0), hv, iv)) {
+              h(0) = hv; id(0) = iv; row(0) = r.copy()
+              var c = 0
+              var go = true
+              while (go) {
+                val l = 2 * c + 1; val rr = 2 * c + 2
+                var m = c
+                if (l < n && worse(h(l), id(l), h(m), id(m))) m = l
+                if (rr < n && worse(h(rr), id(rr), h(m), id(m))) m = rr
+                if (m == c) go = false
+                else {
+                  val th = h(c); val ti = id(c); val tr = row(c)
+                  h(c) = h(m); id(c) = id(m); row(c) = row(m)
+                  h(m) = th; id(m) = ti; row(m) = tr
+                  c = m
+                }
+              }
+            }
+          }
+        }
+        val byDom = new scala.collection.mutable.HashMap[String, Heap]
+        it.foreach { r =>
+          val dom = r.getUTF8String(domIdx).toString
+          val iv = r.getLong(idIdx)
+          val hv = ((iv % MixP + MixP) % MixP) * MixA % MixP
+          byDom.getOrElseUpdate(dom, new Heap).offer(hv, iv, r)
+        }
+        byDom.valuesIterator.flatMap(hp => hp.row.iterator.take(hp.n))
+      }
+    org.apache.spark.sql.graftbridge.Bridge.internalDf(spark, rdd, schema)
+  }
+
+  /** [[quotaSample]] with the skew cap armed: the map-side
+    * [[quotaPrefilter]] bounds what reaches the window's domain exchange,
+    * then the exact window runs on the survivors. Output-identical to
+    * [[quotaSample]] (CorpusSpec proves equality on a skewed fixture at
+    * several partitionings); use this form when a single domain can be a
+    * significant fraction of the table.
+    */
+  def quotaSampleSkewSafe(df: DataFrame, domainCol: String, idCol: String,
+                          k: Int): DataFrame =
+    quotaSample(quotaPrefilter(df, domainCol, idCol, k), domainCol, idCol, k)
+
   // ---- mixture-epoch expansion ----------------------------------------------------
 
   /** Deterministic mixture up/down-sampling: each document is emitted

@@ -110,6 +110,30 @@ class CorpusSpec extends SparkSpecBase {
     assert(again === got.map(_._1).toSet)
   }
 
+  test("quotaSampleSkewSafe equals quotaSample on a skewed corpus; prefilter bounds the exchange") {
+    // one giant domain (5k rows) + small ones — the shape the skew cap
+    // exists for
+    val skewed = (0L until 5000L).map(id => (id, s"t$id", "whale")) ++
+      (5000L until 5200L).map(id => (id, s"t$id", s"dom${id % 11}"))
+    val df = skewed.toDF("doc_id", "text", "source")
+    val k = 7
+    val exact = Corpus.quotaSample(df, "source", "doc_id", k)
+      .select("doc_id").as[Long].collect().toSet
+    for (parts <- Seq(1, 4, 13)) {
+      val got = Corpus.quotaSampleSkewSafe(df.repartition(parts), "source", "doc_id", k)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === exact, s"parts=$parts")
+      // the prefilter's survivor frame is what reaches the window's
+      // exchange: at most k rows per (domain, input partition)
+      val surv = Corpus.quotaPrefilter(df.repartition(parts), "source", "doc_id", k)
+        .groupBy("source").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(surv("whale") <= parts.toLong * k,
+        s"whale survivors ${surv("whale")} > $parts*$k")
+      surv.values.foreach(c => assert(c <= parts.toLong * k))
+    }
+  }
+
   test("mixtureExpand: fractional epochs match the per-id model; zero-weight drops") {
     val df = corpus.toDF("doc_id", "text", "source")
     val weights = Map("dom0" -> 25000, "dom1" -> 10000, "dom2" -> 2500, "dom3" -> 0)
