@@ -137,10 +137,19 @@ object Corpus {
     * shuffle. Every row of the global per-domain top-k survives its own
     * partition's cut (the same partition-invariance argument as the kNN
     * partial top-k), so composing the exact window after this prefilter
-    * is output-identical while the exchange carries at most
-    * k·inputPartitions rows per domain instead of the domain's full row
-    * count — the skew cap for the one-giant-domain corpora this operator
-    * exists for. Returns the survivor frame with the input schema.
+    * is output-identical.
+    *
+    * Honest accounting of what this buys (from the executed plans):
+    * Catalyst's `InferWindowGroupLimit` (Spark 3.5+) ALREADY inserts a
+    * partial WindowGroupLimit below [[quotaSample]]'s exchange, so the
+    * shuffle was never the skew exposure — both forms ship ≤ k rows per
+    * (domain, input partition). What the partial WGL needs that this
+    * prefilter does not is a FULL in-partition sort by (domain, hash, id)
+    * first — O(n log n) comparisons on string-prefixed keys and a sort
+    * buffer over the whole partition. The heap cut is O(n log k) with
+    * k-bounded state per domain and no sort, which is the difference that
+    * matters when n/partition is 10^7 at the 10^12-row target. Returns
+    * the survivor frame with the input schema.
     */
   def quotaPrefilter(df: DataFrame, domainCol: String, idCol: String,
                      k: Int): DataFrame = {
