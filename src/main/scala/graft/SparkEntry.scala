@@ -496,6 +496,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy("doc_id", "epoch")),
 
+    // THE END-TO-END corpus assembly: exact dedup → decontaminate →
+    // skew-safe quota → split → per-split shard packing, one call — the
+    // oracle composes every stage's SQL into one statement
+    "q51_corpus_assemble" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      val base = d.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      Corpus.assemble(base, bench, "doc_id", "text", "source", "n_chars",
+        shingleN = 20, quota = 15,
+        splits = Seq("train" -> 9000, "val" -> 500, "test" -> 500),
+        budget = 2000L, buckets = 4)
+        .orderBy("doc_id")
+    }),
+
     // similarity search: exact top-k by int-quantized dot product
     "q27_ann_dot_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -999,6 +1013,48 @@ object SparkEntry {
            |  FROM documents
            |)
            |SELECT doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
+
+      "q51_corpus_assemble" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text, source, n_chars FROM documents WHERE doc_id % 97 <> 0
+           |), ded AS (
+           |  SELECT *, MIN(doc_id) OVER (
+           |    PARTITION BY regexp_replace(lower(text), '[^a-z]', '', 'g')) AS canon
+           |  FROM base
+           |), kept AS (
+           |  SELECT doc_id, text, source, n_chars FROM ded WHERE doc_id = canon
+           |), bsh AS (
+           |  SELECT DISTINCT substr(text, i, 20) AS shingle
+           |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-19)) AS i) g
+           |  WHERE doc_id % 97 = 0
+           |), tsh AS (
+           |  SELECT doc_id, substr(text, i, 20) AS shingle
+           |  FROM kept, LATERAL (SELECT unnest(generate_series(1, length(text)-19)) AS i) g
+           |), clean AS (
+           |  SELECT k.doc_id, k.source, k.n_chars,
+           |         (${Corpus.mixHashSql("k.doc_id")}) AS h
+           |  FROM kept k
+           |  WHERE NOT EXISTS (SELECT 1 FROM tsh t JOIN bsh b ON t.shingle = b.shingle
+           |                    WHERE t.doc_id = k.doc_id)
+           |), quota AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+           |  FROM clean
+           |), s AS (
+           |  SELECT doc_id, source, n_chars, h,
+           |         CASE WHEN h % 10000 < 9000 THEN 'train'
+           |              WHEN h % 10000 < 9500 THEN 'val'
+           |              ELSE 'test' END AS split,
+           |         h % 4 AS bucket
+           |  FROM quota WHERE rn <= 15
+           |), c AS (
+           |  SELECT doc_id, source, split, bucket, n_chars,
+           |         SUM(n_chars) OVER (PARTITION BY split, bucket ORDER BY h, doc_id
+           |           ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM s
+           |)
+           |SELECT doc_id, source, split, bucket,
+           |       CAST(FLOOR(CAST(cum - n_chars AS DOUBLE) / 2000) AS BIGINT) AS pack
+           |FROM c ORDER BY doc_id""".stripMargin,
 
       "q50_mixture_expand" ->
         s"""WITH w AS (

@@ -227,6 +227,44 @@ object Corpus {
                           k: Int): DataFrame =
     quotaSample(quotaPrefilter(df, domainCol, idCol, k), domainCol, idCol, k)
 
+  // ---- end-to-end assembly ----------------------------------------------------------
+
+  /** The END-TO-END corpus assembly users actually run — every stage of
+    * the library composed in pipeline order:
+    *
+    *  1. exact dedup: keep a document iff its id is the minimum of its
+    *     normalized-content group ([[graft.dedup.Dedup.normKey]]);
+    *  2. benchmark decontamination at the `shingleN`-gram bar
+    *     ([[decontaminate]] — broadcast semi-join, train side map-only);
+    *  3. per-domain quota, skew-safe form ([[quotaSampleSkewSafe]]);
+    *  4. deterministic split assignment ([[splitAssign]]);
+    *  5. token-budget shard packing scoped per split ([[packBudget]]
+    *     `within = split` — train and eval never share a shard).
+    *
+    * Output: (idCol, domainCol, split, bucket, pack), one row per
+    * surviving document. Every stage is deterministic pure-hash
+    * arithmetic, so the assembled corpus is reproducible byte-for-byte
+    * across re-runs, repartitioning, and appends — and the whole
+    * composition has a single DuckDB oracle (q51).
+    */
+  def assemble(docs: DataFrame, bench: DataFrame, idCol: String,
+               textCol: String, domainCol: String, costCol: String,
+               shingleN: Int, quota: Int, splits: Seq[(String, Int)],
+               budget: Long, buckets: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Dedup.normKey(col(textCol)))
+    val kept = docs
+      .withColumn("__canon", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__canon")).drop("__canon")
+    val clean = decontaminate(kept, bench, idCol, textCol, shingleN)
+    val capped = quotaSampleSkewSafe(clean, domainCol, idCol, quota)
+    val withSplit = splitAssign(capped, idCol, splits)
+    packBudget(withSplit, idCol, costCol, budget, buckets,
+      within = Seq("split"))
+      .select(col(idCol), col(domainCol), col("split"), col("bucket"),
+        col("pack"))
+  }
+
   // ---- mixture-epoch expansion ----------------------------------------------------
 
   /** Deterministic mixture up/down-sampling: each document is emitted
@@ -281,11 +319,15 @@ object Corpus {
     * so the floor-division through double is exact.
     */
   def packBudget(df: DataFrame, idCol: String, costCol: String,
-                 budget: Long, buckets: Int): DataFrame = {
+                 budget: Long, buckets: Int,
+                 within: Seq[String] = Nil): DataFrame = {
     require(budget >= 1, s"budget must be >= 1: $budget")
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    // `within` scopes shards to a grouping (e.g. the split label: train
+    // and eval documents must never share a shard) — pack numbering
+    // restarts per (within…, bucket)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket"))
+      .partitionBy((within :+ "bucket").map(col): _*)
       .orderBy(mixHash(col(idCol)), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     df.withColumn("bucket", mixHash(col(idCol)) % lit(buckets.toLong))

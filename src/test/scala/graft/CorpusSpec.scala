@@ -157,6 +157,61 @@ class CorpusSpec extends SparkSpecBase {
     assert(byDom("dom2").exists(id => !gotIds.contains(id)), "dom2 drops some")
   }
 
+  test("assemble: end-to-end pipeline invariants hold on a planted corpus") {
+    // plant: duplicate texts (dedup must collapse), benchmark overlaps
+    // (decontamination must drop), and a whale domain (quota must cap)
+    val all = corpus.map { case (id, text, dom) =>
+      (id, if (id % 13 == 0) "the exact same duplicated text body" else text,
+        if (id < 60) "whale" else dom)
+    }
+    val df = all.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val bench = df.filter(col("doc_id") % 20 === 0)
+    val base = df.filter(col("doc_id") % 20 =!= 0)
+    val quota = 9
+    val out = Corpus.assemble(base, bench, "doc_id", "text", "source",
+        "n_chars", shingleN = 25, quota = quota,
+        splits = Seq("train" -> 8000, "val" -> 1000, "test" -> 1000),
+        budget = 200L, buckets = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val ids = out.map(_._1).toSet
+    val textOf = all.map(t => t._1 -> t._2).toMap
+    // 1. dedup: no two survivors share a normalized text
+    val norms = out.map(o => textOf(o._1).toLowerCase.replaceAll("[^a-z]", ""))
+    assert(norms.distinct.length === norms.length)
+    // 2. decontamination: no survivor shares a 25-gram with the benchmark
+    val benchSh = all.filter(_._1 % 20 == 0).flatMap(_._2.sliding(25)).toSet
+    ids.foreach { id =>
+      assert(!textOf(id).sliding(25).exists(benchSh.contains), s"doc $id contaminated")
+    }
+    // 3. quota: at most `quota` per domain, and the whale domain is capped
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    byDom.foreach { case (dom, n) => assert(n <= quota, s"$dom over quota: $n") }
+    assert(byDom("whale") === quota, "whale domain must bind the quota")
+    // 4. split matches the pure per-id function
+    out.foreach { case (id, _, split, _, _) =>
+      val b = mix(id) % 10000
+      val exp = if (b < 8000) "train" else if (b < 9000) "val" else "test"
+      assert(split === exp, s"doc $id")
+    }
+    // 5. shards are split-scoped: (split, bucket, pack) groups never mix
+    //    splits by construction; packs dense from 0 within each scope
+    out.groupBy(o => (o._3, o._4)).foreach { case ((split, bucket), rows) =>
+      val packs = rows.map(_._5).toSet
+      assert(packs.min === 0L, s"($split,$bucket)")
+      assert(packs === (0L until packs.size.toLong).toSet, s"($split,$bucket) packs not dense")
+    }
+    // the pipeline is repartition-stable end to end
+    val again = Corpus.assemble(base.repartition(7), bench, "doc_id", "text",
+        "source", "n_chars", shingleN = 25, quota = quota,
+        splits = Seq("train" -> 8000, "val" -> 1000, "test" -> 1000),
+        budget = 200L, buckets = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
   test("packBudget: concat-and-chunk model within buckets; no pack exceeds budget+maxCost") {
     val df = corpus.toDF("doc_id", "text", "source")
       .withColumn("cost", length(col("text")).cast("long"))
