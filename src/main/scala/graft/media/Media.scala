@@ -771,6 +771,23 @@ object Media {
       imageEmbeddings(df).select(col("image_id"), col("dct_hash")),
       "image_id", "dct_hash", maxDist, bits = 64, bucketCap = bucketCap)
 
+  /** Image dedup DECISION — the modality matrix's third column, the same
+    * composition as text ([[graft.dedup.Dedup.dedupeDecision]], q39) and
+    * embeddings ([[graft.dedup.Dedup.embeddingDedupeDecision]], q41):
+    * fused decode → DCT pHash → EXACT pigeonhole-banded Hamming pairs →
+    * convergent connected components → keep-one-per-cluster. The id frame
+    * for CC comes straight from the input (no second decode); the pair
+    * stage is the only pixel-touching pass. Output: id, cluster, keep —
+    * keep = (id is the lexicographic minimum of its near-dup cluster).
+    */
+  def imageDedupeDecision(df: DataFrame, maxDist: Int,
+                          bucketCap: Int = 0): DataFrame = {
+    val pairs = imageNearDupPairsDct(df, maxDist, bucketCap)
+    graft.dedup.Dedup.clusterLabelsConverged(
+      pairs, "id_1", "id_2", df.select(col("image_id")), "image_id")
+      .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("keep"))
+  }
+
   /** Embedding-cosine image near-dup pairs straight from the payload
     * column: fused decode → unit DCT embedding ([[imageEmbeddings]]), then
     * the EXACT distributed triangle block join

@@ -196,6 +196,40 @@ class MediaSpec extends SparkSpecBase {
     assert(planted >= 24, s"only $planted of 30 lossy copies within $maxDist bits")
   }
 
+  test("imageDedupeDecision: keep flags equal brute-force Hamming-graph CC") {
+    import spark.implicits._
+    val rows = (0 until 30).flatMap { i =>
+      val px = Media.synthPixels(i.toLong, 32, 32)
+      Seq((f"img$i%03d", Media.encodePng(px, 32, 32)),
+        (f"lossy$i%03d", Media.encodePng(Media.quantize(px), 32, 32)))
+    }
+    val maxDist = 8
+    val got = Media.imageDedupeDecision(rows.toDF("image_id", "bytes"), maxDist)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    // local model: brute-force pairs -> union-find -> min label
+    val hashes = rows.map { case (id, bytes) =>
+      val (px, w, h) = Media.decodePng(bytes)
+      (id, Media.dctFeatures(px, w, h)._1)
+    }
+    val parent = scala.collection.mutable.Map(hashes.map(h => h._1 -> h._1): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= maxDist
+    } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    val exp = hashes.map { case (id, _) =>
+      val c = find(id)
+      (id, c, id == c)
+    }.toSet
+    assert(got === exp)
+    // the fixture must exercise real clusters: most lossy copies collapse
+    assert(exp.count(!_._3) >= 20, s"only ${exp.count(!_._3)} dropped")
+  }
+
   test("imageCosineNearDupPairs: payload-to-pairs equals quantized brute force") {
     import spark.implicits._
     val rows = (0 until 25).flatMap { i =>
