@@ -36,6 +36,36 @@ class StreamsSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("corpus split/mixture assignment runs unchanged on a stream (stateless per-row)") {
+    // splitAssign and mixtureExpand are pure per-row arithmetic + explode —
+    // no state, no watermark — so the SAME code runs over readStream
+    // micro-batches with outputs identical to the batch plan; this is the
+    // ingestion shape (docs arrive continuously, split/epoch assigned on
+    // arrival, stable forever after because assignment is a pure id fn)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = (0L until 200L).map(id => (id, s"dom${id % 5}"))
+    mem.addData(docs: _*)
+    val streamed = graft.text.Corpus.mixtureExpand(
+      graft.text.Corpus.splitAssign(
+        mem.toDF().toDF("doc_id", "source"), "doc_id",
+        Seq("train" -> 9000, "val" -> 500, "test" -> 500)),
+      "doc_id", "source", Map("dom0" -> 25000, "dom4" -> 2500))
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("corpus_stream_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("corpus_stream_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    val batch = graft.text.Corpus.mixtureExpand(
+      graft.text.Corpus.splitAssign(
+        docs.toDF("doc_id", "source"), "doc_id",
+        Seq("train" -> 9000, "val" -> 500, "test" -> 500)),
+      "doc_id", "source", Map("dom0" -> 25000, "dom4" -> 2500))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("batch sessionization splits by event-time gap") {
     val sessions = Streams.sessionize(events.toDS(), gapMs = 10 * 60 * 1000, streaming = false)
       .collect().map(s => (s.user_id, s.start, s.end, s.n_events, s.sum_value)).toSet
