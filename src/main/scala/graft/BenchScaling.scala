@@ -420,6 +420,30 @@ object BenchScaling {
       .count()
   }
 
+  /** End-to-end corpus assembly ([[graft.text.Corpus.assemble]]) over the
+    * docs fixture with a derived skewed domain column (30% of rows in one
+    * "whale" domain — the shape the skew-safe quota exists for) and a
+    * ~0.1% benchmark slice for decontamination. Heavy stages: the exact
+    * dedup window (one shuffle on the normalized-content key), the
+    * 20-gram decontamination explode (map-side against the broadcast
+    * benchmark shingles), and the quota/pack windows on survivor-bounded
+    * frames.
+    */
+  def corpusAssembleJob(s: SparkSession): Long = {
+    val docs = s.read.parquet(s"$dataDir/docs")
+      .withColumn("source",
+        when(pmod(col("doc_id"), lit(10L)) < 3, lit("whale"))
+          .otherwise(concat(lit("dom"), pmod(col("doc_id"), lit(97L)))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(997L)) === 0)
+    val base = docs.filter(pmod(col("doc_id"), lit(997L)) =!= 0)
+    graft.text.Corpus.assemble(base, bench, "doc_id", "text", "source",
+      "n_chars", shingleN = 20, quota = 2000,
+      splits = Seq("train" -> 9000, "val" -> 500, "test" -> 500),
+      budget = 100000L, buckets = 64)
+      .count()
+  }
+
   def decodeKernelJob(s: SparkSession): Long = {
     import org.apache.spark.sql.graftbridge.Bridge
     val in = s.read.parquet(s"$dataDir/images_full").select(col("image_id"), col("bytes"))
@@ -587,6 +611,7 @@ object BenchScaling {
         case "decode_kernel" => decodeKernelJob
         case "dct_embed" => dctEmbedJob
         case "image_neardup" => imageNearDupJob
+        case "corpus_assemble" => corpusAssembleJob
         case "dedupe_decision" => dedupeDecisionJob
         case "dedupe_sig" => dedupeSigJob
         case "dedupe_cand" => dedupeCandJob
