@@ -251,12 +251,23 @@ object Corpus {
                textCol: String, domainCol: String, costCol: String,
                shingleN: Int, quota: Int, splits: Seq[(String, Int)],
                budget: Long, buckets: Int): DataFrame = {
+    // Contamination is a PER-DOCUMENT text property, independent of which
+    // group member dedup elects — so flag it BEFORE the dedup window and
+    // conjoin the filters. The naive order (dedup, then decontaminate the
+    // keepers) consumes the deduped frame on both sides of the
+    // decontamination join and Catalyst cannot reuse the exchange (the
+    // two sides prune different columns), so the full-corpus window
+    // shuffle on ~100-char normalized-text keys would run TWICE — the
+    // single most expensive exchange in the pipeline. Flag-first keeps the
+    // double-consumed subtree down at the raw scan (plan-audited: one
+    // Window, identical output).
+    val flagged = contaminationFlags(docs, bench, idCol, textCol, shingleN)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(Dedup.normKey(col(textCol)))
-    val kept = docs
+    val clean = flagged
       .withColumn("__canon", min(col(idCol)).over(w))
-      .filter(col(idCol) === col("__canon")).drop("__canon")
-    val clean = decontaminate(kept, bench, idCol, textCol, shingleN)
+      .filter(col(idCol) === col("__canon") && !col("contaminated"))
+      .drop("__canon", "contaminated")
     val capped = quotaSampleSkewSafe(clean, domainCol, idCol, quota)
     val withSplit = splitAssign(capped, idCol, splits)
     packBudget(withSplit, idCol, costCol, budget, buckets,
