@@ -187,9 +187,9 @@ lines += [
     f"| concurrent 8-core JVMs | images embedded | max wall (min of {REPS}) "
     "| weak-scaling eff vs solo |",
     "|---|---|---|---|",
-    f"| 1 | {N_PAYLOAD // 4_000_000}.{(N_PAYLOAD // 400_000) % 10}M | {ladder[1]:.1f} s | 1.000 |",
-    f"| 2 | {N_PAYLOAD // 2_000_000}.{(N_PAYLOAD // 200_000) % 10}M | {ladder[2]:.1f} s | {eff2:.3f} |",
-    f"| 4 | {N_PAYLOAD // 1_000_000}M | {ladder[4]:.1f} s | {eff4:.3f} |",
+    f"| 1 | {rowcounts[1] / 1e6:.2f}M | {ladder[1]:.1f} s | 1.000 |",
+    f"| 2 | {rowcounts[2] / 1e6:.2f}M | {ladder[2]:.1f} s | {eff2:.3f} |",
+    f"| 4 | {rowcounts[4] / 1e6:.2f}M | {ladder[4]:.1f} s | {eff4:.3f} |",
     f"\n- Same-session host 4-process ceilings: pure-ALU "
     f"**{alu_ceiling:.3f}** (AluFloor {alu_solo:.1f} s solo / "
     f"{alu_four:.1f} s 4-way), pure-streaming **{mem_ceiling:.3f}** "

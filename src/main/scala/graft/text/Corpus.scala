@@ -84,22 +84,30 @@ object Corpus {
   }
 
   /** [[contaminatedIds]] as a flag column on the full train frame:
-    * adds `contaminated: boolean`. The flag join broadcasts the (small)
-    * contaminated-id set, so this too is exchange-free on the train side.
+    * adds `contaminated: boolean`. The contaminated-id join is NOT
+    * broadcast-hinted: the id set is usually tiny but is unbounded in the
+    * worst case (benchmark boilerplate shared with a large train fraction
+    * makes it O(|train|), past any broadcast limit) — AQE broadcasts it
+    * when it measures small and falls back to a shuffle join when it
+    * doesn't, which is exactly the wanted behavior. Only the
+    * benchmark-shingle set inside [[contaminatedIds]] is small by
+    * CONTRACT and keeps its explicit broadcast.
     */
   def contaminationFlags(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int): DataFrame = {
     val ids = contaminatedIds(train, bench, idCol, textCol, n)
       .withColumn("__cont", lit(true))
-    train.join(broadcast(ids), Seq(idCol), "left")
+    train.join(ids, Seq(idCol), "left")
       .withColumn("contaminated", coalesce(col("__cont"), lit(false)))
       .drop("__cont")
   }
 
-  /** Training rows with every contaminated document removed. */
+  /** Training rows with every contaminated document removed. Join
+    * strategy left to AQE — see [[contaminationFlags]].
+    */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame =
-    train.join(broadcast(contaminatedIds(train, bench, idCol, textCol, n)),
+    train.join(contaminatedIds(train, bench, idCol, textCol, n),
       Seq(idCol), "left_anti")
 
   // ---- per-domain quota sampling --------------------------------------------------
@@ -152,8 +160,9 @@ object Corpus {
     * the survivor frame with the input schema.
     */
   def quotaPrefilter(df: DataFrame, domainCol: String, idCol: String,
-                     k: Int): DataFrame = {
+                     k: Int, maxDomains: Int = 1 << 16): DataFrame = {
     require(k >= 1, s"quota must be >= 1: $k")
+    require(maxDomains >= 1, s"maxDomains must be >= 1: $maxDomains")
     val spark = df.sparkSession
     val schema = df.schema
     val domIdx = schema.fieldIndex(domainCol)
@@ -204,14 +213,34 @@ object Corpus {
             }
           }
         }
+        // Safety valves, both relying on the superset contract (the exact
+        // window downstream cuts, so emitting EXTRA rows is always
+        // correct): rows with a null domain or null id pass straight
+        // through untouched — the window owns null-group/null-order
+        // semantics, and getLong on a null id would silently misrank it as
+        // 0; and the per-domain heap state is capped at `maxDomains`
+        // distinct domains per partition — past that (near-unique domain
+        // columns, where the heap would copy the whole partition on-heap
+        // with no spill path) new domains degrade to pass-through while
+        // already-tracked domains keep their bound.
         val byDom = new scala.collection.mutable.HashMap[String, Heap]
-        it.foreach { r =>
-          val dom = r.getUTF8String(domIdx).toString
-          val iv = r.getLong(idIdx)
-          val hv = ((iv % MixP + MixP) % MixP) * MixA % MixP
-          byDom.getOrElseUpdate(dom, new Heap).offer(hv, iv, r)
+        val out = it.flatMap { r =>
+          if (r.isNullAt(domIdx) || r.isNullAt(idIdx)) Iterator.single(r.copy())
+          else {
+            val dom = r.getUTF8String(domIdx).toString
+            val existing = byDom.get(dom)
+            if (existing.isEmpty && byDom.size >= maxDomains) Iterator.single(r.copy())
+            else {
+              val iv = r.getLong(idIdx)
+              val hv = ((iv % MixP + MixP) % MixP) * MixA % MixP
+              existing.getOrElse {
+                val h = new Heap; byDom.put(dom, h); h
+              }.offer(hv, iv, r)
+              Iterator.empty
+            }
+          }
         }
-        byDom.valuesIterator.flatMap(hp => hp.row.iterator.take(hp.n))
+        out ++ byDom.valuesIterator.flatMap(hp => hp.row.iterator.take(hp.n))
       }
     org.apache.spark.sql.graftbridge.Bridge.internalDf(spark, rdd, schema)
   }

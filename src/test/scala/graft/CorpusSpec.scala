@@ -134,6 +134,32 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("quotaPrefilter safety valves: null keys pass through; domain-cap degrades to pass-through") {
+    // null domain / null id rows must reach the exact window untouched
+    // (the window owns null semantics; getLong on a null id would misrank
+    // it as 0) — skew-safe must equal plain on a frame with nulls
+    val rows = Seq[(java.lang.Long, String, String)](
+      (1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", null),
+      (4L, "d", "d1"), (null, "e", "d1"), (5L, "f", "d2"))
+    val df = rows.toDF("doc_id", "text", "source")
+    def collect(frame: org.apache.spark.sql.DataFrame) =
+      frame.select("text").as[String].collect().toSet
+    val plain = collect(Corpus.quotaSample(df, "source", "doc_id", 2))
+    val safe = collect(Corpus.quotaSampleSkewSafe(df.repartition(3), "source", "doc_id", 2))
+    assert(safe === plain)
+    // maxDomains=1: most domains degrade to pass-through mid-partition —
+    // output must STILL equal the plain window (superset contract)
+    val many = (0L until 400L).map(id => (id, s"t$id", s"dom${id % 37}"))
+    val mdf = many.toDF("doc_id", "text", "source")
+    val exactM = Corpus.quotaSample(mdf, "source", "doc_id", 3)
+      .select("doc_id").as[Long].collect().toSet
+    val capped = Corpus.quotaSample(
+        Corpus.quotaPrefilter(mdf.repartition(5), "source", "doc_id", 3, maxDomains = 1),
+        "source", "doc_id", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped === exactM)
+  }
+
   test("mixtureExpand: fractional epochs match the per-id model; zero-weight drops") {
     val df = corpus.toDF("doc_id", "text", "source")
     val weights = Map("dom0" -> 25000, "dom1" -> 10000, "dom2" -> 2500, "dom3" -> 0)
