@@ -788,6 +788,32 @@ object Media {
       .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("keep"))
   }
 
+  /** End-to-end image corpus assembly — the image-axis counterpart of
+    * [[graft.text.Corpus.assemble]]: [[imageDedupeDecision]] (decode →
+    * DCT pHash → exact banded Hamming → CC → keep-one-per-cluster), then
+    * deterministic split assignment and token-budget shard packing from
+    * [[graft.text.Corpus]]. String image ids ride the split/pack hash
+    * arithmetic as xxhash64 surrogates (deterministic, engine-built-in),
+    * with the payload byte length as the packing cost. Output:
+    * (image_id, split, bucket, pack) — one row per KEPT image; the
+    * whole assignment is a pure function of (id bytes, payload bytes),
+    * so re-runs and repartitionings reproduce the corpus exactly.
+    */
+  def assembleImages(df: DataFrame, maxDist: Int,
+                     splits: Seq[(String, Int)], budget: Long, buckets: Int,
+                     bucketCap: Int = 0): DataFrame = {
+    val keep = imageDedupeDecision(df, maxDist, bucketCap)
+      .filter(col("keep")).select(col("id").as("image_id"))
+    val kept = df.join(keep, Seq("image_id"), "left_semi")
+      .select(col("image_id"),
+        xxhash64(col("image_id")).as("__sid"),
+        length(col("bytes")).cast("long").as("__cost"))
+    val withSplit = graft.text.Corpus.splitAssign(kept, "__sid", splits)
+    graft.text.Corpus.packBudget(withSplit, "__sid", "__cost", budget,
+        buckets, within = Seq("split"))
+      .select(col("image_id"), col("split"), col("bucket"), col("pack"))
+  }
+
   /** Embedding-cosine image near-dup pairs straight from the payload
     * column: fused decode → unit DCT embedding ([[imageEmbeddings]]), then
     * the EXACT distributed triangle block join

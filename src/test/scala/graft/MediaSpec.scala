@@ -230,6 +230,34 @@ class MediaSpec extends SparkSpecBase {
     assert(exp.count(!_._3) >= 20, s"only ${exp.count(!_._3)} dropped")
   }
 
+  test("assembleImages: dedup -> split -> pack invariants and repartition stability") {
+    import spark.implicits._
+    val rows = (0 until 25).flatMap { i =>
+      val px = Media.synthPixels(i.toLong, 32, 32)
+      Seq((f"img$i%03d", Media.encodePng(px, 32, 32)),
+        (f"lossy$i%03d", Media.encodePng(Media.quantize(px), 32, 32)))
+    }
+    val splits = Seq("train" -> 8000, "val" -> 1000, "test" -> 1000)
+    def run(parts: Int) =
+      Media.assembleImages(rows.toDF("image_id", "bytes").repartition(parts),
+          maxDist = 8, splits, budget = 1500L, buckets = 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val out = run(1)
+    // 1. survivors = exactly the dedup decision's keepers
+    val keepers = Media.imageDedupeDecision(rows.toDF("image_id", "bytes"), 8)
+      .filter(org.apache.spark.sql.functions.col("keep"))
+      .select("id").as[String].collect().toSet
+    assert(out.map(_._1).toSet === keepers)
+    assert(out.length < rows.length, "dedup must drop some lossy copies")
+    // 2. packs dense from 0 within each (split, bucket) scope
+    out.groupBy(o => (o._2, o._3)).foreach { case (scope, rs) =>
+      val packs = rs.map(_._4).toSet
+      assert(packs === (0L until packs.size.toLong).toSet, s"$scope")
+    }
+    // 3. the whole assignment is partitioning-invariant
+    assert(run(7).sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
   test("imageCosineNearDupPairs: payload-to-pairs equals quantized brute force") {
     import spark.implicits._
     val rows = (0 until 25).flatMap { i =>
