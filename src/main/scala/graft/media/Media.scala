@@ -144,8 +144,17 @@ object Media {
       if (len < 0 || off + 12 + len > limit) return None // truncated chunk
       if (bytes(off + 4) == 'I' && bytes(off + 5) == 'D' && bytes(off + 6) == 'A' && bytes(off + 7) == 'T') {
         inflater.setInput(bytes, off + 8, len)
-        while (!inflater.needsInput() && !inflater.finished() && n < rawLen) {
-          n += inflater.inflate(raw, n, rawLen - n)
+        try {
+          while (!inflater.needsInput() && !inflater.finished() && n < rawLen) {
+            n += inflater.inflate(raw, n, rawLen - n)
+          }
+        } catch {
+          // corrupt DEFLATE stream: reject like any other malformed
+          // payload (None -> caller decides) instead of throwing — at
+          // 10^12 rows one junk payload must not kill a task
+          case _: java.util.zip.DataFormatException =>
+            inflater.reset()
+            return None
         }
       }
       off += 12 + len
@@ -218,6 +227,15 @@ object Media {
   private def decodePngImageIO(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
     ImageIO.setUseCache(false) // the default disk cache serializes threads
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) {
+      // undecodable payload: fail LOUDLY and descriptively (the silent
+      // alternative — skipping the row — changes row counts under the
+      // caller's feet). ImageIO returns null here, which used to surface
+      // as a bare NullPointerException deep in the task.
+      val sig = bytes.take(8).map(b => f"${b & 0xff}%02x").mkString
+      throw new IllegalArgumentException(
+        s"undecodable image payload (${bytes.length} bytes, leading bytes 0x$sig)")
+    }
     val w = img.getWidth; val h = img.getHeight
     val gray =
       if (img.getType == BufferedImage.TYPE_BYTE_GRAY) img

@@ -364,6 +364,42 @@ class MediaSpec extends SparkSpecBase {
     assert(embCol.size === 200)
   }
 
+  test("decode fuzz: corrupt payloads are rejected, never thrown on") {
+    // at 10^12 rows the payload column WILL contain junk; the fast-path
+    // decoder must return None (-> ImageIO fallback decides) rather than
+    // throw or overrun, for random bytes and for valid PNGs mutated at
+    // every byte-flip position class
+    val rnd = new scala.util.Random(2026)
+    val scratch = new Media.PngScratch
+    (0 until 300).foreach { i =>
+      val len = rnd.nextInt(600)
+      val junk = new Array[Byte](len)
+      rnd.nextBytes(junk)
+      // must not throw; None or a (very unlikely) well-formed decode both fine
+      Media.decodePngGrayInto(junk, len, scratch)
+    }
+    val png = Media.encodePng(Media.synthPixels(3L, 24, 16), 24, 16)
+    (0 until png.length).foreach { pos =>
+      val mut = png.clone()
+      mut(pos) = (mut(pos) ^ 0xff).toByte
+      // no throw allowed — corrupt DEFLATE streams included (the decoder
+      // converts DataFormatException to a None rejection)
+      try Media.decodePngGrayInto(mut, mut.length, scratch)
+      catch {
+        case e: Throwable => fail(s"byte $pos: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // truncations at every prefix length
+    (0 to png.length).foreach { n =>
+      try Media.decodePngGrayInto(png, n, scratch)
+      catch {
+        case e: Throwable => fail(s"truncation $n: ${e.getClass.getName}")
+      }
+    }
+    // and the full image still decodes after all that scratch reuse
+    assert(Media.decodePngGrayInto(png, png.length, scratch) === Some((24, 16)))
+  }
+
   test("decode bounds-checks chunk lengths against the payload limit") {
     val px = Media.synthPixels(7L, 64, 48)
     val png = Media.encodePng(px, 64, 48)
