@@ -201,7 +201,21 @@ object Dfl {
 
   // ---- parser ---------------------------------------------------------------
 
-  private case class P(tokens: Vector[String], var pos: Int = 0) {
+  /** Max parenthesis/NOT nesting the recursive-descent parser accepts.
+    * DFL strings are user-typed CLI input — without a bound, a few
+    * thousand open parens overflow the parse stack and kill the driver
+    * with StackOverflowError instead of a parse error (found by
+    * DflFuzzSpec). 256 is orders of magnitude past any real filter.
+    */
+  val MaxDepth = 256
+
+  private case class P(tokens: Vector[String], var pos: Int = 0,
+                       var depth: Int = 0) {
+    def push(): Unit = {
+      depth += 1
+      require(depth <= MaxDepth, s"expression nested deeper than $MaxDepth")
+    }
+    def pop(): Unit = depth -= 1
     def peek: Option[String] = if (pos < tokens.length) Some(tokens(pos)) else None
     def next(): String = {
       require(pos < tokens.length, "unexpected end of expression")
@@ -233,12 +247,17 @@ object Dfl {
   }
 
   private def parseNot(p: P): Node =
-    if (p.peek.exists(_.equalsIgnoreCase("not"))) { p.next(); Not(parseNot(p)) }
-    else parsePrimary(p)
+    if (p.peek.exists(_.equalsIgnoreCase("not"))) {
+      p.next(); p.push()
+      val n = Not(parseNot(p))
+      p.pop(); n
+    } else parsePrimary(p)
 
   private def parsePrimary(p: P): Node = {
     if (p.peek.contains("(")) {
-      p.next(); val n = parseOr(p); p.expect(")"); n
+      p.next(); p.push()
+      val n = parseOr(p)
+      p.expect(")"); p.pop(); n
     } else {
       val l = parseOperand(p)
       p.peek match {
