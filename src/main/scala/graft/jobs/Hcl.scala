@@ -96,7 +96,22 @@ object Hcl {
       sb.result()
     }
 
+    // bound recursion: config files are user-authored, and a few thousand
+    // nested braces/brackets would otherwise overflow the parse stack
+    // with StackOverflowError instead of a parse error (HclFuzzSpec)
+    private var depth = 0
+    private def push(): Unit = {
+      depth += 1
+      if (depth > 256) err("nested deeper than 256")
+    }
+
     private def value(): HVal = {
+      push()
+      try valueInner()
+      finally depth -= 1
+    }
+
+    private def valueInner(): HVal = {
       skipWs()
       peek match {
         case '"' => HStr(string())
@@ -130,13 +145,16 @@ object Hcl {
     }
 
     private def obj(): HObj = {
-      skipWs()
-      if (peek != '{') err("expected '{'")
-      pos += 1
-      val fields = body(inBraces = true)
-      if (peek != '}') err("expected '}'")
-      pos += 1
-      HObj(fields)
+      push() // blocks also arrive here straight from body(), not via value()
+      try {
+        skipWs()
+        if (peek != '{') err("expected '{'")
+        pos += 1
+        val fields = body(inBraces = true)
+        if (peek != '}') err("expected '}'")
+        pos += 1
+        HObj(fields)
+      } finally depth -= 1
     }
 
     private def body(inBraces: Boolean): Seq[(String, HVal)] = {
