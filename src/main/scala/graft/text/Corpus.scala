@@ -223,24 +223,32 @@ object Corpus {
         // columns, where the heap would copy the whole partition on-heap
         // with no spill path) new domains degrade to pass-through while
         // already-tracked domains keep their bound.
-        val byDom = new scala.collection.mutable.HashMap[String, Heap]
+        // UTF8String keys: lookups probe with the TRANSIENT string (points
+        // into the row buffer — hashCode/equals don't need a copy), and
+        // only a first-seen domain pays a defensive copy + insert. The
+        // String-per-row alternative allocates and transcodes on every
+        // single row of the 10^7-rows/partition target shape.
+        val byDom = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Heap]
         val out = it.flatMap { r =>
           if (r.isNullAt(domIdx) || r.isNullAt(idIdx)) Iterator.single(r.copy())
           else {
-            val dom = r.getUTF8String(domIdx).toString
+            val dom = r.getUTF8String(domIdx)
             val existing = byDom.get(dom)
-            if (existing.isEmpty && byDom.size >= maxDomains) Iterator.single(r.copy())
+            if (existing == null && byDom.size >= maxDomains) Iterator.single(r.copy())
             else {
               val iv = r.getLong(idIdx)
               val hv = ((iv % MixP + MixP) % MixP) * MixA % MixP
-              existing.getOrElse {
-                val h = new Heap; byDom.put(dom, h); h
-              }.offer(hv, iv, r)
+              val heap =
+                if (existing != null) existing
+                else { val h = new Heap; byDom.put(dom.copy(), h); h }
+              heap.offer(hv, iv, r)
               Iterator.empty
             }
           }
         }
-        out ++ byDom.valuesIterator.flatMap(hp => hp.row.iterator.take(hp.n))
+        import scala.jdk.CollectionConverters._
+        out ++ byDom.values().iterator().asScala
+          .flatMap(hp => hp.row.iterator.take(hp.n))
       }
     org.apache.spark.sql.graftbridge.Bridge.internalDf(spark, rdd, schema)
   }
