@@ -293,6 +293,7 @@ object Dfl {
     case t if t.startsWith("@") => Attr(t.drop(1))
     case t if p.peek.contains("(") && t.matches("[A-Za-z_][A-Za-z0-9_]*") =>
       p.next() // consume '('
+      p.push() // function args recurse through parseOperand: bound it too
       val args = scala.collection.mutable.ArrayBuffer.empty[Node]
       var done = p.peek.contains(")")
       if (done) p.next()
@@ -304,6 +305,7 @@ object Dfl {
           case o => throw new IllegalArgumentException(s"expected ',' or ')', got $o")
         }
       }
+      p.pop()
       Func(t, args.toSeq)
     case t => Lit(litValue(t))
   }

@@ -126,7 +126,7 @@ object Hcl {
           }
           pos += 1
           HList(vs.result())
-        case '{' => obj()
+        case '{' => objInner() // value() already pushed for this level
         case c if c == '-' || c.isDigit =>
           val start = pos
           pos += 1
@@ -145,16 +145,23 @@ object Hcl {
     }
 
     private def obj(): HObj = {
-      push() // blocks also arrive here straight from body(), not via value()
-      try {
-        skipWs()
-        if (peek != '{') err("expected '{'")
-        pos += 1
-        val fields = body(inBraces = true)
-        if (peek != '}') err("expected '}'")
-        pos += 1
-        HObj(fields)
-      } finally depth -= 1
+      // blocks arrive here straight from body() (not via value()), so this
+      // entry point guards itself; `= {` assignments take objInner because
+      // value() already counted the level — one push per nesting level
+      // either way, so the 256 cap means the same depth for both syntaxes
+      push()
+      try objInner()
+      finally depth -= 1
+    }
+
+    private def objInner(): HObj = {
+      skipWs()
+      if (peek != '{') err("expected '{'")
+      pos += 1
+      val fields = body(inBraces = true)
+      if (peek != '}') err("expected '}'")
+      pos += 1
+      HObj(fields)
     }
 
     private def body(inBraces: Boolean): Seq[(String, HVal)] = {

@@ -131,6 +131,13 @@ object Media {
       off += 12 + len
     }
     if (w <= 0 || h <= 0) return None
+    // IHDR dims are attacker-controlled bytes: without a bound, crafted
+    // dims overflow the Int buffer arithmetic ((w+1)*h wraps negative ->
+    // NegativeArraySizeException) or allocate hundreds of MB of scratch
+    // from a <1KB payload. 2^26 pixels (a 8192x8192 gray raster, 64MB of
+    // planes) is far past any real payload; larger claims fall back to
+    // ImageIO, which re-validates against the actual data.
+    if (w.toLong * h > (1L << 26) || (w.toLong + 1) * h > Int.MaxValue) return None
     val rawLen = (w + 1) * h
     scratch.ensure(rawLen, w * h)
     val raw = scratch.raw
@@ -146,12 +153,18 @@ object Media {
         inflater.setInput(bytes, off + 8, len)
         try {
           while (!inflater.needsInput() && !inflater.finished() && n < rawLen) {
+            // a preset-dictionary stream (zlib FDICT) makes inflate()
+            // return 0 forever with needsInput()=finished()=false — PNG
+            // forbids FDICT, so reject instead of spinning the task
+            if (inflater.needsDictionary()) { inflater.reset(); return None }
             n += inflater.inflate(raw, n, rawLen - n)
           }
         } catch {
           // corrupt DEFLATE stream: reject like any other malformed
-          // payload (None -> caller decides) instead of throwing — at
-          // 10^12 rows one junk payload must not kill a task
+          // payload (None -> the ImageIO fallback decides: valid
+          // non-fast-path images decode there; genuine junk fails LOUDLY
+          // with the descriptive error below, by contract — a silent skip
+          // would change row counts under the caller)
           case _: java.util.zip.DataFormatException =>
             inflater.reset()
             return None
@@ -827,8 +840,11 @@ object Media {
         xxhash64(col("image_id")).as("__sid"),
         length(col("bytes")).cast("long").as("__cost"))
     val withSplit = graft.text.Corpus.splitAssign(kept, "__sid", splits)
+    // image_id as the final order tiebreaker: two distinct string ids CAN
+    // collide on the 64-bit surrogate (expected at 10^12 rows), and a
+    // tied window order would let arrival order pick their packs
     graft.text.Corpus.packBudget(withSplit, "__sid", "__cost", budget,
-        buckets, within = Seq("split"))
+        buckets, within = Seq("split"), tieBreak = Seq("image_id"))
       .select(col("image_id"), col("split"), col("bucket"), col("pack"))
   }
 

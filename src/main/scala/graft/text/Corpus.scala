@@ -368,15 +368,20 @@ object Corpus {
     */
   def packBudget(df: DataFrame, idCol: String, costCol: String,
                  budget: Long, buckets: Int,
-                 within: Seq[String] = Nil): DataFrame = {
+                 within: Seq[String] = Nil,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
     require(budget >= 1, s"budget must be >= 1: $budget")
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     // `within` scopes shards to a grouping (e.g. the split label: train
     // and eval documents must never share a shard) — pack numbering
-    // restarts per (within…, bucket)
+    // restarts per (within…, bucket). `tieBreak` extends the order for
+    // callers whose idCol is NOT unique (e.g. a 64-bit surrogate of a
+    // string id: birthday collisions tie the sort, and Spark then breaks
+    // the tie by arrival order — non-deterministic across runs).
+    val order = (Seq(mixHash(col(idCol)), col(idCol)) ++ tieBreak.map(col))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy((within :+ "bucket").map(col): _*)
-      .orderBy(mixHash(col(idCol)), col(idCol))
+      .orderBy(order: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     df.withColumn("bucket", mixHash(col(idCol)) % lit(buckets.toLong))
       .withColumn("__cum", sum(col(costCol).cast("long")).over(w))

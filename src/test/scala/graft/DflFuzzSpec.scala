@@ -44,5 +44,9 @@ class DflFuzzSpec extends SparkSpecBase {
     val deep = "(" * 2000 + "@a == 1" + ")" * 2000
     tryCompile(deep)
     tryCompile("(" * 5000 + "@a") // unbalanced
+    // function-argument recursion is a separate parser path from parens —
+    // it must be depth-bounded too (found unguarded by review)
+    tryCompile("len(" * 5000 + "@a" + ")" * 5000 + " > 1")
+    tryCompile("not " * 5000 + "@a == 1")
   }
 }
