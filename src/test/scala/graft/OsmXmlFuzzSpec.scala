@@ -64,6 +64,34 @@ class OsmXmlFuzzSpec extends SparkSpecBase {
     (0 to valid.length).foreach(n => tryRead(valid.take(n), s"trunc$n.osm"))
   }
 
+  test("the change codec shares the failure envelope (junk .osc)") {
+    val validOsc =
+      "<?xml version='1.0'?><osmChange version=\"0.6\">" +
+        "<create><node id=\"9\" lon=\"1\" lat=\"2\" version=\"1\"/></create>" +
+        "<delete><node id=\"1\" version=\"2\"/></delete></osmChange>"
+    def tryChange(content: String, name: String): Unit = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p, content)
+      try { graft.io.OsmChange.read(spark, p.toString); () }
+      catch {
+        case _: javax.xml.stream.XMLStreamException => ()
+        case _: NumberFormatException => ()
+        case _: java.time.format.DateTimeParseException => ()
+        case e: IllegalArgumentException => assert(e.getMessage != null)
+        case e: Throwable =>
+          fail(s"$name threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    tryChange(validOsc, "ok.osc") // baseline must not throw at all
+    val rnd = new scala.util.Random(29)
+    val mutChars = "<>/=\"x&"
+    (0 until validOsc.length).foreach { pos =>
+      tryChange(validOsc.updated(pos, mutChars.charAt(rnd.nextInt(mutChars.length))),
+        s"oscmut$pos.osc")
+    }
+    (0 to validOsc.length by 7).foreach(n => tryChange(validOsc.take(n), s"osctr$n.osc"))
+  }
+
   test("deep unknown-element nesting is iterative-safe") {
     tryRead("<?xml version='1.0'?><osm>" + "<g>" * 5000 + "</g>" * 5000 + "</osm>",
       "deep.osm")
