@@ -68,12 +68,11 @@ object GeoFunctions {
 
   /** Ancestor cell id at a lower zoom, composed from builtin bit ops so it
     * rides whole-stage codegen. `fromZ` must be the cells' actual zoom.
+    * Delegates to [[graft.index.CellIndex.ancestorCol]] — the one encoding
+    * of the packed (morton << ZoomBits | z) layout.
     */
-  def cell_ancestor(cell: Column, fromZ: Int, toZ: Int): Column = {
-    require(toZ <= fromZ, s"cell_ancestor: toZ $toZ > fromZ $fromZ")
-    shiftleft(shiftrightunsigned(shiftrightunsigned(cell, 5), 2 * (fromZ - toZ)), 5)
-      .bitwiseOR(lit(toZ.toLong))
-  }
+  def cell_ancestor(cell: Column, fromZ: Int, toZ: Int): Column =
+    graft.index.CellIndex.ancestorCol(cell, fromZ, toZ)
 
   /** Squared euclidean distance in degree space (kNN metric). */
   def sq_dist_deg(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =

@@ -173,6 +173,13 @@ object CellIndex {
   /** Lower bound on squared degree-distance from (lon, lat) to ANY cell of
     * ring(cell, k). +Infinity when the ring is empty (fully clipped) —
     * which correctly terminates kNN expansion.
+    *
+    * When 2k+1 > 2^z the x-wrap aliases ring cells back onto interior
+    * cells (k a multiple of 2^z even onto the center), dragging the bound
+    * toward 0 — always CONSERVATIVE (a lower bound stays a lower bound),
+    * so kNN never terminates early; it just stops proving queries past the
+    * wrap radius, which is why cellRing hands persistent stragglers to the
+    * exact scan finisher instead of looping on this bound.
     */
   def minSqDistToRing(lon: Double, lat: Double, cell: Long, k: Int): Double = {
     val cells = ring(cell, k)

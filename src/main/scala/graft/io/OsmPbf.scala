@@ -996,7 +996,10 @@ object OsmPbf {
     var nN = 0L; var nW = 0L; var nR = 0L
 
     val hp = new Path(path)
-    val fs = hp.getFileSystem(new Configuration())
+    // session Hadoop conf, not a bare new Configuration(): the latter drops
+    // spark.hadoop.* settings and can resolve a different filesystem than
+    // the reads (the ConfBits failure mode documented above)
+    val fs = hp.getFileSystem(p.nodes.sparkSession.sparkContext.hadoopConfiguration)
     // old sidecar out first (see writeClassFile): a reader during/after a
     // partial rewrite must fall back to blockIndex, not pair the new bytes
     // with stale blob offsets

@@ -205,6 +205,13 @@ object OsmXml {
     * inserted whitespace is character data the reader ignores, so
     * parse(pretty(x)) == parse(plain(x)) (OsmParitySpec round-trip).
     */
+  /** Locale-fixed "%.7f" — the f-interpolator honors the JVM default
+    * locale, and a comma-decimal locale would write lon="-77,0366667"
+    * that no OSM reader (including [[readPlanet]]) can parse back.
+    */
+  private def f7(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.7f", java.lang.Double.valueOf(d))
+
   def writePlanet(p: Planet, path: String, pretty: Boolean = false): (Long, Long, Long) = {
     val rawOut = new BufferedOutputStream(new FileOutputStream(path))
     val out =
@@ -223,8 +230,8 @@ object OsmXml {
     p.bounds.foreach { case (minLon, minLat, maxLon, maxLat) =>
       indent(1)
       w.writeEmptyElement("bounds")
-      w.writeAttribute("minlon", f"$minLon%.7f"); w.writeAttribute("minlat", f"$minLat%.7f")
-      w.writeAttribute("maxlon", f"$maxLon%.7f"); w.writeAttribute("maxlat", f"$maxLat%.7f")
+      w.writeAttribute("minlon", f7(minLon)); w.writeAttribute("minlat", f7(minLat))
+      w.writeAttribute("maxlon", f7(maxLon)); w.writeAttribute("maxlat", f7(maxLat))
     }
 
     def writeCommon(r: Row): Unit = {
@@ -248,8 +255,8 @@ object OsmXml {
       indent(1)
       w.writeStartElement("node")
       writeCommon(r)
-      w.writeAttribute("lon", f"${r.getDouble(6)}%.7f")
-      w.writeAttribute("lat", f"${r.getDouble(7)}%.7f")
+      w.writeAttribute("lon", f7(r.getDouble(6)))
+      w.writeAttribute("lat", f7(r.getDouble(7)))
       val tags = r.getMap[String, String](8).toMap
       writeTags(tags)
       if (tags.nonEmpty) indent(1)

@@ -85,7 +85,9 @@ object UriTemplate {
         case n: Double => n
         case _ => 0.0
       }
-      f"$d%f"
+      // Locale.ROOT: the f-interpolator honors the JVM default locale and
+      // would render comma decimals into URIs on comma-locale hosts
+      String.format(java.util.Locale.ROOT, "%f", java.lang.Double.valueOf(d))
     case ("json", Seq(v)) => json(v)
     case _ =>
       throw new IllegalArgumentException(

@@ -377,7 +377,12 @@ object SummarizeJob {
       min(col("lon")).as("min_lon"), min(col("lat")).as("min_lat"),
       max(col("lon")).as("max_lon"), max(col("lat")).as("max_lat")).collect()(0)
     val card = OsmOps.tagCardinality(imgs, "tags", approx = true).collect()(0)
-    println(f"""{"rows": ${s.getLong(0)}, "bbox": "${s.getDouble(1)}%.6f,${s.getDouble(2)}%.6f,${s.getDouble(3)}%.6f,${s.getDouble(4)}%.6f", "approx_keys": ${card.getLong(0)}, "approx_tags": ${card.getLong(1)}}""")
+    // Locale.ROOT: the f-interpolator is locale-sensitive and this line is
+    // machine-parsed JSON — comma decimals would corrupt it
+    val bbox = String.format(java.util.Locale.ROOT, "%.6f,%.6f,%.6f,%.6f",
+      java.lang.Double.valueOf(s.getDouble(1)), java.lang.Double.valueOf(s.getDouble(2)),
+      java.lang.Double.valueOf(s.getDouble(3)), java.lang.Double.valueOf(s.getDouble(4)))
+    println(s"""{"rows": ${s.getLong(0)}, "bbox": "$bbox", "approx_keys": ${card.getLong(0)}, "approx_tags": ${card.getLong(1)}}""")
     spark.stop()
   }
 }

@@ -275,7 +275,14 @@ object Pipeline {
 
     val keep = p.inputKeepKeys(idx)
     val drop = p.inputDropKeys(idx)
-    var nodes = projectTags(dropAttrs(raw.nodes, p), keep, drop)
+    // the conjoined plan's dropNodes means NO output reads nodes — skip the
+    // class for xml/pbf inputs exactly like the parquet branch's readClass
+    // skip (nodes are ~90% of a planet; decoding + dup-checking + caching
+    // them for a relation-only extract would dominate the run), and keep
+    // the formats' dup-check behavior consistent
+    var nodes =
+      if (p.dropNodes) emptyOf(spark, OsmXml.nodeSchema)
+      else projectTags(dropAttrs(raw.nodes, p), keep, drop)
     var ways =
       if (p.dropWays || in.dropWays) emptyOf(spark, OsmXml.waySchema)
       else projectTags(dropAttrs(raw.ways, p), keep, drop)
@@ -558,7 +565,17 @@ object Pipeline {
   private def writeGeoJson(featureFrame: DataFrame, path: String,
                            featureCollection: Boolean): Unit = {
     val features = featureFrame.select(col("f")).collect().map(_.getString(0))
-    val out = new java.io.PrintWriter(new java.io.BufferedWriter(new java.io.FileWriter(path)))
+    // codec by suffix, like OsmXml.writePlanet — a .geojson.gz URI must
+    // hold gzip bytes, not plain text under a lying extension; UTF-8
+    // explicitly (FileWriter would use the platform default charset)
+    val rawOut = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    val byteOut: java.io.OutputStream =
+      if (path.endsWith(".gz")) new java.util.zip.GZIPOutputStream(rawOut)
+      else if (path.endsWith(".bz2"))
+        new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(rawOut)
+      else rawOut
+    val out = new java.io.PrintWriter(new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(byteOut, java.nio.charset.StandardCharsets.UTF_8)))
     try {
       if (featureCollection) {
         out.print("""{"type":"FeatureCollection","features":[""")

@@ -228,6 +228,15 @@ object Knn {
 
   /** @param queries (queryIdCol, qLonCol, qLatCol)
     * @param points  (pointIdCol, lonCol, latCol)
+    * @param maxRings cap on ring exploration radius. With the scan finisher
+    *                enabled (default) this only bounds the RING phase:
+    *                queries still unproven at the cap hand off to the exact
+    *                finisher, so results stay exact for any maxRings. With
+    *                `scanFinishThreshold = 0` the cap is a hard truncation —
+    *                a capped query's top-k is emitted unproven (possibly
+    *                missing nearer points beyond the explored radius), so
+    *                only disable the finisher when maxRings ≥ the grid span
+    *                or approximation is acceptable
     * @param initCap cap on the density-derived first-round radius
     * @param onRound instrumentation hook, called after every expansion
     *                round with (rounds completed, queries still unfinished)
@@ -444,8 +453,14 @@ object Knn {
       // count — driver collect autoThr×24 B (~2 MB at 90k), per-task heap
       // state ≈ finisherStateBudget by construction, and the triangle-seed
       // loop is stride-subsampled inside scan().
+      // sumCells == 0 means every remaining query is capped at maxRings
+      // (nothing left to explode — a ring round would be a no-op and the
+      // loop would never converge): force the exact finisher regardless of
+      // count. Only reachable with sumCells EXACT: rounds that get here
+      // with the probe's -1 sentinel have nRem under the count trigger.
       if (scanFinishThreshold > 0 &&
-          nRem <= (if (best == null) scanFinishThreshold else autoThr)) {
+          (nRem <= (if (best == null) scanFinishThreshold else autoThr) ||
+           sumCells == 0L)) {
         // seed thresholds from the ring phase: for each straggler with a
         // full k candidates, its current kth distance is a valid upper
         // bound on the true kth (collect bounded by the threshold)
@@ -529,8 +544,14 @@ object Knn {
       // shuffles instead of one per ring. The termination bound is
       // unchanged: a query stops when its kth distance beats the lower
       // bound of its first unexplored ring.
+      // guard the capped case (__next == __explored == hardMax): Spark's
+      // sequence(a, b) with b < a generates a DESCENDING sequence, which
+      // would re-explode already-explored rings for queries riding along
+      // at the cap
       val ringsHere: Column = flatten(transform(
-        sequence(col("__explored") + 1, col("__next")),
+        when(col("__next") > col("__explored"),
+          sequence(col("__explored") + 1, col("__next")))
+          .otherwise(array().cast("array<int>")),
         kCol => ringCells(col("__qcell"), kCol)))
       // shuffle-hash hint with the exploded-straggler side as the BUILD:
       // sort-merge would re-SORT all N cached points every round (a
@@ -601,10 +622,14 @@ object Knn {
 
       best = newBest
       val prevRemaining = remaining
+      // a query stays while unproven; the maxRings cap only drops it when
+      // the finisher is DISABLED (explicit truncation) — otherwise capped
+      // stragglers ride along (exploding zero new cells, see ringsHere) and
+      // hand off to the exact finisher, so the cap never silently truncates
       remaining = prevRemaining
         .withColumn("__explored", col("__next"))
         .join(stats, Seq("query_id"), "left")
-        .filter(col("__explored") < hardMax &&
+        .filter((if (scanFinishThreshold > 0) lit(true) else col("__explored") < hardMax) &&
           (coalesce(col("__n"), lit(0L)) < k ||
             col("__kth") > ringMinSqDist(col("q_lon"), col("q_lat"), col("__qcell"), col("__explored") + 1)))
         .select(col("query_id"), col("q_lon"), col("q_lat"), col("__qcell"), col("__explored"),

@@ -862,10 +862,14 @@ object Media {
     */
   def imageCosineNearDupPairs(df: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     val emb = imageEmbeddings(df)
-      .select(col("image_id"), xxhash64(col("image_id")).as("sid"), col("embedding"))
+      .select(xxhash64(col("image_id")).as("sid"), col("embedding"))
     val pairs = graft.ann.Ann.embeddingNearDupPairs(
       emb, "sid", "embedding", tauNum, tauDen)
-    val ids = emb.select(col("sid"), col("image_id"))
+    // surrogate→id map straight off the raw input: deriving it from `emb`
+    // would re-execute the fused decode+DCT pass (an opaque RDD plan —
+    // nothing prunes the decode out of an id-only projection), so the
+    // pipeline's dominant cost would be paid once per join side
+    val ids = df.select(xxhash64(col("image_id")).as("sid"), col("image_id"))
     val named = pairs
       .join(ids.withColumnRenamed("image_id", "n1"), col("id_1") === col("sid")).drop("sid")
       .join(ids.withColumnRenamed("image_id", "n2"), col("id_2") === col("sid")).drop("sid")

@@ -81,6 +81,21 @@ class KnnSpec extends SparkSpecBase {
       s"expected round 0 + one warm finisher round, got trace $trace")
   }
 
+  test("maxRings cap hands off capped stragglers to the exact finisher (no silent truncation)") {
+    // maxRings = 1 caps every query after one ring round; the tiny state
+    // budget pins the warm threshold at 1, so the capped straggler set
+    // (> 1 query) can only finish through the forced sumCells == 0 handoff
+    // — the result must STILL be exact, not a truncated-radius top-k
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val got = Knn.cellRing(queries, "qid", "qlon", "qlat", points, "pid", "lon", "lat",
+        k = 5, z = 6, maxRings = 1, scanFinishThreshold = 1,
+        finisherStateBudget = 1L, onRound = (r, n) => trace += ((r, n)))
+      .select(col("query_id"), col("rank"), col("point_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === brute(5))
+    assert(trace.last._2 === 0L, s"loop must converge, got trace $trace")
+  }
+
   test("scan plan matches brute force (k=7)") {
     val got = Knn.scan(queries, "qid", "qlon", "qlat", points, "pid", "lon", "lat", 7)
       .select(col("query_id"), col("rank"), col("point_id"))

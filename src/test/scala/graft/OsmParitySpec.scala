@@ -42,6 +42,26 @@ class OsmParitySpec extends SparkSpecBase {
     assert(memDiff === 0)
   }
 
+  test("XML sink is locale-independent: comma-decimal default locale writes dot decimals") {
+    // the f-interpolator honors the JVM default locale; a de_DE host would
+    // write lon="-77,0366667" that no reader can parse back — the sink
+    // must pin Locale.ROOT
+    val dir = java.nio.file.Files.createTempDirectory("graft_osm_loc").toString
+    val saved = java.util.Locale.getDefault
+    val bytes =
+      try {
+        java.util.Locale.setDefault(java.util.Locale.GERMANY)
+        val path = s"$dir/planet_de.osm"
+        OsmXml.writePlanet(planet, path)
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      } finally java.util.Locale.setDefault(saved)
+    val xml = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    assert(!xml.matches("(?s).*(lon|lat)=\"[^\"]*,[^\"]*\".*"),
+      "comma decimal leaked into a coordinate attribute")
+    val back = OsmXml.readPlanet(spark, s"$dir/planet_de.osm")
+    assert(back.nodes.count() === 2000)
+  }
+
   test("pretty XML: parse(pretty(x)) == parse(plain(x)); golden indentation shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pretty").toString
     val small = OsmFixtures.planet(spark, nNodes = 40, nWays = 8, nRelations = 2)

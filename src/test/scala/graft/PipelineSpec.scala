@@ -190,6 +190,54 @@ class PipelineSpec extends SparkSpecBase {
     assert(fromFile.nonEmpty)
   }
 
+  test("dropNodes plan skips the node class for xml inputs (like parquet readClass)") {
+    // two planet files sharing node id 1: any plan that READS nodes must
+    // fail the J4 duplicate check on union; a relation-only plan
+    // (dropNodes conjoined) must skip the class entirely and succeed —
+    // the same skip the parquet branch's readClass has always had
+    def planetFile(name: String, relId: Long): String = {
+      val p = s"$tmp/$name"
+      Files.write(Paths.get(p),
+        s"""<osm version="0.6"><node id="1" lon="1.0" lat="1.0"/>
+           |<relation id="$relId"><member type="node" ref="1" role=""/>
+           |<tag k="type" v="multipolygon"/></relation></osm>""".stripMargin
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      p
+    }
+    val ins = Seq(InputSpec(uri = planetFile("dup_a.osm", 10L)),
+      InputSpec(uri = planetFile("dup_b.osm", 11L)))
+    val relOnly = PipelineConfig(ins, Seq(OutputSpec(uri = s"$tmp/rel_only.osm",
+      dropNodes = true, dropWays = true)))
+    assert(Pipeline.plan(relOnly).dropNodes)
+    val rep = Pipeline.run(spark, relOnly).head
+    assert(rep.relations === 2L && rep.nodes === 0L)
+
+    val readsNodes = PipelineConfig(ins,
+      Seq(OutputSpec(uri = s"$tmp/with_nodes.osm", dropWays = true)))
+    val e = intercept[Exception] { Pipeline.run(spark, readsNodes) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("duplicate id on union: 1")),
+      s"expected the J4 duplicate failure, got $e")
+  }
+
+  test("a .geojsonl.gz URI writes gzip bytes that gunzip to the plain sink's stream") {
+    val plainOut = s"$tmp/gz_plain.geojsonl"
+    val gzOut = s"$tmp/gz_comp.geojsonl.gz"
+    def out(uri: String) = OutputSpec(uri = uri,
+      keysToKeep = K, waysToNodes = true, dropRelations = true)
+    Pipeline.run(spark, PipelineConfig(Seq(InputSpec(uri = inOsm)),
+      Seq(out(plainOut), out(gzOut))))
+    val plain = scala.io.Source.fromFile(plainOut).getLines().toSeq
+    val gz = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.util.zip.GZIPInputStream(new java.io.FileInputStream(gzOut)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val unzipped = try Iterator.continually(gz.readLine()).takeWhile(_ != null).toSeq
+      finally gz.close()
+    assert(plain.nonEmpty)
+    assert(unzipped === plain)
+  }
+
   test("validate fails fast on contradictory configs (reference Config.Validate)") {
     val in = Seq(InputSpec(uri = "x.osm"))
     intercept[IllegalArgumentException] {
