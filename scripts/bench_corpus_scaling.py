@@ -21,22 +21,13 @@ import re
 import subprocess
 import sys
 
+from _benchlib import REPO, sbt as _sbt, BENCH_MD
+
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 DATA_DIR = os.environ.get("GRAFT_BENCH_DIR", "/tmp/graft_bench_corpus")
 N_DOCS = 1_000_000
-REPO = str(pathlib.Path(__file__).resolve().parent.parent)
-
-
 def sbt(cmd):
-    out = subprocess.run(
-        ["sbt", "-batch", cmd], capture_output=True, text=True,
-        env={**os.environ, "GRAFT_BENCH_DIR": DATA_DIR,
-             "SPARK_DRIVER_MEM": "12g"}).stdout
-    m = re.findall(r'\{.*\}', out)
-    if not m:
-        print(out[-3000:], file=sys.stderr)
-        sys.exit(1)
-    return json.loads(m[-1])
+    return _sbt(cmd, env_extra={"GRAFT_BENCH_DIR": DATA_DIR})
 
 
 # only the docs fixture is real-sized; everything else at token size
@@ -66,7 +57,7 @@ lines = [
     "\n(rows/s counts INPUT docs decided per second; output rows = "
     "documents surviving all five stages.)",
 ]
-out_path = pathlib.Path(f"{REPO}/BENCH_SCALING.md")
+out_path = BENCH_MD
 prior = out_path.read_text() if out_path.exists() else ""
 sep = "\n\n---\n\n" if prior.strip() else "\n"
 out_path.write_text("\n".join(lines) + sep + prior)

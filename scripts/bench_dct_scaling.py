@@ -33,51 +33,13 @@ import re
 import subprocess
 import sys
 
+from _benchlib import REPO, CPUSETS, sbt as _sbt, java_leg, shard_json, BENCH_MD
+
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 DATA_DIR = os.environ.get("GRAFT_BENCH_DIR", "/tmp/graft_bench_dct")
 N_PAYLOAD = 3_000_000
-REPO = str(pathlib.Path(__file__).resolve().parent.parent)
-CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
-CPUSETS = ["0-7", "8-15", "16-23", "24-31"]
-ADD_OPENS = sum((["--add-opens", p + "=ALL-UNNAMED"] for p in [
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar"]), [])
-
-JOBS = [
-    ("dct_embed",
-     f"image DCT embed kernel (decode + truncated 32x32 DCT pHash + unit "
-     f"embedding, {N_PAYLOAD // 1_000_000}M images, shuffle-free)"),
-    ("image_neardup",
-     "image near-dup dedup end-to-end (decode + DCT pHash + banded exact "
-     "Hamming pairs, 150k-image subsample, quadratic true-pair volume)"),
-]
-
-
 def sbt(cmd):
-    out = subprocess.run(
-        ["sbt", "-batch", cmd], capture_output=True, text=True,
-        env={**os.environ, "GRAFT_BENCH_DIR": DATA_DIR,
-             "SPARK_DRIVER_MEM": "12g"}).stdout
-    m = re.findall(r'\{.*\}', out)
-    if not m:
-        print(out[-3000:], file=sys.stderr)
-        sys.exit(1)
-    return json.loads(m[-1])
-
-
-def java_leg(main_args, heap, cpuset, log, extra_jvm=(), env_extra=None):
-    f = open(log, "w")
-    cmd = (["taskset", "-c", cpuset, "java"] + ADD_OPENS + [
-        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        f"-Xmx{heap}", f"-Xms{heap}", "-XX:+UseG1GC", *extra_jvm,
-        "-cp", CP] + list(main_args))
-    return subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT,
-                            env={**os.environ, **(env_extra or {})})
+    return _sbt(cmd, env_extra={"GRAFT_BENCH_DIR": DATA_DIR})
 
 
 def shard_leg(shard, cpuset, log):
@@ -85,14 +47,6 @@ def shard_leg(shard, cpuset, log):
                     "6g", cpuset, log, extra_jvm=["-XX:+AlwaysPreTouch"],
                     env_extra={"GRAFT_DCT_SHARD": shard,
                                "GRAFT_BENCH_DIR": DATA_DIR})
-
-
-def shard_json(log):
-    m = re.findall(r'\{.*\}', open(log).read())
-    if not m:
-        print(open(log).read()[-3000:], file=sys.stderr)
-        sys.exit(1)
-    return json.loads(m[-1])
 
 
 # 1. fixture: only the payload table (+ its quarter shards) is real-sized;
@@ -202,7 +156,7 @@ lines += [
     f"2: {', '.join(f'{s:.1f}' for s in secs[2])} s; "
     f"4: {', '.join(f'{s:.1f}' for s in secs[4])} s.",
 ]
-out_path = pathlib.Path(f"{REPO}/BENCH_SCALING.md")
+out_path = BENCH_MD
 prior = out_path.read_text() if out_path.exists() else ""
 sep = "\n\n---\n\n" if prior.strip() else "\n"
 out_path.write_text("\n".join(lines) + sep + prior)

@@ -25,44 +25,11 @@ import re
 import subprocess
 import sys
 
+from _benchlib import REPO, CPUSETS, sbt, java_leg, shard_json, BENCH_MD
+
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 XL_DIR = os.environ.get("GRAFT_BENCH_DIR", "/tmp/graft_bench_xl")
 N_IMAGES, N_POLYS = 120_000_000, 1000  # 4x the authoritative run's 30M
-REPO = str(pathlib.Path(__file__).resolve().parent.parent)
-CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
-CPUSETS = ["0-7", "8-15", "16-23", "24-31"]
-ADD_OPENS = sum((["--add-opens", p + "=ALL-UNNAMED"] for p in [
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar"]), [])
-
-
-def sbt(cmd, env_extra=None):
-    out = subprocess.run(
-        ["sbt", "-batch", cmd], capture_output=True, text=True,
-        env={**os.environ, "SPARK_DRIVER_MEM": "12g",
-             **(env_extra or {})}).stdout
-    m = re.findall(r'\{.*\}', out)
-    if not m:
-        print(out[-3000:], file=sys.stderr)
-        sys.exit(1)
-    return json.loads(m[-1])
-
-
-def java_leg(main_args, heap, cpuset, log, extra_jvm=(), env_extra=None):
-    f = open(log, "w")
-    cmd = (["taskset", "-c", cpuset, "java"] + ADD_OPENS + [
-        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        f"-Xmx{heap}", f"-Xms{heap}", "-XX:+UseG1GC", *extra_jvm,
-        "-cp", CP] + list(main_args))
-    return subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT,
-                            env={**os.environ, **(env_extra or {})})
-
-
 def shard_leg(shard, cpuset, log):
     # 6g pre-touched: same sizing rationale as bench_scaling.py's shard_leg
     # (AlwaysPreTouch moves heap fault service before the measured region;
@@ -71,14 +38,6 @@ def shard_leg(shard, cpuset, log):
                     "6g", cpuset, log, extra_jvm=["-XX:+AlwaysPreTouch"],
                     env_extra={"GRAFT_JOIN_SHARD": shard,
                                "GRAFT_BENCH_DIR": XL_DIR})
-
-
-def shard_json(log):
-    m = re.findall(r'\{.*\}', open(log).read())
-    if not m:
-        print(open(log).read()[-3000:], file=sys.stderr)
-        sys.exit(1)
-    return json.loads(m[-1])
 
 
 # 1. Fixture: only the LITE fixtures at 120M matter — everything else is
@@ -166,7 +125,7 @@ lines = [
     f" 2: {', '.join(f'{s:.1f}' for s in secs[2])} s;"
     f" 4: {', '.join(f'{s:.1f}' for s in secs[4])} s.",
 ]
-out_path = pathlib.Path("BENCH_SCALING.md")
+out_path = BENCH_MD
 prior = out_path.read_text() if out_path.exists() else ""
 sep = "\n\n---\n\n" if prior.strip() else "\n"
 out_path.write_text("\n".join(lines) + sep + prior)

@@ -2,6 +2,8 @@
 """Orchestrate the two-parallelism scaling bench: one fresh JVM per
 (job, cpus) leg, aggregate to BENCH_SCALING.md + one JSON line."""
 import json, os, re, subprocess, sys, datetime, pathlib
+from _benchlib import (REPO, CPUSETS, last_json, sbt, java_leg, shard_json,
+                       BENCH_MD)
 
 N_IMAGES, N_POLYS, N_PAYLOAD = 30_000_000, 1000, 3_000_000
 # Corpus sizes are picked so each leg's scalable work dominates its fixed
@@ -36,19 +38,6 @@ JOBS = [("join_cells", "spatial-join (cell equi-join + PIP refine) + tiling"),
         ("knn_ring_bucketed", f"cell-ring kNN, bucketBy(cell) ingest layout (same {N_KNN_Q//1000}k/{N_KNN_PTS//1_000_000}M input)")]
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 
-def sbt(cmd):
-    out = subprocess.run(
-        ["sbt", "-batch", cmd], capture_output=True, text=True,
-        # 12g fixed heap: large enough for every leg, small enough that the
-        # one-time first-touch fault cost (this host's hypervisor services
-        # anon faults at 0.25-1.3 GB/s) stays out of the measured reps.
-        env={**os.environ, "SPARK_DRIVER_MEM": "12g"}).stdout
-    m = re.findall(r'\{.*\}', out)
-    if not m:
-        print(out[-3000:], file=sys.stderr)
-        sys.exit(1)
-    return json.loads(m[-1])
-
 # Resume: GRAFT_BENCH_RESUME=<stdout log of a prior partial run> reuses its
 # completed leg JSONs (one per line) instead of re-measuring them. A full
 # run is ~80 min of fresh-JVM legs; a crash in the ladder tail must not
@@ -69,6 +58,32 @@ if _resume and os.path.exists(_resume):
                 CTRL_CACHE[_d["job"]] = _d
             elif "job" in _d and "cpus" in _d and "sec" in _d:
                 CACHE[(_d["job"], _d["cpus"])] = _d
+    # EPOCH-SAFE resume: every published RATIO must pair numbers from one
+    # session (the LADDERS note — this host drifts ~35% between sessions,
+    # and a cached fast-epoch leg against a fresh slow-epoch one once
+    # produced a bogus 0.956). So reuse is ALL-OR-NOTHING per ratio:
+    # - an in-JVM (job) pair is reused only if BOTH core counts are cached;
+    # - a ladder is reused only if ALL rungs (1, 2, 4) are cached;
+    # - the host controls are reused only if BOTH ladders were fully cached
+    #   (the report reads ladder rungs against the controls).
+    for _job in {j for j, _ in CACHE}:
+        if not ((_job, 8) in CACHE and (_job, 32) in CACHE):
+            CACHE.pop((_job, 8), None); CACHE.pop((_job, 32), None)
+            print(f"[resume] dropped partial pair {_job} (epoch rule)",
+                  file=sys.stderr)
+    _full_ladders = True
+    for _name in ("knn_scale_out", "rtree_scale_out"):
+        if not all((_name, w) in LADDER_CACHE for w in (1, 2, 4)):
+            _full_ladders = False
+            for w in (1, 2, 4):
+                if LADDER_CACHE.pop((_name, w), None) is not None:
+                    print(f"[resume] dropped partial ladder {_name} "
+                          "(epoch rule)", file=sys.stderr)
+    if not _full_ladders and CTRL_CACHE:
+        CTRL_CACHE.clear()
+        print("[resume] dropped cached host controls: a ladder is being "
+              "re-measured, controls must come from its session "
+              "(epoch rule)", file=sys.stderr)
 
 def leg_of(job, cpus, reps, main="graft.BenchScaling"):
     if (job, cpus) in CACHE:
@@ -121,33 +136,8 @@ for cpus in (8, 32):
 # availableProcessors=32 and sizes G1/JIT/netty helper pools for the whole
 # socket — 4 JVMs spawn ~4x oversized helper fleets a real cluster never
 # has, and threads migrate across all 32 cores.
-CPUSETS = ["0-7", "8-15", "16-23", "24-31"]
-
-# Concurrent legs launch RAW java on the staged classpath, not sbt: two
-# sbt instances booting the same project race on sbt's boot-server unix
-# socket (ServerAlreadyBootingException — observed killing a 2-way ladder
-# leg mid-run), and sbt adds launcher noise per JVM besides. The
-# sequential legs above keep sbt (one instance at a time is safe and
-# compiles on demand), so by ladder time the classes are always staged.
-ADD_OPENS = sum((["--add-opens", p + "=ALL-UNNAMED"] for p in [
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar"]), [])
-REPO = str(pathlib.Path(__file__).resolve().parent.parent)
-CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
-
-def java_leg(main_args, heap, cpuset, log, extra_jvm=(), env_extra=None):
-    f = open(log, "w")
-    cmd = (["taskset", "-c", cpuset, "java"] + ADD_OPENS + [
-        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        f"-Xmx{heap}", f"-Xms{heap}", "-XX:+UseG1GC", *extra_jvm,
-        "-cp", CP] + list(main_args))
-    return subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT,
-                            env={**os.environ, **(env_extra or {})})
+# (cpuset pinning, raw-java concurrent legs, and the add-opens list live
+# in scripts/_benchlib.py — shared by all four bench scripts)
 
 def shard_leg(job, envvar, shard, cpuset, log):
     # 6g pre-touched heap: the quarter-shard legs need ~4g, and
@@ -160,13 +150,6 @@ def shard_leg(job, envvar, shard, cpuset, log):
     return java_leg(["graft.BenchScaling", "run", job, "8", "1"],
                     "6g", cpuset, log, extra_jvm=["-XX:+AlwaysPreTouch"],
                     env_extra={envvar: shard})
-
-def shard_json(log):
-    m = re.findall(r'\{.*\}', open(log).read())
-    if not m:
-        print(open(log).read()[-3000:], file=sys.stderr)
-        sys.exit(1)
-    return json.loads(m[-1])
 
 # Two ladders: kNN (the operator whose in-JVM ratio is most socket-bound)
 # and the broadcast R-tree join — the NORTH-RULE HEADLINE metric, whose
@@ -189,8 +172,11 @@ ladders = {}  # name -> {ways: min over reps of (max wall over the JVMs)}
 for name, job, envvar, nreps in LADDERS:
     ladder = {}
     for ways in (1, 2, 4):
-        secs = list(LADDER_CACHE.get((name, ways), []))[:nreps]
-        for r in range(len(secs), nreps):
+        # a cached rung is used AS-IS: topping it up with fresh reps would
+        # mix epochs inside one rung (min() across a ~35% host drift)
+        secs = (list(LADDER_CACHE[(name, ways)]) if (name, ways) in LADDER_CACHE
+                else [])
+        for r in range(len(secs), nreps if not secs else len(secs)):
             logs = [f"/tmp/{name}_{ways}w_{i}_{r}.log" for i in range(ways)]
             procs = [shard_leg(job, envvar, f"{i}/4", CPUSETS[i], logs[i])
                      for i in range(ways)]
@@ -231,7 +217,10 @@ print(json.dumps({"job": "alu_scale_out", "solo_sec": alu_solo,
 # Streaming control: same 1-proc vs 4-proc shape, private 256 MB/thread
 # sequential sums (graft.MemFloor) — caps what table STREAMING can reach.
 def mem_leg(cpuset, log):
-    return java_leg(["graft.MemFloor", "8", "2"], "12g", cpuset, log)
+    # 32 passes = 64 GB per run: the default 4-pass walls are ~0.2 s, which
+    # quantizes the solo/4-way ratio (the fix bench_rtree_ladder.py already
+    # carries — MemFloor's own doc calls the short walls unstable)
+    return java_leg(["graft.MemFloor", "8", "2", "32"], "12g", cpuset, log)
 if "mem_scale_out" in CTRL_CACHE:
     mem_solo = {"sec": CTRL_CACHE["mem_scale_out"]["solo_sec"],
                 "gb_per_s": CTRL_CACHE["mem_scale_out"]["gb_per_s_solo"]}
@@ -355,7 +344,9 @@ lines += [
 lines += [
     "\nThroughput-column caveats: `dedupe_decision` rows = corpus docs (one",
     "decision per doc); `emb_pairs` rows = near-dup pairs found over fixed",
-    "O(n²) compute — for both, the EFFICIENCY column is the scaling metric.",
+    "O(n²) compute; `decode_scan` \"rows\" = payload BYTES scanned (so its",
+    "rows/s columns are bytes/s — do not compare them to the row-count",
+    "legs) — for all three, the EFFICIENCY column is the scaling metric.",
     "\nDecode decomposition (same fresh-JVM min-of-N legs):",
     f"- payload scan alone moves {res[('decode_scan', 8)]['rows']/1e9*1:.1f} GB and runs "
     f"{s8:.2f} s @8 vs {s32:.2f} s @32 (efficiency {(s8/s32)/4:.3f}) — the single-host "
@@ -446,7 +437,7 @@ lines += [
     " kernel efficiency against this number, not against 1.0.",
 ]
 # Prepend the new section; keep prior rounds' sections below for history.
-out_path = pathlib.Path("BENCH_SCALING.md")
+out_path = BENCH_MD
 prior = out_path.read_text() if out_path.exists() else ""
 sep = "\n\n---\n\n" if prior.strip() else "\n"
 out_path.write_text("\n".join(lines) + sep + prior)

@@ -28,10 +28,20 @@ def canon_hash(base, q):
             hashlib.sha256(pd.util.hash_pandas_object(df, index=False)
                            .values.tobytes()).hexdigest())
 
-queries = sorted(q for q in os.listdir(a_dir) if os.path.isdir(f"{a_dir}/{q}"))
+# UNION of both dirs: a query that failed (wrote nothing) under one
+# parallelism level must surface as a MISMATCH, not be silently skipped
+# (a_dir-only listing once hid exactly that false pass)
+def qs(d):
+    return {q for q in os.listdir(d) if os.path.isdir(f"{d}/{q}")}
+queries = sorted(qs(a_dir) | qs(b_dir))
 bad = 0
 for q in queries:
-    (na, ha), (nb, hb) = canon_hash(a_dir, q), canon_hash(b_dir, q)
+    try:
+        (na, ha), (nb, hb) = canon_hash(a_dir, q), canon_hash(b_dir, q)
+    except Exception as e:
+        bad += 1
+        print(f"{q}: MISMATCH (missing/unreadable on one side: {e})")
+        continue
     if (na, ha) != (nb, hb):
         bad += 1
         print(f"{q}: MISMATCH rows {na} vs {nb}, hash {ha[:16]} vs {hb[:16]}")

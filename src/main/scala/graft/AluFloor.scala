@@ -25,6 +25,7 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
   */
 object AluFloor {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // machine-parsed JSON output
     val threads = args.headOption.map(_.toInt).getOrElse(32)
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     // n sized so a rep SUSTAINS the ALU for tens of seconds: a sub-second

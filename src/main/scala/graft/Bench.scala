@@ -29,21 +29,35 @@ object Bench {
     // steady-state number that tracks the PLAN, not the neighbor's load.
     // Totals before round 5 (BENCH_r01-r04) were single-pass.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2).max(1)
-    val results = selected.map { case (name, fn) =>
+    // a failed query must FAIL the bench, not record its near-zero throw
+    // time as a speed-up: note the error, keep timing the rest, report
+    // every failure in the JSON and the exit code
+    val results = selected.toSeq.map { case (name, fn) =>
+      var err: Option[String] = None
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          err = Some(e.toString.linesIterator.nextOption().getOrElse("error"))
+        }
         (System.nanoTime() - t0) / 1e9
       }
       // release any internal persist before the NEXT query is timed —
       // cached leftovers both distort later timings and pin exec memory
       spark.catalog.clearCache()
-      name -> times.min
+      (name, times.min, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    results.foreach { case (n, _, e) =>
+      e.foreach(m => System.err.println(s"[bench] $n FAILED: $m")) }
+    val failed = results.collect { case (n, _, Some(_)) => n }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    val errJson =
+      if (failed.isEmpty) ""
+      else failed.map(n => "\"" + n + "\"").mkString(""","errors":[""", ",", "]")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -466,7 +466,11 @@ object BenchScaling {
     }.sum().toLong
   }
 
-  def main(args: Array[String]): Unit = args.headOption match {
+  def main(args: Array[String]): Unit = {
+    // the result JSON is machine-parsed; the f-interpolator is locale-
+    // sensitive and would print comma decimals on comma-locale JVMs
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    args.headOption match {
     case Some("prep") =>
       val nImages = args(1).toLong; val nPolys = args(2).toInt; val nPayload = args(3).toLong
       def once(marker: String)(build: SparkSession => Unit): Unit = {
@@ -647,5 +651,6 @@ object BenchScaling {
         "pbf_scan pbf_kernel pbf_pruned pbf_write dedupe_decision dedupe_sig " +
         "dedupe_cand dedupe_verify emb_pairs emb_repl knn_ring knn_ring_bucketed)")
       sys.exit(2)
+    }
   }
 }

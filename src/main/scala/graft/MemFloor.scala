@@ -28,6 +28,7 @@ import java.util.concurrent.atomic.AtomicLong
 object MemFloor {
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // machine-parsed JSON output
     val threads = args.headOption.map(_.toInt).getOrElse(8)
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val Passes = args.lift(2).map(_.toInt).getOrElse(4)

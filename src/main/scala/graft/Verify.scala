@@ -17,6 +17,15 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // wipe the output dir first: a query that fails BEFORE its write starts
+    // (analysis error) leaves a previous run's parquet behind, and the
+    // oracle compare would silently green-light the stale result
+    val outPath = Paths.get(outDir)
+    if (Files.exists(outPath)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(outPath).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
