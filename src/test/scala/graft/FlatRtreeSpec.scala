@@ -70,4 +70,22 @@ class FlatRtreeSpec extends AnyFunSuite {
     val t = FlatRtree.build(pile)
     assert(t.probeIds(0.5, 0.5).toSet === (0 until 100).map(_.toLong).toSet)
   }
+
+  test("non-convex ring: MBR hit but ring miss must be refined away (hand-built oracle)") {
+    // every rectangle fixture has MBR == ring, so the entry-MBR test alone
+    // would pass those suites even with the ring refinement deleted. This
+    // L-shape pins the refinement with HAND-COMPUTED expectations, not a
+    // shared-kernel oracle: the notch (x,y in (1,2]x(1,2]) is inside the
+    // MBR [0,2]x[0,2] but outside the ring.
+    val lShape = Array(
+      0.0, 0.0,  2.0, 0.0,  2.0, 1.0,  1.0, 1.0,  1.0, 2.0,  0.0, 2.0,  0.0, 0.0)
+    val tree = FlatRtree.build(Array((5L, lShape)))
+    assert(tree.probeIds(0.5, 0.5).toSet === Set(5L))  // in the fat leg
+    assert(tree.probeIds(1.5, 0.5).toSet === Set(5L))  // in the bottom arm
+    assert(tree.probeIds(0.5, 1.5).toSet === Set(5L))  // in the left arm
+    assert(tree.probeIds(1.5, 1.5).isEmpty,
+      "point in the MBR notch but outside the ring must be refined away")
+    assert(tree.probeIds(1.9, 1.9).isEmpty)
+    assert(tree.probeIds(2.5, 0.5).isEmpty)            // outside the MBR too
+  }
 }

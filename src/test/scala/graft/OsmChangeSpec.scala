@@ -53,7 +53,7 @@ class OsmChangeSpec extends SparkSpecBase {
     assert(cn.count() === 5 && cw.count() === 1 && cr.count() === 1)
     val byId = cn.collect().map(r => (r.getLong(2), r.getString(0))).toSet
     assert(byId === Set((9001L, "create"), (1L, "modify"), (2L, "delete"),
-      (9002L, "modify"), (9002L, "delete")) || byId.size === 5)
+      (9002L, "modify"), (9002L, "delete")))
     // document order: the 9002 delete comes after its modify
     val ords9002 = cn.filter(col("id") === 9002L)
       .orderBy("ord").collect().map(_.getString(0)).toSeq

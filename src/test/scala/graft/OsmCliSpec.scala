@@ -125,7 +125,14 @@ class OsmCliSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       OsmCli.run(spark, Array("-input_uri", inOsm, "-output_uri", existing))
     }
-    // -overwrite allows it; -dry_run must not write anything
+    // -overwrite allows the same write to proceed (the escape hatch must
+    // actually be plumbed into the existence check, not just parsed)
+    val (owCode, _) = runCli(
+      "-input_uri", inOsm, "-output_uri", existing, "-overwrite")
+    assert(owCode === 0)
+    assert(Files.size(java.nio.file.Paths.get(existing)) > 1L,
+      "-overwrite run must have replaced the 1-byte placeholder")
+    // -dry_run must not write anything
     val fresh = s"$tmp/fresh.osm"
     val (code, lines) = runCli("-input_uri", inOsm, "-output_uri", fresh, "-dry_run")
     assert(code === 0)

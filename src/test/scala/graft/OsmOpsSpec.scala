@@ -225,7 +225,13 @@ class OsmOpsSpec extends SparkSpecBase {
     val res = OsmOps.summarizeByKey(planet.nodes, planet.ways, planet.relations, keys)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    keys.filter(res.contains).foreach { k =>
+    // the result must hold EXACTLY the requested keys that occur at least
+    // once — `keys.filter(res.contains)` would silently skip a key the
+    // implementation dropped, instead of failing on it
+    val expectedKeys = keys.filter(k => expect(planet.nodes, 8, k) +
+      expect(planet.ways, 7, k) + expect(planet.relations, 7, k) > 0).toSet
+    assert(res.keySet === expectedKeys, s"keys present: ${res.keySet}")
+    expectedKeys.foreach { k =>
       assert(res(k)._1 === expect(planet.nodes, 8, k), s"nodes[$k]")
       assert(res(k)._2 === expect(planet.ways, 7, k), s"ways[$k]")
       assert(res(k)._3 === expect(planet.relations, 7, k), s"relations[$k]")

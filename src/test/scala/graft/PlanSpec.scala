@@ -138,18 +138,31 @@ class PlanSpec extends SparkSpecBase {
       Seq(Pipeline.InputSpec(uri = tmp)),
       Seq(Pipeline.OutputSpec(uri = s"$tmp/out", format = Some("parquet"))))
     val shared = Pipeline.ingest(spark, c, Pipeline.plan(c))
+    // capture the plans runOutput ACTUALLY executes (a hand-built join
+    // with its own broadcast() hint would be tautological): the writer
+    // commands flow through the QueryExecutionListener
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
     try {
       Pipeline.runOutput(shared, c.outputs.head, None)
       val written = spark.read.parquet(s"$tmp/out/nodes")
       assert(written.filter(col("user").isNull).count() === 0)
-      // plan shape: the rejoin inside runOutput must be a broadcast hash
-      // join — verify on an equivalent join over the shared frames
-      val plan = shared.nodes
-        .join(org.apache.spark.sql.functions.broadcast(shared.users), Seq("uid"), "left")
-        .queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
-      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
-    } finally shared.unpersist()
+      org.apache.spark.grafttest.TestBus.waitUntilEmpty(spark.sparkContext)
+      import scala.jdk.CollectionConverters._
+      val all = plans.asScala.mkString("\n====\n")
+      assert(all.contains("BroadcastHashJoin"), all.take(2000))
+      assert(!all.contains("SortMergeJoin"), all.take(2000))
+    } finally {
+      spark.listenerManager.unregister(ql)
+      shared.unpersist()
+    }
   }
 
   test("unionWithDupCheck scans each input exactly once (single-pass J4)") {
@@ -182,11 +195,25 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  test("tag key-existence filter is partial-pushdown safe and prunes columns") {
+  test("tag key-existence filter keeps exactly the matching rows and prunes columns") {
+    // a discriminating fixture: only rows whose id-hash is even carry the
+    // craft key — an always-true (or always-false) filter regression can't
+    // hide behind an all-match fixture
+    val hasKey = pmod(xxhash64(col("image_id")), lit(2)) === 0
     val tagged = spark.read.parquet(s"$dir/imgs")
-      .withColumn("tags", map(lit("craft"), col("craft")))
+      .withColumn("tags",
+        when(hasKey, map(lit("craft"), col("craft")))
+          .otherwise(map(lit("other"), col("craft"))))
+    val expected = tagged.filter(hasKey).count()
+    assert(expected > 0 && expected < 20000) // fixture is discriminating
     val q = graft.ops.OsmOps.filterKeepKeys(tagged, "tags", Seq("craft"))
       .select("image_id")
-    assert(q.count() === 20000) // every fixture row has a craft tag
+    assert(q.count() === expected)
+    // column pruning: the projection reads only what the filter + select
+    // need (the tags map is derived from image_id/craft; lon/lat pruned)
+    val readSchema = "ReadSchema: [^\\n]*".r
+      .findFirstIn(q.queryExecution.executedPlan.toString).getOrElse("")
+    assert(!readSchema.contains("lon") && !readSchema.contains("lat"),
+      s"lon/lat not pruned: $readSchema")
   }
 }

@@ -16,6 +16,10 @@ object SparkSpecBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.maxMetadataStringLength", "100000") // untruncated plans
       .config("spark.ui.enabled", "false")
+      // same extensions as the gate sessions (Verify/Bench): specs must
+      // plan under the optimizer rule the gate runs, and the injected SQL
+      // functions must be exercised by the suite, not only by Verify
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
