@@ -133,8 +133,12 @@ object SparkEntry {
     // the oracle's modulo bucketing); output as epoch seconds so the
     // cross-engine compare never touches timestamp encodings.
     "q43_region_rates" -> ((s, dir) => {
+      // reduce point_id mod the window span BEFORE the hash multiply: the
+      // raw product overflows int64 past point_id ~3.5e9 (ANSI: throws;
+      // DuckDB: out-of-range) — value-identical by modular arithmetic
       val p = pts(s, dir).withColumn("ts", timestamp_seconds(
-        lit(1704067200L) + pmod(col("point_id") * lit(2654435761L), lit(604800L))))
+        lit(1704067200L) +
+          pmod(pmod(col("point_id"), lit(604800L)) * lit(2654435761L), lit(604800L))))
       graft.streaming.Streams.regionRates(p, "ts", "lon", "lat",
         rect(s, dir), "polygon_id", "ring",
         windowLen = "1 hour", delay = "0 seconds")
@@ -333,12 +337,17 @@ object SparkEntry {
         TextOps.wsTokenCount(col("text")).as("n_ws"),
         TextOps.alphaCount(col("text")).as("n_alpha"),
         length(col("text")).as("n_len"),
-        (TextOps.alphaCount(col("text")) / length(col("text"))).as("alpha_ratio"),
+        // nullif on every ratio denominator: a zero-length or token-less
+        // document must yield NULL on both engines (a bare /0 THROWS under
+        // Spark ANSI but is NULL in DuckDB — fixture luck hid this)
+        (TextOps.alphaCount(col("text")) / nullif(length(col("text")), lit(0)))
+          .as("alpha_ratio"),
         TextOps.punctCount(col("text")).as("n_punct"),
-        (TextOps.punctCount(col("text")) / length(col("text"))).as("punct_ratio"),
+        (TextOps.punctCount(col("text")) / nullif(length(col("text")), lit(0)))
+          .as("punct_ratio"),
         TextOps.stopwordCount(col("text"), StopWords).as("n_stop"),
-        (TextOps.stopwordCount(col("text"), StopWords) / TextOps.tokenCount(col("text")))
-          .as("stop_ratio"))
+        (TextOps.stopwordCount(col("text"), StopWords) /
+          nullif(TextOps.tokenCount(col("text")), lit(0L))).as("stop_ratio"))
         .orderBy("doc_id")
     }),
 
@@ -360,7 +369,11 @@ object SparkEntry {
 
     // document fingerprinting: positional (commutative) + rolling polynomial
     "q22_fingerprint" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // non-empty docs only, matching the oracle: generate_series(1, 0) is
+      // empty so DuckDB's position CTE drops an empty document entirely,
+      // while split('', '') here yields one '' element (ascii 0) — a row
+      // the oracle would never produce
+      val d = docs(s, dir).filter(length(col("text")) > 0)
       TextOps.fingerprintPositional(d, "doc_id", "text")
         .join(d.select(col("doc_id"),
           TextOps.fingerprintRolling(col("text")).as("rolling")), "doc_id")
@@ -560,10 +573,18 @@ object SparkEntry {
     "q31_multi_union" -> ((s, dir) => {
       val a = pts(s, dir).select(col("point_id").as("id"), col("lon"), col("lat"))
       val o = s.read.parquet(s"$dir/orders.parquet")
+      // side-b ids are NEGATED order keys: structurally disjoint from pts'
+      // positive point_ids for ANY input (the old slot-9 encoding collided
+      // with a lineitem carrying l_linenumber = 9 — then the dup check
+      // aborted while the plain UNION ALL oracle kept both rows). Coords
+      // still derive from the positive slot-9 value, with the id reduced
+      // mod the grid BEFORE the hash multiply (int64-overflow-free,
+      // value-identical — see GeoTables).
+      val slot9 = col("o_orderkey") * lit(10L) + lit(9L)
       val b = o.select(
-        (col("o_orderkey") * lit(10L) + lit(9L)).as("id"), // linenumber slot 9: never used by pts
-        (pmod((col("o_orderkey") * lit(10L) + lit(9L)) * lit(GeoTables.LonMul), lit(360000L)) / lit(1000.0) - lit(180.0)).as("lon"),
-        (pmod((col("o_orderkey") * lit(10L) + lit(9L)) * lit(GeoTables.LatMul), lit(170000L)) / lit(1000.0) - lit(85.0)).as("lat"))
+        (-col("o_orderkey")).as("id"),
+        (pmod(pmod(slot9, lit(360000L)) * lit(GeoTables.LonMul), lit(360000L)) / lit(1000.0) - lit(180.0)).as("lon"),
+        (pmod(pmod(slot9, lit(170000L)) * lit(GeoTables.LatMul), lit(170000L)) / lit(1000.0) - lit(85.0)).as("lat"))
       OsmOps.unionWithDupCheck(Seq(a, b), "id").orderBy("id")
     }),
 
@@ -712,7 +733,7 @@ object SparkEntry {
       "q43_region_rates" ->
         s"""$withBoth, evts AS (
            |  SELECT point_id, lon, lat,
-           |         1704067200 + (point_id * 2654435761) % 604800 AS ts_sec
+           |         1704067200 + (point_id % 604800) * 2654435761 % 604800 AS ts_sec
            |  FROM pts
            |)
            |SELECT g.polygon_id AS polygon_id,
@@ -923,13 +944,14 @@ object SparkEntry {
 
       "q21_quality" ->
         """SELECT doc_id,
-          |       CAST(FLOOR(100.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)) AS BIGINT)
+          |       CAST(FLOOR(100.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / NULLIF(length(text), 0)) AS BIGINT)
           |       + CASE WHEN length(text) BETWEEN 100 AND 400 THEN 50 ELSE 0 END AS quality
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q22_fingerprint" ->
         """WITH e AS (
-          |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents
+          |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+          |  FROM documents WHERE length(text) > 0
           |)
           |SELECT e.doc_id,
           |       CAST(SUM(ascii(substr(e.text, e.i, 1)) * e.i * e.i) % 1000000007 AS BIGINT) AS fingerprint,
@@ -1131,9 +1153,9 @@ object SparkEntry {
 
       "q31_multi_union" ->
         s"""$withPts, b AS (
-           |  SELECT o_orderkey * 10 + 9 AS id,
-           |         ((o_orderkey * 10 + 9) * 2654435761) % 360000 / 1000.0 - 180.0 AS lon,
-           |         ((o_orderkey * 10 + 9) * 2246822519) % 170000 / 1000.0 - 85.0 AS lat
+           |  SELECT -o_orderkey AS id,
+           |         ((o_orderkey * 10 + 9) % 360000) * 2654435761 % 360000 / 1000.0 - 180.0 AS lon,
+           |         ((o_orderkey * 10 + 9) % 170000) * 2246822519 % 170000 / 1000.0 - 85.0 AS lat
            |  FROM orders
            |)
            |SELECT id, lon, lat FROM (
@@ -1286,11 +1308,11 @@ object SparkEntry {
        |       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws,
        |       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
        |       length(text) AS n_len,
-       |       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) AS alpha_ratio,
+       |       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / NULLIF(length(text), 0) AS alpha_ratio,
        |       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
-       |       (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / length(text) AS punct_ratio,
+       |       (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / NULLIF(length(text), 0) AS punct_ratio,
        |       $stopExpr AS n_stop,
-       |       $stopExpr / len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS stop_ratio
+       |       $stopExpr / NULLIF(len(regexp_extract_all(text, '[A-Za-z0-9_]+')), 0) AS stop_ratio
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 

@@ -43,8 +43,14 @@ object GeoTables {
         min(li("l_returnflag")).as("tag_flag"),
         min(li("l_linestatus")).as("tag_status"))
     val pid = g("way_id") * lit(10L) + g("pos")
-    val lonM = pmod(pid * lit(LonMul), lit(360000L))
-    val latM = pmod(pid * lit(LatMul), lit(170000L))
+    // reduce pid mod the grid BEFORE the hash multiply: value-identical to
+    // pmod(pid * Mul, grid) by modular arithmetic, but the intermediate
+    // stays ≤ 360000·LonMul ≈ 9.6e14 (< 2^63) for ANY int64 pid — the raw
+    // product overflowed past pid ≈ 3.5e9 (Spark ANSI throws, DuckDB
+    // errors out-of-range), i.e. at exactly the 10^12-row scale the
+    // engine targets. Same pattern as Corpus.mixHash.
+    val lonM = pmod(pmod(pid, lit(360000L)) * lit(LonMul), lit(360000L))
+    val latM = pmod(pmod(pid, lit(170000L)) * lit(LatMul), lit(170000L))
     g.select(
       pid.as("point_id"),
       g("way_id"),
@@ -63,10 +69,10 @@ object GeoTables {
     """SELECT way_id * 10 + pos AS point_id,
       |       way_id,
       |       pos,
-      |       ((way_id * 10 + pos) * 2654435761) % 360000 AS lon_milli,
-      |       ((way_id * 10 + pos) * 2246822519) % 170000 AS lat_milli,
-      |       (((way_id * 10 + pos) * 2654435761) % 360000) / 1000.0 - 180.0 AS lon,
-      |       (((way_id * 10 + pos) * 2246822519) % 170000) / 1000.0 - 85.0 AS lat,
+      |       ((way_id * 10 + pos) % 360000) * 2654435761 % 360000 AS lon_milli,
+      |       ((way_id * 10 + pos) % 170000) * 2246822519 % 170000 AS lat_milli,
+      |       (((way_id * 10 + pos) % 360000) * 2654435761 % 360000) / 1000.0 - 180.0 AS lon,
+      |       (((way_id * 10 + pos) % 170000) * 2246822519 % 170000) / 1000.0 - 85.0 AS lat,
       |       tag_flag,
       |       tag_status,
       |       quantity
@@ -83,10 +89,11 @@ object GeoTables {
   def rects(spark: SparkSession, dir: String): DataFrame = {
     val pt = spark.read.parquet(s"$dir/part.parquet")
     val k = pt("p_partkey")
-    val cLon = pmod(k * lit(40503L), lit(320000L))        // center milli, 0..320000
-    val cLat = pmod(k * lit(29251L), lit(150000L))        // center milli, 0..150000
-    val hw = lit(50L) + pmod(k * lit(7919L), lit(2000L))  // half-width milli
-    val hh = lit(50L) + pmod(k * lit(104729L), lit(2000L))
+    // mod-before-multiply, like points: overflow-free for any int64 key
+    val cLon = pmod(pmod(k, lit(320000L)) * lit(40503L), lit(320000L))   // center milli
+    val cLat = pmod(pmod(k, lit(150000L)) * lit(29251L), lit(150000L))   // center milli
+    val hw = lit(50L) + pmod(pmod(k, lit(2000L)) * lit(7919L), lit(2000L)) // half-width milli
+    val hh = lit(50L) + pmod(pmod(k, lit(2000L)) * lit(104729L), lit(2000L))
     def lonOf(m: org.apache.spark.sql.Column) = m / lit(1000.0) - lit(165.0)
     def latOf(m: org.apache.spark.sql.Column) = m / lit(1000.0) - lit(80.0)
     val w = pt.select(
@@ -115,12 +122,12 @@ object GeoTables {
     */
   val rectsSql: String =
     """SELECT p_partkey AS polygon_id,
-      |       ((p_partkey * 40503) % 320000 - (50 + (p_partkey * 7919) % 2000)) / 1000.0 - 165.0 AS min_lon,
-      |       ((p_partkey * 29251) % 150000 - (50 + (p_partkey * 104729) % 2000)) / 1000.0 - 80.0 AS min_lat,
-      |       ((p_partkey * 40503) % 320000 + (50 + (p_partkey * 7919) % 2000)) / 1000.0 - 165.0 AS max_lon,
-      |       ((p_partkey * 29251) % 150000 + (50 + (p_partkey * 104729) % 2000)) / 1000.0 - 80.0 AS max_lat,
-      |       ((p_partkey * 40503) % 320000) / 1000.0 - 165.0 AS center_lon,
-      |       ((p_partkey * 29251) % 150000) / 1000.0 - 80.0 AS center_lat,
+      |       ((p_partkey % 320000) * 40503 % 320000 - (50 + (p_partkey % 2000) * 7919 % 2000)) / 1000.0 - 165.0 AS min_lon,
+      |       ((p_partkey % 150000) * 29251 % 150000 - (50 + (p_partkey % 2000) * 104729 % 2000)) / 1000.0 - 80.0 AS min_lat,
+      |       ((p_partkey % 320000) * 40503 % 320000 + (50 + (p_partkey % 2000) * 7919 % 2000)) / 1000.0 - 165.0 AS max_lon,
+      |       ((p_partkey % 150000) * 29251 % 150000 + (50 + (p_partkey % 2000) * 104729 % 2000)) / 1000.0 - 80.0 AS max_lat,
+      |       ((p_partkey % 320000) * 40503 % 320000) / 1000.0 - 165.0 AS center_lon,
+      |       ((p_partkey % 150000) * 29251 % 150000) / 1000.0 - 80.0 AS center_lat,
       |       p_brand AS tag_brand
       |FROM part""".stripMargin
 }

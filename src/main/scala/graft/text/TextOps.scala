@@ -75,7 +75,9 @@ object TextOps {
     * a deterministic stand-in for heuristic quality classifiers.
     */
   def qualityScore(text: Column, nChars: Column): Column =
-    floor(lit(100.0) * alphaCount(text) / nChars).cast("long") +
+    // nullif: an empty document must score NULL on both engines — a bare
+    // /0 THROWS under Spark ANSI but returns NULL in DuckDB
+    floor(lit(100.0) * alphaCount(text) / nullif(nChars, lit(0))).cast("long") +
       when(nChars.between(100, 400), lit(50L)).otherwise(lit(0L))
 
   /** Order-sensitive rolling (polynomial) fingerprint:
@@ -91,9 +93,17 @@ object TextOps {
   /** Commutative position-weighted fingerprint: Σ ascii(c_i)·i² mod p.
     * Aggregation-friendly (computable via explode + SUM on both engines).
     */
-  def fingerprintPositional(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def fingerprintPositional(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // per-term arithmetic in LONG with a mod before the ascii multiply:
+    // the old int (i+1)²·ascii overflowed (ANSI: throws) past ~4k chars,
+    // while the DuckDB oracle sums exactly in HUGEINT. (i² mod p)·ascii
+    // ≤ p·127 ≈ 1.3e11 and the partial SUM stays below p·len — identical
+    // to the oracle's Σ ascii·i² mod p because mod distributes over both.
+    val i = col("i0").cast("long") + 1
     df.select(col(idCol), posexplode(split(col(textCol), "")).as(Seq("i0", "c")))
-      .select(col(idCol), ((col("i0") + 1) * (col("i0") + 1) * ascii(col("c"))).as("w"))
+      .select(col(idCol),
+        pmod(pmod(i * i, lit(FingerprintP)) * ascii(col("c")), lit(FingerprintP)).as("w"))
       .groupBy(col(idCol))
       .agg((sum(col("w")) % lit(FingerprintP)).as("fingerprint"))
+  }
 }

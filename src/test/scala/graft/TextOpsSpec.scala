@@ -60,6 +60,35 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("degenerate docs: empty text and token-less text don't throw under ANSI") {
+    import spark.implicits._
+    // empty text (length 0) and pure punctuation (tokenCount 0): the ratio
+    // denominators must go NULL (like DuckDB's /0), never DIVIDE_BY_ZERO
+    val deg = Seq((1L, ""), (2L, "!!! ???")).toDF("doc_id", "text")
+    val q = deg.select(col("doc_id"),
+      TextOps.qualityScore(col("text"), length(col("text"))).as("q"),
+      (TextOps.stopwordCount(col("text"), Seq("the", "and")) /
+        org.apache.spark.sql.functions.nullif(
+          TextOps.tokenCount(col("text")), lit(0L))).as("sr"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(q(1L) === ((true, true)))  // len 0 -> NULL quality, NULL stop_ratio
+    assert(q(2L)._2 === true)         // 0 tokens -> NULL stop_ratio
+  }
+
+  test("positional fingerprint survives multi-KB documents (int overflow guard)") {
+    import spark.implicits._
+    // 8000 chars of 'z': the old 32-bit (i+1)^2*ascii weight overflowed past
+    // ~4.1k chars (ANSI throws). Expected value mirrors the DuckDB oracle's
+    // exact HUGEINT sum, reduced mod p.
+    val big = Seq((9L, "z" * 8000)).toDF("doc_id", "text")
+    val got = TextOps.fingerprintPositional(big, "doc_id", "text")
+      .collect()(0).getLong(1)
+    val p = 1000000007L
+    val expected = (1 to 8000).map(i =>
+      BigInt(i) * i * 'z'.toInt).sum.mod(BigInt(p)).toLong
+    assert(got === expected)
+  }
+
   test("quality score: alpha ratio + length band") {
     val q = df.select(col("doc_id"),
       TextOps.qualityScore(col("text"), length(col("text"))).as("q"))
