@@ -552,6 +552,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // similarity search: product quantization + asymmetric distance — the
+    // COMPRESSION scale path next to LSH/IVF's pruning (scan m byte-sized
+    // codes per vector, not dims floats); deterministic sampled codebook
+    // keeps the whole path integer-exact and DuckDB-expressible (q34's
+    // precedent); Lloyd's-refined codebooks + exact refine in PqSpec
+    "q52_ann_pq" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(pmod(col("vec_id"), lit(50L)) === 0)
+      Ann.pqTopK(queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k = 10, dims = 64, m = 8, codeEvery = 10L)
+        .orderBy("query_id", "rank")
+    }),
+
     // embedding-cosine near-dup pairs (dedup mode 5) — integer-exact
     // cross-multiplied cosine threshold on quantized vectors
     "q30_embedding_neardup" -> ((s, dir) =>
@@ -1215,6 +1228,44 @@ object SparkEntry {
           |  FROM dots
           |)
           |SELECT query_id, rank, vec_id, dot FROM r WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin,
+
+      // mirrors Ann.pqTopK exactly: dims=64, m=8 subspaces of 8 dims,
+      // codewords = every 10th vector, argmin ties to min cid, ADC = sum
+      // of the 8 per-subspace LUT dots, final ties to min vec_id
+      "q52_ann_pq" ->
+        """WITH dims AS (
+          |  SELECT vec_id, CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv,
+          |         unnest(generate_series(1, len(embedding))) AS i
+          |  FROM embeddings
+          |), sub AS (
+          |  SELECT vec_id, qv, i, CAST((i - 1) // 8 AS INTEGER) AS sub FROM dims
+          |), cw AS (
+          |  SELECT vec_id AS cid, sub, i, qv FROM sub WHERE vec_id % 10 = 0
+          |), assign AS (
+          |  SELECT s.vec_id, s.sub, c.cid, CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
+          |  FROM sub s JOIN cw c ON s.i = c.i GROUP BY 1, 2, 3
+          |), codes AS (
+          |  SELECT vec_id, sub, cid AS code FROM (
+          |    SELECT vec_id, sub, cid,
+          |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+          |    FROM assign
+          |  ) WHERE rn = 1
+          |), lut AS (
+          |  SELECT q.vec_id AS query_id, c.sub, c.cid AS code, CAST(SUM(q.qv * c.qv) AS BIGINT) AS pdot
+          |  FROM sub q JOIN cw c ON q.i = c.i
+          |  WHERE q.vec_id % 50 = 0
+          |  GROUP BY 1, 2, 3
+          |), adc AS (
+          |  SELECT l.query_id, k.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS adot
+          |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+          |  GROUP BY 1, 2
+          |), r AS (
+          |  SELECT query_id, vec_id, adot,
+          |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rank
+          |  FROM adc
+          |)
+          |SELECT query_id, rank, vec_id, adot FROM r WHERE rank <= 10
           |ORDER BY query_id, rank""".stripMargin,
 
       "q29_geojson" ->

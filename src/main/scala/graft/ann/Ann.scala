@@ -425,4 +425,157 @@ object Ann {
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("dot"))
   }
+
+  // ---- Product quantization (PQ) -----------------------------------------
+  //
+  // The third ANN scale path, orthogonal to LSH/IVF candidate PRUNING: PQ
+  // compresses the vectors themselves. Each dims-dim vector is split into m
+  // contiguous subvectors; each subvector is replaced by the id of its
+  // nearest codeword (integer squared L2, ties to the smallest codeword id)
+  // from a per-subspace codebook. A scored pair then costs m table lookups
+  // + adds (asymmetric distance computation) instead of dims multiply-adds,
+  // and — the part that matters at 10^12 rows — the scan reads m small codes
+  // per vector instead of dims floats (m=8, ksub≤256 ⇒ 8 bytes vs 256: ~32×
+  // less scan I/O once codes are persisted at ingest, exactly like IVF's
+  // bucketBy(list_id) layout). Codebooks here are deterministic data samples
+  // (every codeEvery-th vector, the [[ivfTopK]] precedent — keeps the whole
+  // path integer-exact and DuckDB-oracle-expressible); [[pqRefineCodebook]]
+  // runs Lloyd's k-means on top when recall matters more than oracle parity.
+
+  /** One row per (id, sub, sv): the quantized embedding cut into m
+    * contiguous dims/m-length subvectors. */
+  private def subvectors(df: DataFrame, idCol: String, idOut: String,
+                         embCol: String, dims: Int, m: Int): DataFrame = {
+    require(m > 0 && dims % m == 0, s"pq: dims $dims not divisible into $m subspaces")
+    val dsub = dims / m
+    val q = quantize(col(embCol))
+    val subs = array((0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(q, s * dsub + 1, dsub).as("sv"))): _*)
+    df.select(col(idCol).as(idOut), explode(subs).as("zs"))
+      .select(col(idOut), col("zs.sub").as("sub"), col("zs.sv").as("sv"))
+  }
+
+  /** Deterministic sampled codebook: the subvectors of every
+    * `codeEvery`-th corpus vector. Output: sub, cid, cw (cid = the sampled
+    * vector's id — codes stay joinable without a dense re-index; persist
+    * with a dense 0..ksub-1 re-map when packing codes to bytes). */
+  def pqCodewords(corpus: DataFrame, idCol: String, embCol: String,
+                  dims: Int, m: Int, codeEvery: Long): DataFrame =
+    subvectors(corpus.filter(pmod(col(idCol), lit(codeEvery)) === 0),
+      idCol, "cid", embCol, dims, m)
+      .select(col("sub"), col("cid"), col("sv").as("cw"))
+
+  /** PQ-encode the corpus: per (vector, subspace), the nearest codeword by
+    * integer squared L2 (ties to min cid) — the same broadcast+hash-argmin
+    * shape as [[ivfTopK]]'s list assignment. Output: vec_id, sub, code.
+    * At ingest scale this runs once and the codes are persisted. */
+  def pqEncode(corpus: DataFrame, idCol: String, embCol: String,
+               codewords: DataFrame, dims: Int, m: Int): DataFrame =
+    subvectors(corpus, idCol, "vec_id", embCol, dims, m)
+      .join(broadcast(codewords), "sub")
+      .select(col("vec_id"), col("sub"),
+        struct(sqDistFold(col("sv"), col("cw")).as("dist"), col("cid").as("cid")).as("dc"))
+      .groupBy(col("vec_id"), col("sub")).agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("code"))
+
+  /** PQ/ADC approximate top-k. Per query, a lookup table of partial dots
+    * against every codeword (nq × m × ksub rows — broadcast-small by
+    * construction); scoring joins the corpus CODES (not vectors) to the
+    * broadcast LUT and sums the m partial dots per (query, vector) with
+    * map-side partial aggregation. `refine` > 0 exact-rescores the top
+    * `refine` ADC candidates with the true quantized dot ([[bruteTopK]]'s
+    * metric) — refine ≥ corpus size degenerates to exact (spec-pinned).
+    * Output: query_id, rank, vec_id, adot (exact dot when refined).
+    */
+  def pqTopK(queries: DataFrame, qIdCol: String, qEmbCol: String,
+             corpus: DataFrame, idCol: String, embCol: String,
+             k: Int, dims: Int, m: Int, codeEvery: Long,
+             refine: Int = 0,
+             codebook: Option[DataFrame] = None): DataFrame = {
+    val cw = codebook.getOrElse(pqCodewords(corpus, idCol, embCol, dims, m, codeEvery))
+    val codes = pqEncode(corpus, idCol, embCol, cw, dims, m)
+    val lut = subvectors(queries, qIdCol, "query_id", qEmbCol, dims, m)
+      .join(broadcast(cw), "sub")
+      .select(col("query_id"), col("sub"), col("cid").as("code"),
+        dotFold(col("sv"), col("cw")).as("pdot"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adot"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adot").desc, col("vec_id"))
+    val ranked = adc.withColumn("rank", row_number().over(w))
+    if (refine <= 0)
+      ranked.filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("adot"))
+    else {
+      val q = queries.select(col(qIdCol).as("query_id"), quantize(col(qEmbCol)).as("q_emb"))
+      val c = corpus.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("c_emb"))
+      val cand = ranked.filter(col("rank") <= math.max(refine, k))
+        .select("query_id", "vec_id").join(broadcast(q), "query_id")
+      // candidate side is nq × refine rows — broadcast it so the corpus
+      // re-read stays shuffle-free (codes narrowed the field; this join
+      // only fetches the survivors' full vectors)
+      val rescored = c.join(broadcast(cand), "vec_id")
+        .select(col("query_id"), col("vec_id"), dotFold(col("q_emb"), col("c_emb")).as("adot"))
+      val w2 = Window.partitionBy(col("query_id")).orderBy(col("adot").desc, col("vec_id"))
+      rescored.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("adot"))
+    }
+  }
+
+  /** Lloyd's k-means refinement of a PQ codebook, initialised from
+    * `init` (e.g. [[pqCodewords]]). Each iteration is ONE distributed
+    * assign+aggregate job over the training subvectors; the updated
+    * codebook (m × ksub × dims/m longs — tiny by construction, like the
+    * broadcast R-tree polygon side) is collected to the driver between
+    * iterations so the plan never grows with `iters`. Centroid updates are
+    * order-independent integer sums with a fixed rounding rule
+    * (floor((2·sum + n) / (2·n))), so the result is deterministic at any
+    * parallelism. Train on a bounded deterministic sample at 10^12 scale —
+    * codebook quality saturates long before the corpus does.
+    * Returns (refined codebook DF: sub, cid, cw; per-iteration objective =
+    * Σ min-dist², non-increasing by Lloyd's argument on the same sample).
+    */
+  def pqRefineCodebook(corpus: DataFrame, idCol: String, embCol: String,
+                       init: DataFrame, dims: Int, m: Int,
+                       iters: Int): (DataFrame, Seq[Long]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dsub = dims / m
+    val sv = subvectors(corpus, idCol, "vec_id", embCol, dims, m)
+      .select(col("sub"), col("sv")).localCheckpoint()
+    var book: Array[(Int, Long, Seq[Long])] = init
+      .select(col("sub").cast("int"), col("cid").cast("long"), col("cw"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+    val objectives = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 0 until iters) {
+      val bookDf = book.toSeq.toDF("sub", "cid", "cw")
+      val assigned = sv.join(broadcast(bookDf), "sub")
+        .select(col("sub"), col("sv"),
+          struct(sqDistFold(col("sv"), col("cw")).as("dist"), col("cid").as("cid")).as("dc"))
+        .groupBy(col("sub"), col("sv")).agg(min(col("dc")).as("m"), count(lit(1)).as("n"))
+        .select(col("sub"), col("sv"), col("m.dist").as("dist"), col("m.cid").as("cid"), col("n"))
+      // one pass: objective + per-(sub, cid, dim) integer sums and counts
+      val stats = assigned
+        .select(col("sub"), col("cid"), (col("dist") * col("n")).as("wdist"), col("n"),
+          posexplode(col("sv")).as(Seq("d", "v")))
+        .groupBy(col("sub"), col("cid"), col("d"))
+        .agg(sum(col("v") * col("n")).as("s"), sum(col("n")).as("cnt"),
+          sum(col("wdist")).as("wd"))
+        .collect()
+      objectives += stats.filter(_.getInt(2) == 0).map(_.getLong(5)).sum
+      val byKey = stats.map { r =>
+        ((r.getInt(0), r.getLong(1), r.getInt(2)), (r.getLong(3), r.getLong(4)))
+      }.toMap
+      book = book.map { case (s, cid, old) =>
+        val comps = (0 until dsub).map { d =>
+          byKey.get((s, cid, d)) match {
+            case Some((sum0, n)) => Math.floorDiv(2L * sum0 + n, 2L * n)
+            case None            => old(d) // empty cluster keeps its codeword
+          }
+        }
+        (s, cid, comps)
+      }
+    }
+    (book.toSeq.toDF("sub", "cid", "cw"), objectives.toSeq)
+  }
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+
+/** Product quantization: encode argmin exactness, ADC recall vs brute
+  * force, the refine-degenerates-to-exact contract, Lloyd's-objective
+  * monotonicity, the ≤ksub-distinct-subvectors exactness case, and
+  * partitioning determinism. */
+class PqSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def mix(v: Long): Long = math.abs(graft.geo.GeoFixtures.mix(v))
+
+  /** 200 vectors in 16 dims, 8 clusters (the DedupAnnSpec shape: cluster
+    * structure so approximate search has something to find). */
+  private lazy val embeddings = {
+    val rows = (0 until 200).map { i =>
+      val c = i % 8
+      val v = (0 until 16).map { d =>
+        val centroid = if (d % 8 == c) 1.0f else 0.0f
+        centroid + (mix(i * 31L + d) % 1000).toFloat / 5000.0f
+      }
+      (i.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding").cache()
+  }
+
+  private val dims = 16
+  private val m = 4 // 4 subspaces x 4 dims
+
+  test("pqEncode assigns every codeword vector its own cid (self-encode)") {
+    val cw = Ann.pqCodewords(embeddings, "vec_id", "embedding", dims, m, codeEvery = 10L)
+    val codes = Ann.pqEncode(embeddings, "vec_id", "embedding", cw, dims, m)
+      .filter(pmod(col("vec_id"), lit(10L)) === 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // a sampled vector's subvector is at distance 0 from its own codeword;
+    // the fixture's additive noise makes codewords distinct, so argmin
+    // (ties to min cid) must return the vector itself
+    (0L until 200L by 10L).foreach { vid =>
+      (0 until m).foreach { s =>
+        assert(codes((vid, s)) === vid, s"vec $vid sub $s self-encoded to ${codes((vid, s))}")
+      }
+    }
+  }
+
+  // What unrefined ADC can and cannot promise, pinned separately: the
+  // quantizer erases within-cluster noise-level fine structure (so raw
+  // ADC ranks inside a cluster are NOT brute ranks — that's the point of
+  // compression), but it must preserve the coarse structure, and an ADC
+  // shortlist + exact refine must recover the true ranking. codeEvery=7
+  // (coprime to the 8-cluster cycle) so the sampled codebook sees every
+  // cluster — codeEvery=10 samples only even clusters and odd-cluster
+  // queries lose their signal dims entirely.
+  test("unrefined ADC top-10 stays in the query's cluster") {
+    val q = embeddings.filter(col("vec_id") % 25 === 0)
+    val pq = Ann.pqTopK(q, "vec_id", "embedding", embeddings, "vec_id", "embedding",
+      k = 10, dims = dims, m = m, codeEvery = 7L)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    pq.foreach { case (q0, vs) =>
+      assert(vs.forall(v => v % 8 == q0 % 8), s"ADC top-10 of $q0 left its cluster: $vs")
+    }
+  }
+
+  test("ADC shortlist + exact refine: recall@10 vs brute force >= 0.9") {
+    val q = embeddings.filter(col("vec_id") % 25 === 0)
+    val brute = Ann.bruteTopK(q, "vec_id", "embedding", embeddings, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Ann.pqTopK(q, "vec_id", "embedding", embeddings, "vec_id", "embedding",
+      k = 10, dims = dims, m = m, codeEvery = 7L, refine = 40)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"refined recall $recall")
+  }
+
+  test("refine >= corpus size degenerates to exact bruteTopK, dots included") {
+    val q = embeddings.filter(col("vec_id") % 25 === 0)
+    val brute = Ann.bruteTopK(q, "vec_id", "embedding", embeddings, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val pq = Ann.pqTopK(q, "vec_id", "embedding", embeddings, "vec_id", "embedding",
+      k = 10, dims = dims, m = m, codeEvery = 10L, refine = 200)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pq === brute)
+  }
+
+  test("ADC is exact when every distinct subvector is a codeword") {
+    // 12 vectors built from a pool of 3 distinct subvectors per subspace,
+    // all of which appear among the codeword sample (codeEvery=1): the
+    // quantizer reproduces every subvector exactly, so ADC == true dot
+    val pool = (0 until 3).map(p => (0 until 4).map(d => (p * 7 + d).toFloat / 8.0f))
+    val rows = (0 until 12).map { i =>
+      val v = (0 until m).flatMap(s => pool((i + s) % 3))
+      (i.toLong, v)
+    }
+    val tiny = rows.toDF("vec_id", "embedding")
+    val q = tiny.filter(col("vec_id") < 3)
+    val brute = Ann.bruteTopK(q, "vec_id", "embedding", tiny, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val pq = Ann.pqTopK(q, "vec_id", "embedding", tiny, "vec_id", "embedding",
+      k = 5, dims = dims, m = m, codeEvery = 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pq === brute)
+  }
+
+  test("Lloyd refinement: objective non-increasing; refined book keeps recall") {
+    val init = Ann.pqCodewords(embeddings, "vec_id", "embedding", dims, m, codeEvery = 25L)
+    val (book, obj) = Ann.pqRefineCodebook(embeddings, "vec_id", "embedding",
+      init, dims, m, iters = 4)
+    assert(obj.length === 4)
+    obj.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"objective increased: $obj")
+    }
+    val q = embeddings.filter(col("vec_id") % 25 === 0)
+    val brute = Ann.bruteTopK(q, "vec_id", "embedding", embeddings, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Ann.pqTopK(q, "vec_id", "embedding", embeddings, "vec_id", "embedding",
+      k = 10, dims = dims, m = m, codeEvery = 25L, refine = 40, codebook = Some(book))
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"refined-book + refine recall $recall")
+  }
+
+  test("pqTopK output is identical at different partitionings") {
+    val q = embeddings.filter(col("vec_id") % 25 === 0)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ann.pqTopK(q, "vec_id", "embedding", df, "vec_id", "embedding",
+        k = 10, dims = dims, m = m, codeEvery = 10L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(run(embeddings.repartition(7)) === run(embeddings.coalesce(1)))
+  }
+}
