@@ -38,6 +38,16 @@ from _benchlib import REPO, CPUSETS, sbt as _sbt, java_leg, shard_json, BENCH_MD
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 DATA_DIR = os.environ.get("GRAFT_BENCH_DIR", "/tmp/graft_bench_dct")
 N_PAYLOAD = 3_000_000
+JOBS = [
+    ("dct_embed",
+     f"image DCT embed kernel (decode + truncated 32x32 DCT pHash + unit "
+     f"embedding, {N_PAYLOAD // 1_000_000}M images, shuffle-free)"),
+    ("image_neardup",
+     "image near-dup dedup end-to-end (decode + DCT pHash + banded exact "
+     "Hamming pairs, 150k-image subsample, quadratic true-pair volume)"),
+]
+
+
 def sbt(cmd):
     return _sbt(cmd, env_extra={"GRAFT_BENCH_DIR": DATA_DIR})
 

@@ -34,6 +34,7 @@ JOBS = [("join_cells", "spatial-join (cell equi-join + PIP refine) + tiling"),
         ("pbf_scan", "OSM PBF planet decode (160M dense nodes, distributed blob fan-out)"),
         ("dedupe_decision", f"dedupeDecision end-to-end ({N_DOCS//1000}k docs: LSH+verify+CC)"),
         ("emb_pairs", f"exact embedding near-dup triangle join ({N_EMB//1000}k vectors)"),
+        ("pq_topk", f"PQ/ADC top-k + exact refine (500q x {N_EMB//1000}k vectors)"),
         ("knn_ring", f"cell-ring kNN (k=10, {N_KNN_Q//1000}k queries / {N_KNN_PTS//1_000_000}M points)"),
         ("knn_ring_bucketed", f"cell-ring kNN, bucketBy(cell) ingest layout (same {N_KNN_Q//1000}k/{N_KNN_PTS//1_000_000}M input)")]
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
@@ -344,7 +345,8 @@ lines += [
 lines += [
     "\nThroughput-column caveats: `dedupe_decision` rows = corpus docs (one",
     "decision per doc); `emb_pairs` rows = near-dup pairs found over fixed",
-    "O(n²) compute; `decode_scan` \"rows\" = payload BYTES scanned (so its",
+    "O(n²) compute; `pq_topk` rows = output rows (queries x k) over fixed",
+    "nq x n x m ADC work; `decode_scan` \"rows\" = payload BYTES scanned (so its",
     "rows/s columns are bytes/s — do not compare them to the row-count",
     "legs) — for all three, the EFFICIENCY column is the scaling metric.",
     "\nDecode decomposition (same fresh-JVM min-of-N legs):",

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *     job ∈ join_cells | join_rtree | decode | decode_row | decode_scan
   *           | decode_kernel | pbf_scan | pbf_kernel | pbf_pruned | pbf_write
   *           | dedupe_decision | dedupe_sig | dedupe_cand | dedupe_verify
-  *           | emb_pairs | emb_repl | knn_ring | knn_ring_bucketed
+  *           | emb_pairs | emb_repl | pq_topk | knn_ring | knn_ring_bucketed
   */
 object BenchScaling {
 
@@ -290,6 +290,100 @@ object BenchScaling {
       .treeReduce(_ + _)
   }
 
+  /** PQ/ADC top-k over the embeddings fixture — the compressed-domain ANN
+    * scale path: deterministic sampled codebook (256 codewords/subspace) →
+    * fused map-only corpus encode+pack ([[graft.ann.Ann.pqEncodePacked]],
+    * at ingest scale run once + persisted) → per-query LUT broadcast →
+    * per-partition ADC heap kernel → exact rescore of the survivors. The
+    * measured work (encode n × ksub × dims mult-adds + ADC nq × n × m
+    * lookup-adds) runs entirely inside scan partitions — zero corpus-side
+    * exchange, the shape that scales with executors. Query count pinned so
+    * the 8- and 32-core legs run identical work. Returns output rows
+    * (queries × k).
+    */
+  /** Corpus-size-adaptive PQ sizing: nq queries (default 500) and ksub=256
+    * codewords/subspace at ANY fixture size, so the leg's work scales with
+    * the corpus (encode n × ksub, ADC n × nq × m) while the driver-side
+    * fixed costs (LUT collect, codebook collect) stay constant. Query rows
+    * (pmod == 1) stay disjoint from the codebook sample (pmod == 0). */
+  private def pqSizing(emb: DataFrame): (DataFrame, Long) = {
+    val n = emb.count()
+    val nq = sys.env.get("GRAFT_PQ_NQ").map(_.toLong).getOrElse(500L)
+    val stride = math.max(1L, n / nq)
+    val codeEvery = math.max(1L, n / 256L)
+    val queries = emb.filter(pmod(col("vec_id"), lit(stride)) === 1)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    (queries, codeEvery)
+  }
+
+  def pqTopKJob(s: SparkSession): Long = {
+    // GRAFT_PQ_SHARD="i/4": physical range-sharded quarter of the
+    // embeddings (see joinRtreeJob's shard note). The PQ plan is map-only
+    // over the corpus scan — book + LUT broadcast, no corpus-side
+    // exchange — so concurrent quarter-shard JVMs emulate N vs 4N
+    // executors exactly; a real 4N cluster adds one (parts × nq × R)-row
+    // partial-top-k merge, negligible by construction.
+    val emb = sys.env.get("GRAFT_PQ_SHARD") match {
+      case Some(spec) =>
+        val Array(i, n) = spec.split("/").map(_.trim.toInt)
+        require(n == 4, s"GRAFT_PQ_SHARD=$spec: prep writes 4 physical shards")
+        s.read.parquet(s"$dataDir/embeddings_shards/__shard=$i")
+      case None => s.read.parquet(s"$dataDir/embeddings")
+    }
+    val (queries, codeEvery) = pqSizing(emb)
+    graft.ann.Ann.pqTopK(queries, "query_id", "embedding",
+      emb, "vec_id", "embedding",
+      k = 10, dims = 64, m = 8, codeEvery = codeEvery, refine = 50).count()
+  }
+
+  /** Cumulative-prefix attribution legs for pq_topk (the dedupe_sig/cand/
+    * verify precedent): pq_encode = codebook + corpus encode only; pq_adc =
+    * encode + ADC scoring + rank (refine = 0). Consecutive deltas at a core
+    * count are the marginal stage costs. */
+  def pqEncodeJob(s: SparkSession): Long = {
+    val emb = s.read.parquet(s"$dataDir/embeddings")
+    val (_, codeEvery) = pqSizing(emb)
+    val cw = graft.ann.Ann.pqCodewords(emb, "vec_id", "embedding",
+      dims = 64, m = 8, codeEvery = codeEvery)
+    graft.ann.Ann.pqEncodePacked(emb, "vec_id", "embedding", cw,
+      dims = 64, m = 8).count()
+  }
+
+  /** Stage probe (diagnostic, not a published leg): walls for each piece
+    * of the ADC path, printed as one log line. */
+  def pqProbeJob(s: SparkSession): Long = {
+    val emb = s.read.parquet(s"$dataDir/embeddings")
+    val (queries, codeEvery) = pqSizing(emb)
+    def wall[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime(); val r = body
+      println(f"PQPROBE $label%-11s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val cw = graft.ann.Ann.pqCodewords(emb, "vec_id", "embedding", 64, 8, codeEvery)
+    val book = wall("bookcollect") { graft.ann.Ann.pqCollectBook(cw, 64, 8) }
+    val packed = graft.ann.Ann.pqEncodePackedWith(emb, "vec_id", "embedding", book, 64, 8)
+    wall("encode") { packed.count() }
+    val (qIds, lutTable) = wall("driverlut") {
+      graft.ann.Ann.pqDriverLut(queries, "query_id", "embedding", book, 64, 8)
+    }
+    wall("adc") {
+      graft.ann.Ann.pqAdcCandidates(packed, qIds, book, lutTable, 8, 10).count()
+    }
+    wall("full") {
+      graft.ann.Ann.pqTopK(queries, "query_id", "embedding",
+        emb, "vec_id", "embedding",
+        k = 10, dims = 64, m = 8, codeEvery = codeEvery, refine = 0).count()
+    }
+  }
+
+  def pqAdcJob(s: SparkSession): Long = {
+    val emb = s.read.parquet(s"$dataDir/embeddings")
+    val (queries, codeEvery) = pqSizing(emb)
+    graft.ann.Ann.pqTopK(queries, "query_id", "embedding",
+      emb, "vec_id", "embedding",
+      k = 10, dims = 64, m = 8, codeEvery = codeEvery, refine = 0).count()
+  }
+
   /** Trace of the last kNN run: (round, queries remaining) — VERDICT r03 #8
     * straggler instrumentation, reported into BENCH_SCALING.md.
     */
@@ -534,6 +628,19 @@ object BenchScaling {
         graft.geo.GeoFixtures.embeddings(prep, nEmb)
           .repartition(64).write.mode("overwrite").parquet(s"$dataDir/embeddings")
       }
+      once(s"_READY_EMBS_$nEmb") { prep =>
+        // physical quarter shards for the pq_topk executor ladder
+        // (GRAFT_PQ_SHARD). RANGE-sharded (contiguous vec_id quarters), not
+        // pmod — pqSizing picks queries/codebook rows by vec_id residues,
+        // and residue-sharding would put every query row in one shard
+        prep.read.parquet(s"$dataDir/embeddings")
+          .withColumn("__shard",
+            least(floor(col("vec_id") / lit(math.max(1L, nEmb / 4))), lit(3))
+              .cast("int"))
+          .repartition(64)
+          .write.partitionBy("__shard").mode("overwrite")
+          .parquet(s"$dataDir/embeddings_shards")
+      }
       once(s"_READY_KNN_${nKnnPts}_$nKnnQ") { prep =>
         graft.geo.GeoFixtures.points(prep, nKnnPts)
           .repartition(128).write.mode("overwrite").parquet(s"$dataDir/knn_points")
@@ -622,6 +729,10 @@ object BenchScaling {
         case "dedupe_verify" => dedupeVerifyJob
         case "emb_pairs" => embPairsJob
         case "emb_repl" => embReplJob
+        case "pq_topk" => pqTopKJob
+        case "pq_encode" => pqEncodeJob
+        case "pq_adc" => pqAdcJob
+        case "pq_probe" => pqProbeJob
         case "knn_ring" => knnRingJob
         case "knn_ring_bucketed" => knnRingBucketedJob
         case other => throw new IllegalArgumentException(s"unknown job $other")
@@ -649,7 +760,8 @@ object BenchScaling {
         "[nDocs nEmb nKnnPts nKnnQueries nPbfNodes] | run <job> <cpus> [reps] " +
         "(jobs: join_cells join_rtree decode decode_row decode_scan decode_kernel " +
         "pbf_scan pbf_kernel pbf_pruned pbf_write dedupe_decision dedupe_sig " +
-        "dedupe_cand dedupe_verify emb_pairs emb_repl knn_ring knn_ring_bucketed)")
+        "dedupe_cand dedupe_verify emb_pairs emb_repl pq_topk knn_ring " +
+        "knn_ring_bucketed)")
       sys.exit(2)
     }
   }

@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -478,29 +478,255 @@ object Ann {
       .groupBy(col("vec_id"), col("sub")).agg(min(col("dc")).as("m"))
       .select(col("vec_id"), col("sub"), col("m.cid").as("code"))
 
+  /** Per-query bounded top-R selection by (adot desc, vecId asc): a size-R
+    * min-heap whose root is the weakest kept candidate. Primitive arrays —
+    * this sits in the nq × n ADC inner loop. */
+  private final class AdcTopR(r: Int) {
+    val a = new Array[Long](r); val v = new Array[Long](r); var n = 0
+    // heap order: i weaker than j ⇔ smaller adot, ties to the LARGER vecId
+    // (so the root is always the entry global ranking would drop first)
+    private def weaker(ai: Long, vi: Long, aj: Long, vj: Long): Boolean =
+      ai < aj || (ai == aj && vi > vj)
+    private def siftDown(i0: Int): Unit = {
+      var i = i0
+      while (true) {
+        val l = 2 * i + 1; val rr = l + 1; var w = i
+        if (l < n && weaker(a(l), v(l), a(w), v(w))) w = l
+        if (rr < n && weaker(a(rr), v(rr), a(w), v(w))) w = rr
+        if (w == i) return
+        val ta = a(i); val tv = v(i); a(i) = a(w); v(i) = v(w); a(w) = ta; v(w) = tv
+        i = w
+      }
+    }
+    def offer(adot: Long, vecId: Long): Unit =
+      if (n < a.length) {
+        a(n) = adot; v(n) = vecId; n += 1
+        if (n == a.length) { // heapify once full
+          var i = n / 2 - 1
+          while (i >= 0) { siftDown(i); i -= 1 }
+        }
+      } else if (weaker(a(0), v(0), adot, vecId)) {
+        a(0) = adot; v(0) = vecId; siftDown(0)
+      }
+  }
+
   /** PQ/ADC approximate top-k. Per query, a lookup table of partial dots
-    * against every codeword (nq × m × ksub rows — broadcast-small by
-    * construction); scoring joins the corpus CODES (not vectors) to the
-    * broadcast LUT and sums the m partial dots per (query, vector) with
-    * map-side partial aggregation. `refine` > 0 exact-rescores the top
-    * `refine` ADC candidates with the true quantized dot ([[bruteTopK]]'s
-    * metric) — refine ≥ corpus size degenerates to exact (spec-pinned).
+    * against every codeword (nq × m × ksub entries — broadcast-small by
+    * construction); the corpus is fused-encoded to one m-length code array
+    * per vector ([[pqEncodePacked]], map-only) and scored by an ADC kernel
+    * per partition: m table lookups + adds per (query, vector) into a
+    * bounded per-query top-R heap, so only numPartitions × nq × R
+    * candidate rows ever leave the scorer. (A declarative codes⋈LUT join
+    * computes the same sums but must materialize nq × n × m join rows
+    * through a hash aggregate with nq × n groups — measured 150.9 s vs the
+    * kernel path's ~3 s on 500 × 96k, GC/spill-bound and parallelism-flat,
+    * the [[triangleTasks]] lesson again; the row-wise [[pqEncode]] join
+    * alone costs 22 s in interpreted sqDistFold where the fused kernel
+    * takes ~1 s.) `refine` > 0 exact-rescores the top `refine` ADC
+    * candidates with the true quantized dot ([[bruteTopK]]'s metric) —
+    * refine ≥ corpus size degenerates to exact (spec-pinned).
     * Output: query_id, rank, vec_id, adot (exact dot when refined).
     */
+  /** Per-query lookup table of partial dots against every codeword:
+    * (query_id, sub, code, pdot) — nq × m × ksub rows. */
+  private[graft] def pqLut(queries: DataFrame, qIdCol: String, qEmbCol: String,
+                           cw: DataFrame, dims: Int, m: Int): DataFrame =
+    subvectors(queries, qIdCol, "query_id", qEmbCol, dims, m)
+      .join(broadcast(cw), "sub")
+      .select(col("query_id"), col("sub"), col("cid").as("code"),
+        dotFold(col("sv"), col("cw")).as("pdot"))
+
+  /** Pack [[pqEncode]]'s (vec_id, sub, code) rows to one m-length code
+    * array per vector, in subspace order — the declarative path; at scale
+    * prefer [[pqEncodePacked]], which emits this shape directly. */
+  private[graft] def pqPack(codes: DataFrame): Dataset[(Long, Array[Long])] = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes
+      .groupBy(col("vec_id").cast("long").as("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s("code").cast("long")).as("codes"))
+      .as[(Long, Array[Long])]
+  }
+
+  /** Driver-collected codebook in primitive form: per sub, cids ASC and a
+    * flat codeword table [cidIdx * dsub + d]. Tiny by construction
+    * (m × ksub × dsub longs), so collecting it is the same contract as the
+    * `broadcast(cw)` the declarative plans use. */
+  private[graft] final case class PqBook(cids: Array[Array[Long]],
+                                         cw: Array[Array[Long]], dsub: Int) {
+    def ksub: Int = cids.foldLeft(0)((a, c) => math.max(a, c.length))
+  }
+
+  private[graft] def pqCollectBook(cw: DataFrame, dims: Int, m: Int): PqBook = {
+    require(m > 0 && dims % m == 0, s"pq: dims $dims not divisible into $m subspaces")
+    val dsub = dims / m
+    val cwRows = cw.select(col("sub").cast("int"), col("cid").cast("long"), col("cw"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val cids: Array[Array[Long]] = (0 until m).map { s =>
+      cwRows.filter(_._1 == s).map(_._2).sorted
+    }.toArray
+    val cwTab: Array[Array[Long]] = (0 until m).map { s =>
+      cwRows.filter(_._1 == s).sortBy(_._2).flatMap(_._3)
+    }.toArray
+    require(cwTab.zipWithIndex.forall { case (t, s) => t.length == cids(s).length * dsub },
+      s"pq: codebook has codewords of length != $dsub")
+    PqBook(cids, cwTab, dsub)
+  }
+
+  /** Quantize one raw embedding in place, matching [[quantize]] exactly:
+    * floor(x · 1000 + 0.5) on the double-cast value. */
+  @inline private def quantizeInto(emb: Array[Double], out: Array[Long]): Unit = {
+    var d = 0
+    while (d < out.length) { out(d) = math.floor(emb(d) * 1000.0 + 0.5).toLong; d += 1 }
+  }
+
+  /** Fused corpus encode + pack: ONE map-only pass with the codebook
+    * broadcast as primitive arrays — per vector, per subspace, integer
+    * squared-L2 argmin over the codewords (ties to the smallest cid),
+    * emitting the m codes as one array in subspace order. Row-identical to
+    * [[pqPack]] ∘ [[pqEncode]] (spec-pinned) but skips the n × ksub × m
+    * join rows through the interpreted sqDistFold (measured 22 s → ~1 s on
+    * 96k × 64d at local[32]) and the pack shuffle: zero exchange over the
+    * corpus scan, the shape that scales linearly with executors. */
+  private[graft] def pqEncodePacked(corpus: DataFrame, idCol: String,
+                                    embCol: String, cw: DataFrame,
+                                    dims: Int, m: Int): Dataset[(Long, Array[Long])] =
+    pqEncodePackedWith(corpus, idCol, embCol, pqCollectBook(cw, dims, m), dims, m)
+
+  private[graft] def pqEncodePackedWith(corpus: DataFrame, idCol: String,
+                                        embCol: String, book: PqBook,
+                                        dims: Int, m: Int): Dataset[(Long, Array[Long])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dsub = book.dsub
+    // cids ASC + strict < scan in cid order ⇒ ties resolve to the smallest
+    // cid, like the declarative plan's min(dc)
+    val bc = spark.sparkContext.broadcast((book.cids, book.cw))
+    corpus.select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (ids, tab) = bc.value
+        val qv = new Array[Long](dims)
+        it.map { case (vecId, emb) =>
+          quantizeInto(emb, qv)
+          val out = new Array[Long](m)
+          var s = 0
+          while (s < m) {
+            val t = tab(s); val n = ids(s).length; val off = s * dsub
+            var best = Long.MaxValue; var bestI = 0; var c = 0
+            while (c < n) {
+              var dist = 0L; var j = 0; val base = c * dsub
+              while (j < dsub) {
+                val diff = qv(off + j) - t(base + j); dist += diff * diff; j += 1
+              }
+              if (dist < best) { best = dist; bestI = c }
+              c += 1
+            }
+            out(s) = ids(s)(bestI)
+            s += 1
+          }
+          (vecId, out)
+        }
+      }
+  }
+
+  /** Driver-built ADC lookup table — the primitive twin of [[pqLut]]
+    * (equality spec-pinned): per (query, sub, codeword), the partial dot
+    * of the quantized query subvector against the codeword. nq × m × ksub
+    * longs, the same broadcast-small-by-construction contract the
+    * declarative plan's `broadcast(lut)` had — batch very large query sets
+    * in chunks. Building it on the driver (nq × m × ksub × dsub mult-adds,
+    * ~10 ms at 500 × 8 × 256 × 8) replaces a whole Spark job + 1M-row
+    * collect that was ~half the measured fixed cost of the PQ leg.
+    * Returns (sorted distinct query ids, flat [q][sub][cidIdx] table). */
+  private[graft] def pqDriverLut(queries: DataFrame, qIdCol: String,
+                                 qEmbCol: String, book: PqBook,
+                                 dims: Int, m: Int): (Array[Long], Array[Long]) = {
+    val rows = queries
+      .select(col(qIdCol).cast("long"), col(qEmbCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).distinctBy(_._1)
+    val nq = rows.length
+    val ksub = book.ksub
+    val dsub = book.dsub
+    val table = new Array[Long](math.max(1, nq * m * ksub))
+    val qv = new Array[Long](dims)
+    var qi = 0
+    while (qi < nq) {
+      quantizeInto(rows(qi)._2, qv)
+      var s = 0
+      while (s < m) {
+        val t = book.cw(s); val n = book.cids(s).length; val off = s * dsub
+        var c = 0
+        while (c < n) {
+          var pdot = 0L; var j = 0; val base = c * dsub
+          while (j < dsub) { pdot += qv(off + j) * t(base + j); j += 1 }
+          table(qi * m * ksub + s * ksub + c) = pdot
+          c += 1
+        }
+        s += 1
+      }
+      qi += 1
+    }
+    (rows.map(_._1), table)
+  }
+
+  /** ADC candidate scoring: per-query global top-`topR` by (adot desc,
+    * vec_id asc), computed by the per-partition bounded-heap kernel —
+    * output is numPartitions × nq × topR rows MAX (each partition's local
+    * top-R; the union provably contains the global top-R). `packed` is one
+    * m-length code array per vector in subspace order ([[pqEncodePacked]]
+    * or [[pqPack]]); (`qIds`, `table`) from [[pqDriverLut]]; code values
+    * resolve to table indices by binary search over the book's sorted
+    * cids. */
+  private[graft] def pqAdcCandidates(packed: Dataset[(Long, Array[Long])],
+                                     qIds: Array[Long], book: PqBook,
+                                     table: Array[Long],
+                                     m: Int, topR: Int): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((qIds, book.cids, table))
+    packed.mapPartitions { it =>
+      val (ids, cids, tab) = bc.value
+      val n = ids.length
+      val ks = if (n == 0) 0 else tab.length / math.max(1, n * m)
+      val heaps = Array.fill(n)(new AdcTopR(topR))
+      val idxs = new Array[Int](m)
+      it.foreach { case (vecId, cs) =>
+        var s = 0
+        while (s < m) {
+          val i = java.util.Arrays.binarySearch(cids(s), cs(s))
+          require(i >= 0, s"pq: code ${cs(s)} in sub $s not in the codebook")
+          idxs(s) = i; s += 1
+        }
+        var q = 0
+        while (q < n) {
+          var adot = 0L; var base = q * m * ks; var t = 0
+          while (t < m) { adot += tab(base + idxs(t)); base += ks; t += 1 }
+          heaps(q).offer(adot, vecId)
+          q += 1
+        }
+      }
+      (0 until n).iterator.flatMap { q =>
+        val h = heaps(q)
+        (0 until h.n).iterator.map(i => (ids(q), h.v(i), h.a(i)))
+      }
+    }.toDF("query_id", "vec_id", "adot")
+  }
+
   def pqTopK(queries: DataFrame, qIdCol: String, qEmbCol: String,
              corpus: DataFrame, idCol: String, embCol: String,
              k: Int, dims: Int, m: Int, codeEvery: Long,
              refine: Int = 0,
              codebook: Option[DataFrame] = None): DataFrame = {
     val cw = codebook.getOrElse(pqCodewords(corpus, idCol, embCol, dims, m, codeEvery))
-    val codes = pqEncode(corpus, idCol, embCol, cw, dims, m)
-    val lut = subvectors(queries, qIdCol, "query_id", qEmbCol, dims, m)
-      .join(broadcast(cw), "sub")
-      .select(col("query_id"), col("sub"), col("cid").as("code"),
-        dotFold(col("sv"), col("cw")).as("pdot"))
-    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pdot")).as("adot"))
+    val book = pqCollectBook(cw, dims, m)
+    val packed = pqEncodePackedWith(corpus, idCol, embCol, book, dims, m)
+    val (qIds, lutTable) = pqDriverLut(queries, qIdCol, qEmbCol, book, dims, m)
+    val adc = pqAdcCandidates(packed, qIds, book, lutTable, m, math.max(refine, k))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adot").desc, col("vec_id"))
     val ranked = adc.withColumn("rank", row_number().over(w))
     if (refine <= 0)

@@ -121,6 +121,38 @@ class PqSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"refined-book + refine recall $recall")
   }
 
+  test("fused pqEncodePacked row-identical to declarative pqEncode + pqPack") {
+    // the kernel path pqTopK actually runs vs the oracle-expressible
+    // reference plan: same argmin metric, same min-cid tie rule, same
+    // subspace order — pinned per (vec_id, sub) over the whole fixture
+    val cw = Ann.pqCodewords(embeddings, "vec_id", "embedding", dims, m, codeEvery = 7L)
+    val declarative = Ann.pqPack(Ann.pqEncode(embeddings, "vec_id", "embedding", cw, dims, m))
+      .collect().map { case (v, cs) => v -> cs.toSeq }.toMap
+    val fused = Ann.pqEncodePacked(embeddings, "vec_id", "embedding", cw, dims, m)
+      .collect().map { case (v, cs) => v -> cs.toSeq }.toMap
+    assert(fused.size === 200)
+    assert(fused === declarative)
+  }
+
+  test("driver-built ADC LUT value-identical to the declarative pqLut") {
+    val cw = Ann.pqCodewords(embeddings, "vec_id", "embedding", dims, m, codeEvery = 7L)
+    val q = embeddings.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val book = Ann.pqCollectBook(cw, dims, m)
+    val (qIds, table) = Ann.pqDriverLut(q, "query_id", "embedding", book, dims, m)
+    val declarative = Ann.pqLut(q, "query_id", "embedding", cw, dims, m)
+      .collect().map { r =>
+        (r.getLong(0), r.getAs[Number](1).intValue, r.getLong(2)) -> r.getLong(3)
+      }.toMap
+    val ksub = book.ksub
+    assert(qIds.length === 8)
+    assert(table.length === qIds.length * m * ksub)
+    for (qi <- qIds.indices; s <- 0 until m; c <- book.cids(s).indices)
+      assert(table(qi * m * ksub + s * ksub + c) ===
+        declarative((qIds(qi), s, book.cids(s)(c))),
+        s"pdot mismatch at query ${qIds(qi)} sub $s cid ${book.cids(s)(c)}")
+  }
+
   test("pqTopK output is identical at different partitionings") {
     val q = embeddings.filter(col("vec_id") % 25 === 0)
     def run(df: org.apache.spark.sql.DataFrame) =
