@@ -153,6 +153,36 @@ class PqSpec extends SparkSpecBase {
         s"pdot mismatch at query ${qIds(qi)} sub $s cid ${book.cids(s)(c)}")
   }
 
+  test("ADC ties rank by ascending vec_id (exact-duplicate block)") {
+    // 12 exact duplicates of one vector (identical codes ⇒ identical adot)
+    // among 30: the bounded per-partition heap + global window must return
+    // the duplicate block lowest-vec_id-first, at any partitioning — the
+    // tie rule a heap with the wrong weaker() comparison would break
+    // non-duplicates are near-zero so every duplicate's adot (≈ q·q, large
+    // positive) strictly beats every non-duplicate's (dots, not distances)
+    val base = (0 until dims).map(d => (d % 5).toFloat / 4.0f)
+    val rows = (0 until 30).map { i =>
+      val v =
+        if (i >= 9 && i < 21) base
+        else (0 until dims).map(d => ((i * 13 + d) % 7).toFloat / 140.0f)
+      (i.toLong, v)
+    }
+    val dup = rows.toDF("vec_id", "embedding")
+    val q = dup.filter(col("vec_id") === 15) // inside the duplicate block
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ann.pqTopK(q, "vec_id", "embedding", df, "vec_id", "embedding",
+        k = 12, dims = dims, m = m, codeEvery = 3L)
+        .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    val expected = (9 until 21).zipWithIndex.map { case (v, i) => (i + 1, v.toLong) }
+    Seq(dup.repartition(11), dup.coalesce(1)).foreach { df =>
+      val got = run(df).toSeq
+      // all 12 duplicates score identically and beat every non-duplicate
+      // (self-similarity is maximal here), so ranks 1..12 must be vec_ids
+      // 9..20 in ascending order
+      assert(got === expected, s"tie order broken: $got")
+    }
+  }
+
   test("pqTopK output is identical at different partitionings") {
     val q = embeddings.filter(col("vec_id") % 25 === 0)
     def run(df: org.apache.spark.sql.DataFrame) =
