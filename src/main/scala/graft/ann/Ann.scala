@@ -26,17 +26,27 @@ object Ann {
   def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
 
-  /** Sequential-fold dot product of two equal-length arrays (builtin). */
+  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+
+  /** Integer dot product of two equal-length long arrays — the codegen'd
+    * [[graft.expr.LongDotExpr]]. (The original
+    * `aggregate(zip_with(a, b, _*_), 0L, _+_)` fold is semantically
+    * identical and spec-pinned so, but higher-order functions are
+    * CodegenFallback: the fold ran INTERPRETED with a per-row intermediate
+    * array in every scoring join — the defect that made the PQ encode
+    * join 22× slower than its kernel, here fixed at the root for every
+    * ANN/dedup path at once.) */
   def dotFold(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    toCol(graft.expr.LongDotExpr(toExpr(a), toExpr(b)))
 
+  /** Dot product accumulated in double (cosine numerators/norms, raw or
+    * quantized inputs) — the codegen'd [[graft.expr.DoubleDotExpr]]; the
+    * array<double> cast is the fold's per-element cast in one step. */
   def dotFoldD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    toCol(graft.expr.DoubleDotExpr(
+      toExpr(a.cast("array<double>")), toExpr(b.cast("array<double>"))))
 
-  def norm2(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm2(a: Column): Column = sqrt(dotFoldD(a, a))
 
   /** Exact top-k by quantized dot product. Queries are broadcast; the
     * corpus is scanned once; per-query ranking via window.
@@ -360,8 +370,11 @@ object Ann {
       .withColumn("bucket", signSketch(col("c_emb"), bits, dims))
 
   /** Integer squared L2 distance between two quantized vectors. */
+  /** Integer squared L2 of two equal-length long arrays — the codegen'd
+    * [[graft.expr.LongSqDistExpr]] (see [[dotFold]]'s note on why the
+    * zip_with/aggregate fold form is interpreted and this isn't). */
   def sqDistFold(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    toCol(graft.expr.LongSqDistExpr(toExpr(a), toExpr(b)))
 
   /** IVF-style ANN — the second scale path next to sign-LSH: a coarse
     * quantizer of deterministic centroids (every `centroidEvery`-th corpus

@@ -1,0 +1,147 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Static kernels shared by the interpreted and generated paths of the
+  * vector expressions — the [[SetOps]] pattern. Each mimics the exact
+  * null semantics of the `aggregate(zip_with(a, b, f), 0, _+_)` fold it
+  * replaces: `zip_with` pads the shorter array with nulls and `f(x, null)`
+  * is null, then the running `acc + null` poisons the sum — so unequal
+  * lengths or any null element yield NULL, and two empty arrays yield 0.
+  * Boxed return carries the null; the codegen wrapper unboxes.
+  */
+object VecOps {
+  /** Σ aᵢ·bᵢ over two long arrays. */
+  def longDot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0; var s = 0L
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i); i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  /** Σ (aᵢ−bᵢ)² over two long arrays. */
+  def longSqDist(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0; var s = 0L
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  /** Σ aᵢ·bᵢ over two double arrays (the `dotFoldD` fold: the wrapper
+    * casts any numeric array to array<double> first — elementwise, same
+    * as the fold's per-element x.cast(double)). */
+  def doubleDot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0; var s = 0.0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i); i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+}
+
+/** Shared shape of the three binary array<long> kernels: null-intolerant
+  * on the array inputs, nullable output (length mismatch / null element),
+  * codegen via the static kernel so the whole-stage span stays fused.
+  */
+abstract class LongArrayBinaryExpr extends BinaryExpression {
+  protected def kernel: String // method name on graft.expr.VecOps
+  protected def boxed: String  // java.lang.Long | java.lang.Double
+
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs two array<bigint> inputs, got ($l, $r)")
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vecRes")
+      s"""
+         |$boxed $r = graft.expr.VecOps.$kernel($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+}
+
+/** long_dot(a, b): Σ aᵢ·bᵢ for two array<long> — the codegen'd twin of
+  * `aggregate(zip_with(a, b, _*_), 0L, _+_)` (equality spec-pinned,
+  * nulls included). Higher-order functions are CodegenFallback in Spark,
+  * so the fold form runs INTERPRETED with a per-row intermediate array —
+  * the defect that made the PQ encode join 22× slower than its kernel;
+  * this expression keeps the dot inside whole-stage codegen with zero
+  * allocation. Scoring metric of [[graft.ann.Ann.bruteTopK]] and every
+  * ANN path's exact-rescore.
+  */
+case class LongDotExpr(left: Expression, right: Expression)
+    extends LongArrayBinaryExpr {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot"
+  override protected def kernel: String = "longDot"
+  override protected def boxed: String = "java.lang.Long"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.longDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): LongDotExpr = copy(l, r)
+}
+
+/** long_sq_dist(a, b): Σ (aᵢ−bᵢ)² for two array<long> — the codegen'd
+  * twin of the sqDistFold zip_with/aggregate form. Assignment metric of
+  * IVF list-building and PQ's declarative encode.
+  */
+case class LongSqDistExpr(left: Expression, right: Expression)
+    extends LongArrayBinaryExpr {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_sq_dist"
+  override protected def kernel: String = "longSqDist"
+  override protected def boxed: String = "java.lang.Long"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.longSqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): LongSqDistExpr = copy(l, r)
+}
+
+/** double_dot(a, b): Σ aᵢ·bᵢ for two array<double> — the codegen'd twin
+  * of the dotFoldD cast-to-double fold (cosine numerator/norms of the
+  * embedding near-dup paths; callers cast numeric arrays to
+  * array<double>, which is the fold's per-element cast in one step).
+  */
+case class DoubleDotExpr(left: Expression, right: Expression)
+    extends LongArrayBinaryExpr {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_dot"
+  override protected def kernel: String = "doubleDot"
+  override protected def boxed: String = "java.lang.Double"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs two array<double> inputs, got ($l, $r)")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.doubleDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DoubleDotExpr = copy(l, r)
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+
+/** The codegen'd vector expressions (LongDot / LongSqDist / DoubleDot)
+  * vs the interpreted `aggregate(zip_with(...))` folds they replaced:
+  * value-identical on every row INCLUDING the fold's null semantics
+  * (length mismatch → null, null element → null, both-empty → 0), plus
+  * a plan assert that the scoring projection stays inside whole-stage
+  * codegen — the entire point of the swap.
+  */
+class VecExprSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // the original fold forms, verbatim (what dotFold/sqDistFold/dotFoldD
+  // compiled to before the expression swap)
+  private def dotRef(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  private def sqDistRef(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+  private def dotDRef(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Adversarial row set: matched lengths, mismatched lengths (both
+    * directions), empty arrays, null elements on either side, negative
+    * values, and large magnitudes (products near but inside Long range
+    * when summed — overflow WRAPS identically in both forms, so equality
+    * still holds; we pin behavior, not saturation). */
+  private lazy val rows = {
+    def mix(i: Long, d: Long): Long = graft.geo.GeoFixtures.mix(i * 131L + d) % 100000L
+    val dense = (0 until 200).map { i =>
+      val n = 1 + i % 9
+      (i.toLong,
+        Some((0 until n).map(d => Option(mix(i, d)))),
+        Some((0 until n).map(d => Option(mix(i + 7, d)))))
+    }
+    val edges = Seq(
+      (1000L, Some(Seq(Some(1L), Some(2L))), Some(Seq(Some(3L)))), // len mismatch
+      (1001L, Some(Seq(Some(1L))), Some(Seq(Some(3L), Some(4L)))), // len mismatch
+      (1002L, Some(Seq.empty[Option[Long]]), Some(Seq.empty[Option[Long]])), // both empty
+      (1003L, Some(Seq(Some(1L), None)), Some(Seq(Some(3L), Some(4L)))), // null elem left
+      (1004L, Some(Seq(Some(1L), Some(2L))), Some(Seq(None, Some(4L)))), // null elem right
+      (1005L, None, Some(Seq(Some(3L)))), // null array left
+      (1006L, Some(Seq(Some(3L))), None), // null array right
+      (1007L, Some(Seq(Some(-5L), Some(7L))), Some(Seq(Some(11L), Some(-13L)))))
+    (dense ++ edges).toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<bigint>"), col("b").cast("array<bigint>"))
+  }
+
+  test("LongDot / LongSqDist / DoubleDot value-identical to the fold forms, nulls included") {
+    val out = rows.select(col("id"),
+      Ann.dotFold(col("a"), col("b")).as("dot"),
+      dotRef(col("a"), col("b")).as("dot_ref"),
+      Ann.sqDistFold(col("a"), col("b")).as("sq"),
+      sqDistRef(col("a"), col("b")).as("sq_ref"),
+      Ann.dotFoldD(col("a"), col("b")).as("dd"),
+      dotDRef(col("a"), col("b")).as("dd_ref")).collect()
+    assert(out.length === 208)
+    out.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"dot nullability diverged at id ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) === r.getLong(2), s"dot diverged at id ${r.getLong(0)}")
+      assert(r.isNullAt(3) === r.isNullAt(4), s"sqdist nullability diverged at id ${r.getLong(0)}")
+      if (!r.isNullAt(3))
+        assert(r.getLong(3) === r.getLong(4), s"sqdist diverged at id ${r.getLong(0)}")
+      assert(r.isNullAt(5) === r.isNullAt(6), s"ddot nullability diverged at id ${r.getLong(0)}")
+      if (!r.isNullAt(5))
+        assert(r.getDouble(5) === r.getDouble(6), s"ddot diverged at id ${r.getLong(0)}")
+    }
+    // the edge rows actually exercise the null paths
+    val byId = out.map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    Seq(1000L, 1001L, 1003L, 1004L, 1005L, 1006L).foreach(id =>
+      assert(byId(id), s"edge row $id should be null"))
+    assert(!byId(1002L), "both-empty row must be 0, not null")
+  }
+
+  test("norm2 equals the explicit sqrt-of-squares fold") {
+    val ref = sqrt(aggregate(transform(col("a"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val out = rows.filter(col("id") < 1000).select(
+      Ann.norm2(col("a")).as("n"), ref.as("n_ref")).collect()
+    out.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("scoring projection with LongDot stays inside whole-stage codegen") {
+    // parquet-backed, not a local relation — ConvertToLocalRelation would
+    // otherwise eagerly evaluate the projection and leave no plan to audit
+    val dir = java.nio.file.Files.createTempDirectory("vecexpr").toString
+    rows.filter(col("id") < 1000).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(Ann.dotFold(col("a"), col("b")).as("dot"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators inside a whole-stage-codegen stage
+    assert(plan.contains("*(1) Project"), s"projection not in a codegen span:\n$plan")
+    assert(plan.contains("long_dot"), s"expression missing from plan:\n$plan")
+    // the interpreted fold's operators must be gone from this projection
+    assert(!plan.contains("zip_with"), s"fold form leaked into plan:\n$plan")
+  }
+}
