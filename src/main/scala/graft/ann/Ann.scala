@@ -349,15 +349,16 @@ object Ann {
     */
   def planeCoeff(p: Int, d: Int): Long = ((p * 12582917L + d * 104729L) % 97L) - 48L
 
-  /** b-bit sign sketch of a quantized embedding. One fold per plane over a
-    * literal coefficient array (compact codegen; a flat bits×dims expression
-    * tree would dominate janino compile time).
+  /** b-bit sign sketch of a quantized embedding. One codegen'd
+    * [[graft.expr.LongDotExpr]] per plane against a literal coefficient
+    * array (compact codegen; a flat bits×dims expression tree would
+    * dominate janino compile time — and the previous zip_with/aggregate
+    * fold per plane ran interpreted, bits × dims allocations per row).
     */
   def signSketch(qEmb: Column, bits: Int, dims: Int): Column =
     (0 until bits).map { p =>
       val coeffs = typedLit((0 until dims).map(d => planeCoeff(p, d)))
-      val proj = aggregate(zip_with(qEmb, coeffs, (x, c) => x * c),
-        lit(0L), (acc, v) => acc + v)
+      val proj = dotFold(qEmb, coeffs)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
