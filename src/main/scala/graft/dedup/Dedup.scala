@@ -191,24 +191,27 @@ object Dedup {
     */
   def minhashSignaturesPacked(packed: DataFrame, idCol: String, shingleN: Int,
                               numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
     require(numHashes <= HashA.length, s"at most ${HashA.length} hashes")
-    // hash each shingle ONCE into a materialized array, then derive every
-    // mh_j from the hashes. Embedding shingleHash inside each mh_j's own
-    // lambda instead re-runs the char-level hashing numHashes× per doc —
-    // and a consumer that references the signature frame from several
-    // branches (lshCandidates' banding used to) multiplies it again;
-    // measured as a 2.2× blowup of the candidate stage at the 300k-doc
-    // scaling leg. The separate projection is deliberate: __hh is
-    // referenced numHashes times, so CollapseProject keeps it materialized
-    // rather than inlining the transform into every mh_j.
-    val withHashes = packed.withColumn("__hh",
-      transform(col("__shs"), s => shingleHash(s, shingleN)))
+    // ONE fused codegen pass per doc ([[graft.expr.MinHashSigsExpr]]):
+    // walk the shingle bytes once, keep numHashes running mins. The
+    // previous column stack (transform(shingleHash) + numHashes ×
+    // array_min(transform(affine))) ran interpreted — higher-order
+    // functions are CodegenFallback — allocating 1 + numHashes
+    // intermediate arrays per doc with per-element boxing; it also had to
+    // materialize the hash array in its own projection so CollapseProject
+    // wouldn't re-run the char-level hashing numHashes× (a measured 2.2×
+    // candidate-stage blowup at the 300k-doc scaling leg). The same
+    // materialize-once care applies to __mh: it is referenced numHashes
+    // times, which keeps CollapseProject from inlining the kernel into
+    // every element_at.
+    val withSigs = packed.withColumn("__mh", toCol(graft.expr.MinHashSigsExpr(
+      toExpr(col("__shs")), shingleN,
+      HashA.take(numHashes), HashB.take(numHashes), P)))
     val cols = (0 until numHashes).map { j =>
-      array_min(transform(col("__hh"), h =>
-        pmod(lit(HashA(j)) * h + lit(HashB(j)), lit(P))))
-        .as(s"mh_$j")
+      element_at(col("__mh"), j + 1).as(s"mh_$j")
     } :+ size(col("__shs")).cast("long").as("n_sh")
-    withHashes.select(col(idCol) +: cols: _*)
+    withSigs.select(col(idCol) +: cols: _*)
   }
 
   /** LSH banding: bands of `rowsPerBand` signature components; docs sharing

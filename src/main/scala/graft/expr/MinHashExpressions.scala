@@ -1,0 +1,136 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel for the fused MinHash signature pass — the [[SetOps]]
+  * pattern. Semantics are pinned byte-for-byte (spec) to the composed
+  * column form it replaces:
+  *
+  *   __hh  = transform(shs, s -> Σ_{j=1..n} ascii(substring(s, j, 1)) · 81^(n-j))
+  *   mh_k  = array_min(transform(__hh, h -> pmod(a_k·h + b_k, p)))
+  *
+  * including the fold's null semantics: null array → null result; empty
+  * array → every min null (array_min of empty); null ELEMENT → skipped
+  * (array_min skips nulls); all-null elements → all mins null.
+  * `ascii` returns the first code point of the string (0 for ""), and
+  * `substring(s, j, 1)` indexes CODE POINTS — both mirrored here over the
+  * UTF8String bytes without allocating per-character substrings.
+  */
+object MinHashOps {
+  /** First-n-code-points positional hash of one shingle: walks the UTF8
+    * bytes directly; position j past the string's end contributes
+    * ascii("") = 0 (substring beyond length is empty). */
+  def shingleHash(s: UTF8String, n: Int, pow81: Array[Long]): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var bi = 0 // byte index
+    var j = 0  // code-point index
+    while (j < n && bi < bytes.length) {
+      val b0 = bytes(bi) & 0xFF
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if (b0 < 0xE0) { // 2-byte
+        len = 2
+        cp = ((b0 & 0x1F) << 6) | (bytes(bi + 1) & 0x3F)
+      } else if (b0 < 0xF0) { // 3-byte
+        len = 3
+        cp = ((b0 & 0x0F) << 12) | ((bytes(bi + 1) & 0x3F) << 6) | (bytes(bi + 2) & 0x3F)
+      } else { // 4-byte
+        len = 4
+        cp = ((b0 & 0x07) << 18) | ((bytes(bi + 1) & 0x3F) << 12) |
+          ((bytes(bi + 2) & 0x3F) << 6) | (bytes(bi + 3) & 0x3F)
+      }
+      h += cp.toLong * pow81(n - 1 - j)
+      bi += len
+      j += 1
+    }
+    h
+  }
+
+  /** All numHashes signature mins in ONE pass over the shingle array.
+    * Returns a GenericArrayData of java.lang.Long (null where no non-null
+    * element existed — array_min-of-empty semantics). */
+  def minhashSigs(shs: ArrayData, n: Int, a: Array[Long], b: Array[Long],
+                  p: Long, pow81: Array[Long]): ArrayData = {
+    val k = a.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    val ns = shs.numElements()
+    var i = 0
+    while (i < ns) {
+      if (!shs.isNullAt(i)) {
+        any = true
+        val h = shingleHash(shs.getUTF8String(i), n, pow81)
+        var j = 0
+        while (j < k) {
+          // pmod(x, p): Spark's positive modulus
+          val r0 = (a(j) * h + b(j)) % p
+          val r = if (r0 < 0) r0 + p else r0
+          if (r < mins(j)) mins(j) = r
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    if (any) {
+      var j = 0
+      while (j < k) { out(j) = mins(j); j += 1 }
+    } // else: all nulls (empty or all-null input)
+    new GenericArrayData(out)
+  }
+}
+
+/** minhash_sigs(shingles): array<long> of the numHashes MinHash signature
+  * components for one document's packed distinct-shingle array — the
+  * codegen'd one-pass twin of the per-hash `array_min(transform(...))`
+  * column stack in [[graft.dedup.Dedup.minhashSignaturesPacked]]
+  * (equality spec-pinned, nulls and unicode included). The column form
+  * ran INTERPRETED (higher-order functions are CodegenFallback):
+  * per doc it allocated the hash array plus numHashes projected arrays
+  * and boxed every element; this walks the shingle bytes once and keeps
+  * numHashes running mins, no intermediates.
+  */
+case class MinHashSigsExpr(child: Expression, shingleN: Int,
+                           hashA: Seq[Long], hashB: Seq[Long], p: Long)
+    extends UnaryExpression {
+  require(hashA.length == hashB.length, "hashA/hashB length mismatch")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sigs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<string> input, got $t")
+    }
+
+  private lazy val aArr = hashA.toArray
+  private lazy val bArr = hashB.toArray
+  private lazy val pow81: Array[Long] =
+    (0 until shingleN).map(e => math.pow(81, e).toLong).toArray
+
+  override protected def nullSafeEval(shs: Any): Any =
+    MinHashOps.minhashSigs(shs.asInstanceOf[ArrayData], shingleN, aArr, bArr, p, pow81)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    val powRef = ctx.addReferenceObj("minhashPow81", pow81, "long[]")
+    defineCodeGen(ctx, ev, s =>
+      s"graft.expr.MinHashOps.minhashSigs($s, $shingleN, $aRef, $bRef, ${p}L, $powRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigsExpr =
+    copy(child = c)
+}

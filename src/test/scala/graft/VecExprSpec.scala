@@ -86,6 +86,51 @@ class VecExprSpec extends SparkSpecBase {
     out.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("MinHashSigsExpr equals the composed transform/array_min column stack") {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+    import graft.dedup.Dedup
+    val n = 6 // shingle chars hashed
+    val k = 4 // hashes
+    // adversarial shingle arrays: ASCII, strings shorter than n, empty
+    // string, unicode (2/3/4-byte code points — ascii/substring index
+    // CODE POINTS), empty array, null element, all-null elements
+    val data = Seq(
+      (0L, Some(Seq(Option("hello world"), Option("the quick brown")))),
+      (1L, Some(Seq(Option("ab"), Option(""), Option("abcdef")))),
+      (2L, Some(Seq(Option("héllo wörld"), Option("日本語のテキスト"), Option("emoji 🚀 tail")))),
+      (3L, Some(Seq.empty[Option[String]])),
+      (4L, Some(Seq(Option("real"), None))),
+      (5L, Some(Seq[Option[String]](None, None))),
+      (6L, Some(Seq(Option("ñ"), Option("€€€€€€€€"), Option("𐍈𐍈𐍈")))))
+    val df = data.toDF("id", "__shs")
+    // build both outputs as (id, mh_0..mh_{k-1}) rows and compare cell-wise
+    val refRows = {
+      val withHashes = df.withColumn("__hh",
+        transform(col("__shs"), s => Dedup.shingleHash(s, n)))
+      val cols = (0 until k).map { j =>
+        array_min(transform(col("__hh"), h =>
+          pmod(lit(Dedup.HashA(j)) * h + lit(Dedup.HashB(j)), lit(Dedup.P)))).as(s"mh_$j")
+      }
+      withHashes.select(col("id") +: cols: _*).collect()
+        .map(r => r.getLong(0) -> (1 to k).map(i => if (r.isNullAt(i)) null else r.getLong(i))).toMap
+    }
+    val gotRows = {
+      val withSigs = df.withColumn("__mh", toCol(graft.expr.MinHashSigsExpr(
+        toExpr(col("__shs")), n, Dedup.HashA.take(k), Dedup.HashB.take(k), Dedup.P)))
+      val cols = (0 until k).map(j => element_at(col("__mh"), j + 1).as(s"mh_$j"))
+      withSigs.select(col("id") +: cols: _*).collect()
+        .map(r => r.getLong(0) -> (1 to k).map(i => if (r.isNullAt(i)) null else r.getLong(i))).toMap
+    }
+    assert(gotRows.keySet === refRows.keySet)
+    gotRows.keySet.foreach { id =>
+      assert(gotRows(id) === refRows(id), s"minhash diverged at id $id")
+    }
+    // the edge rows exercise what they claim
+    assert(refRows(3L).forall(_ == null), "empty array must yield null mins")
+    assert(refRows(5L).forall(_ == null), "all-null elements must yield null mins")
+    assert(refRows(4L).forall(_ != null), "null element must be skipped, not poison")
+  }
+
   test("scoring projection with LongDot stays inside whole-stage codegen") {
     // parquet-backed, not a local relation — ConvertToLocalRelation would
     // otherwise eagerly evaluate the projection and leave no plan to audit
