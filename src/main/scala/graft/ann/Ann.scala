@@ -22,9 +22,16 @@ object Ann {
     * (x = 0.0625 → 62.5) where HALF_UP semantics could differ between
     * engines; floor(x + 0.5) is a single well-defined double op in Spark,
     * DuckDB, and `java.lang.Math.round`, so the tie case is engine-exact.
+    * Computed by the codegen'd [[graft.expr.QuantizeExpr]] (the
+    * `transform` form it replaces is CodegenFallback; equality
+    * spec-pinned, null elements preserved).
     */
-  def quantize(emb: Column): Column =
-    transform(emb, x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
+  def quantize(emb: Column): Column = quantizeScaled(emb, 1000.0)
+
+  private[graft] def quantizeScaled(emb: Column, scale: Double): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+    toCol(graft.expr.QuantizeExpr(toExpr(emb.cast("array<double>")), scale))
+  }
 
   import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
 
@@ -191,7 +198,7 @@ object Ann {
   private[graft] def triangleQuantized(df: DataFrame, idCol: String,
                                        embCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("vid"),
-      transform(col(embCol), x => floor(x.cast("double") * lit(100.0) + lit(0.5)).cast("long")).as("qe"))
+      quantizeScaled(col(embCol), 100.0).as("qe"))
       .repartition(math.max(2, df.sparkSession.sparkContext.defaultParallelism))
 
   /** Replication + shuffle half of [[embeddingNearDupPairs]], factored so
@@ -288,7 +295,7 @@ object Ann {
     val spark = df.sparkSession
     import spark.implicits._
     val quant = df.select(col(idCol).cast("long").as("vid"),
-      transform(col(embCol), x => floor(x.cast("double") * lit(100.0) + lit(0.5)).cast("long")).as("qe"))
+      quantizeScaled(col(embCol), 100.0).as("qe"))
       .withColumn("home", signSketch(col("qe"), bits, dims))
     val probeKeys = array((col("home") +: (0 until bits).map(p =>
       col("home").bitwiseXOR(lit(1L << p)))): _*)

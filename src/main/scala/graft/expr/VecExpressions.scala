@@ -39,6 +39,20 @@ object VecOps {
     java.lang.Long.valueOf(s)
   }
 
+  /** Elementwise floor(x·scale + 0.5) → long; null elements preserved
+    * (transform's lambda-of-null semantics, NOT the fold's poisoning). */
+  def quantize(a: ArrayData, scale: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i))
+        out(i) = math.floor(a.getDouble(i) * scale + 0.5).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Σ aᵢ·bᵢ over two double arrays (the `dotFoldD` fold: the wrapper
     * casts any numeric array to array<double> first — elementwise, same
     * as the fold's per-element x.cast(double)). */
@@ -52,6 +66,37 @@ object VecOps {
     }
     java.lang.Double.valueOf(s)
   }
+}
+
+/** quantize(a, scale): array<long> — elementwise floor(x·scale + 0.5),
+  * the codegen'd twin of `transform(a, x => floor(x.cast(double)·scale
+  * + 0.5).cast(long))` (equality spec-pinned). Unlike the dot kernels,
+  * transform PRESERVES null elements (lambda-of-null is null), so the
+  * output array carries nulls through; callers cast the input to
+  * array<double> (the fold's per-element cast in one step).
+  */
+case class QuantizeExpr(child: Expression, scale: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<double> input, got $t")
+    }
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.quantize(a.asInstanceOf[ArrayData], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.VecOps.quantize($a, $scale)")
+
+  override protected def withNewChildInternal(c: Expression): QuantizeExpr =
+    copy(child = c)
 }
 
 /** Shared shape of the three binary array<long> kernels: null-intolerant

@@ -78,6 +78,31 @@ class VecExprSpec extends SparkSpecBase {
     assert(!byId(1002L), "both-empty row must be 0, not null")
   }
 
+  test("QuantizeExpr equals the transform/floor form, null elements preserved") {
+    val data = Seq(
+      (0L, Some(Seq(Option(0.0625f), Option(-0.0625f), Option(1.5f), Option(-1.5f)))),
+      (1L, Some(Seq(Option(0.1f), None, Option(0.9999f)))), // null ELEMENT survives
+      (2L, Some(Seq.empty[Option[Float]])),
+      (3L, None),
+      (4L, Some(Seq(Option(Float.MaxValue), Option(Float.MinValue), Option(0.0f)))))
+    val df = data.toDF("id", "e")
+    Seq(1000.0, 100.0).foreach { scale =>
+      val ref = transform(col("e"),
+        x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("long"))
+      val out = df.select(col("id"),
+        Ann.quantizeScaled(col("e"), scale).as("q"), ref.as("q_ref")).collect()
+      out.foreach { r =>
+        assert(r.isNullAt(1) === r.isNullAt(2), s"nullability diverged at id ${r.getLong(0)}")
+        if (!r.isNullAt(1))
+          assert(r.getSeq[Any](1) === r.getSeq[Any](2),
+            s"quantize diverged at id ${r.getLong(0)} scale $scale")
+      }
+      // row 1 keeps its null element (transform semantics, not the fold's)
+      val row1 = out.find(_.getLong(0) == 1L).get
+      assert(row1.getSeq[Any](1)(1) == null)
+    }
+  }
+
   test("norm2 equals the explicit sqrt-of-squares fold") {
     val ref = sqrt(aggregate(transform(col("a"), x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
