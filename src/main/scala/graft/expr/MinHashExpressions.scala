@@ -53,6 +53,34 @@ object MinHashOps {
     h
   }
 
+  /** Sequential rolling hash (acc·31 + codePoint) mod p over every code
+    * point of the text — one byte walk, no per-character substrings. */
+  def rollingFingerprint(s: UTF8String, p: Long): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var bi = 0
+    while (bi < bytes.length) {
+      val b0 = bytes(bi) & 0xFF
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if (b0 < 0xE0) {
+        len = 2
+        cp = ((b0 & 0x1F) << 6) | (bytes(bi + 1) & 0x3F)
+      } else if (b0 < 0xF0) {
+        len = 3
+        cp = ((b0 & 0x0F) << 12) | ((bytes(bi + 1) & 0x3F) << 6) | (bytes(bi + 2) & 0x3F)
+      } else {
+        len = 4
+        cp = ((b0 & 0x07) << 18) | ((bytes(bi + 1) & 0x3F) << 12) |
+          ((bytes(bi + 2) & 0x3F) << 6) | (bytes(bi + 3) & 0x3F)
+      }
+      acc = (acc * 31L + cp) % p
+      bi += len
+    }
+    acc
+  }
+
   /** All numHashes signature mins in ONE pass over the shingle array.
     * Returns a GenericArrayData of java.lang.Long (null where no non-null
     * element existed — array_min-of-empty semantics). */
@@ -86,6 +114,38 @@ object MinHashOps {
     } // else: all nulls (empty or all-null input)
     new GenericArrayData(out)
   }
+}
+
+/** rolling_fingerprint(text): fold (acc·31 + codePoint) mod p over the
+  * text's code points — the codegen'd twin of
+  * `aggregate(split(text, ""), 0L, (acc, c) => (acc·31 + ascii(c)) % p)`
+  * (equality spec-pinned, unicode included). The composed form allocated
+  * one single-character string PER CHARACTER (`split`) and folded it
+  * interpreted; this walks the UTF8 bytes once.
+  */
+case class RollingFingerprintExpr(child: Expression, p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string input, got $t")
+    }
+
+  override protected def nullSafeEval(text: Any): Any =
+    MinHashOps.rollingFingerprint(text.asInstanceOf[UTF8String], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.expr.MinHashOps.rollingFingerprint($t, ${p}L)")
+
+  override protected def withNewChildInternal(c: Expression): RollingFingerprintExpr =
+    copy(child = c)
 }
 
 /** minhash_sigs(shingles): array<long> of the numHashes MinHash signature

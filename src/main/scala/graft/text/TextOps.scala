@@ -81,14 +81,16 @@ object TextOps {
       when(nChars.between(100, 400), lit(50L)).otherwise(lit(0L))
 
   /** Order-sensitive rolling (polynomial) fingerprint:
-    * fold over characters of `(acc * 31 + ascii(c)) % p`. Builtin
-    * `aggregate` over `split` — whole-stage codegen, no UDF.
+    * fold over characters of `(acc * 31 + ascii(c)) % p` — the codegen'd
+    * [[graft.expr.RollingFingerprintExpr]], one walk over the UTF8 bytes.
+    * (The previous `aggregate(split(text, ""), ...)` form allocated a
+    * single-character string PER CHARACTER and, like every higher-order
+    * function, ran interpreted; equality incl. unicode is spec-pinned.)
     */
-  def fingerprintRolling(text: Column): Column =
-    aggregate(
-      split(text, ""),
-      lit(0L),
-      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(FingerprintP))
+  def fingerprintRolling(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+    toCol(graft.expr.RollingFingerprintExpr(toExpr(text), FingerprintP))
+  }
 
   /** Commutative position-weighted fingerprint: Σ ascii(c_i)·i² mod p.
     * Aggregation-friendly (computable via explode + SUM on both engines).

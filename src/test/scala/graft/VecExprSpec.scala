@@ -156,6 +156,28 @@ class VecExprSpec extends SparkSpecBase {
     assert(refRows(4L).forall(_ != null), "null element must be skipped, not poison")
   }
 
+  test("RollingFingerprintExpr equals the aggregate(split) fold, unicode included") {
+    import graft.text.TextOps
+    val data = Seq(
+      (0L, Some("the quick brown fox jumps over the lazy dog")),
+      (1L, Some("")),
+      (2L, Some("a")),
+      (3L, Some("héllo wörld — 日本語 🚀 𐍈")),
+      (4L, Some("x" * 5000)), // long doc: the modular fold must not drift
+      (5L, None))
+    val df = data.toDF("id", "text")
+    val ref = aggregate(split(col("text"), ""), lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(TextOps.FingerprintP))
+    val out = df.select(col("id"),
+      TextOps.fingerprintRolling(col("text")).as("fp"), ref.as("fp_ref")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"nullability diverged at id ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) === r.getLong(2), s"fingerprint diverged at id ${r.getLong(0)}")
+    }
+    assert(out.count(r => !r.isNullAt(1) && r.getLong(1) != 0L) >= 3)
+  }
+
   test("scoring projection with LongDot stays inside whole-stage codegen") {
     // parquet-backed, not a local relation — ConvertToLocalRelation would
     // otherwise eagerly evaluate the projection and leave no plan to audit
