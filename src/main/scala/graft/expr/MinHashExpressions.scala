@@ -22,6 +22,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * UTF8String bytes without allocating per-character substrings.
   */
 object MinHashOps {
+  /** Decode the code point starting at byte `bi` (guarding truncated
+    * multi-byte tails — a malformed final sequence decodes from the bytes
+    * that exist rather than reading past the array) and return it packed
+    * with the encoded length: (len << 24) | cp. Code points are < 2^21 so
+    * the packing is lossless. */
+  private def codePointAt(bytes: Array[Byte], bi: Int): Int = {
+    val b0 = bytes(bi) & 0xFF
+    val want =
+      if (b0 < 0x80) 1
+      else if (b0 < 0xE0) 2
+      else if (b0 < 0xF0) 3
+      else 4
+    val len = math.min(want, bytes.length - bi)
+    var cp =
+      if (want == 1) b0
+      else if (want == 2) b0 & 0x1F
+      else if (want == 3) b0 & 0x0F
+      else b0 & 0x07
+    var k = 1
+    while (k < len) { cp = (cp << 6) | (bytes(bi + k) & 0x3F); k += 1 }
+    (len << 24) | cp
+  }
+
   /** First-n-code-points positional hash of one shingle: walks the UTF8
     * bytes directly; position j past the string's end contributes
     * ascii("") = 0 (substring beyond length is empty). */
@@ -31,23 +54,9 @@ object MinHashOps {
     var bi = 0 // byte index
     var j = 0  // code-point index
     while (j < n && bi < bytes.length) {
-      val b0 = bytes(bi) & 0xFF
-      var cp = 0
-      var len = 1
-      if (b0 < 0x80) cp = b0
-      else if (b0 < 0xE0) { // 2-byte
-        len = 2
-        cp = ((b0 & 0x1F) << 6) | (bytes(bi + 1) & 0x3F)
-      } else if (b0 < 0xF0) { // 3-byte
-        len = 3
-        cp = ((b0 & 0x0F) << 12) | ((bytes(bi + 1) & 0x3F) << 6) | (bytes(bi + 2) & 0x3F)
-      } else { // 4-byte
-        len = 4
-        cp = ((b0 & 0x07) << 18) | ((bytes(bi + 1) & 0x3F) << 12) |
-          ((bytes(bi + 2) & 0x3F) << 6) | (bytes(bi + 3) & 0x3F)
-      }
-      h += cp.toLong * pow81(n - 1 - j)
-      bi += len
+      val packed = codePointAt(bytes, bi)
+      h += (packed & 0xFFFFFF).toLong * pow81(n - 1 - j)
+      bi += packed >>> 24
       j += 1
     }
     h
@@ -60,23 +69,9 @@ object MinHashOps {
     var acc = 0L
     var bi = 0
     while (bi < bytes.length) {
-      val b0 = bytes(bi) & 0xFF
-      var cp = 0
-      var len = 1
-      if (b0 < 0x80) cp = b0
-      else if (b0 < 0xE0) {
-        len = 2
-        cp = ((b0 & 0x1F) << 6) | (bytes(bi + 1) & 0x3F)
-      } else if (b0 < 0xF0) {
-        len = 3
-        cp = ((b0 & 0x0F) << 12) | ((bytes(bi + 1) & 0x3F) << 6) | (bytes(bi + 2) & 0x3F)
-      } else {
-        len = 4
-        cp = ((b0 & 0x07) << 18) | ((bytes(bi + 1) & 0x3F) << 12) |
-          ((bytes(bi + 2) & 0x3F) << 6) | (bytes(bi + 3) & 0x3F)
-      }
-      acc = (acc * 31L + cp) % p
-      bi += len
+      val packed = codePointAt(bytes, bi)
+      acc = (acc * 31L + (packed & 0xFFFFFF)) % p
+      bi += packed >>> 24
     }
     acc
   }
