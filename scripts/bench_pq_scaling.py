@@ -77,6 +77,10 @@ for rep in range(REPS):
         for p in procs:
             p.wait()
         outs = [shard_json(l) for l in logs]
+        # every shard leg must answer its full query set (N_Q x k=10 rows):
+        # a misconfigured shard would otherwise record a wall for less work
+        for o in outs:
+            assert o["rows"] == N_Q * 10, f"shard leg returned {o['rows']} rows"
         secs[ways].append(max(o["sec"] for o in outs))
         rowcounts[ways] = sum(o["rows"] for o in outs)
         print(json.dumps({"job": "pq_ladder", "ways": ways, "rep": rep,

@@ -348,7 +348,7 @@ lines += [
     "O(n²) compute; `pq_topk` rows = output rows (queries x k) over fixed",
     "nq x n x m ADC work; `decode_scan` \"rows\" = payload BYTES scanned (so its",
     "rows/s columns are bytes/s — do not compare them to the row-count",
-    "legs) — for all three, the EFFICIENCY column is the scaling metric.",
+    "legs) — for all four, the EFFICIENCY column is the scaling metric.",
     "\nDecode decomposition (same fresh-JVM min-of-N legs):",
     f"- payload scan alone moves {res[('decode_scan', 8)]['rows']/1e9*1:.1f} GB and runs "
     f"{s8:.2f} s @8 vs {s32:.2f} s @32 (efficiency {(s8/s32)/4:.3f}) — the single-host "

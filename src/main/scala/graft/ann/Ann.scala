@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+
   /** int-quantized copy of an embedding: floor(x · 1000 + 0.5). Expressed
     * as floor — not `round` — because dyadic floats CAN land on an exact .5
     * (x = 0.0625 → 62.5) where HALF_UP semantics could differ between
@@ -28,12 +30,8 @@ object Ann {
     */
   def quantize(emb: Column): Column = quantizeScaled(emb, 1000.0)
 
-  private[graft] def quantizeScaled(emb: Column, scale: Double): Column = {
-    import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+  private[graft] def quantizeScaled(emb: Column, scale: Double): Column =
     toCol(graft.expr.QuantizeExpr(toExpr(emb.cast("array<double>")), scale))
-  }
-
-  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
 
   /** Integer dot product of two equal-length long arrays — the codegen'd
     * [[graft.expr.LongDotExpr]]. (The original
@@ -377,7 +375,6 @@ object Ann {
     corpus.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("c_emb"))
       .withColumn("bucket", signSketch(col("c_emb"), bits, dims))
 
-  /** Integer squared L2 distance between two quantized vectors. */
   /** Integer squared L2 of two equal-length long arrays — the codegen'd
     * [[graft.expr.LongSqDistExpr]] (see [[dotFold]]'s note on why the
     * zip_with/aggregate fold form is interpreted and this isn't). */
@@ -531,25 +528,9 @@ object Ann {
       }
   }
 
-  /** PQ/ADC approximate top-k. Per query, a lookup table of partial dots
-    * against every codeword (nq × m × ksub entries — broadcast-small by
-    * construction); the corpus is fused-encoded to one m-length code array
-    * per vector ([[pqEncodePacked]], map-only) and scored by an ADC kernel
-    * per partition: m table lookups + adds per (query, vector) into a
-    * bounded per-query top-R heap, so only numPartitions × nq × R
-    * candidate rows ever leave the scorer. (A declarative codes⋈LUT join
-    * computes the same sums but must materialize nq × n × m join rows
-    * through a hash aggregate with nq × n groups — measured 150.9 s vs the
-    * kernel path's ~3 s on 500 × 96k, GC/spill-bound and parallelism-flat,
-    * the [[triangleTasks]] lesson again; the row-wise [[pqEncode]] join
-    * alone costs 22 s in interpreted sqDistFold where the fused kernel
-    * takes ~1 s.) `refine` > 0 exact-rescores the top `refine` ADC
-    * candidates with the true quantized dot ([[bruteTopK]]'s metric) —
-    * refine ≥ corpus size degenerates to exact (spec-pinned).
-    * Output: query_id, rank, vec_id, adot (exact dot when refined).
-    */
   /** Per-query lookup table of partial dots against every codeword:
-    * (query_id, sub, code, pdot) — nq × m × ksub rows. */
+    * (query_id, sub, code, pdot) — nq × m × ksub rows. The declarative
+    * twin of [[pqDriverLut]], kept as its equality-spec reference. */
   private[graft] def pqLut(queries: DataFrame, qIdCol: String, qEmbCol: String,
                            cw: DataFrame, dims: Int, m: Int): DataFrame =
     subvectors(queries, qIdCol, "query_id", qEmbCol, dims, m)
@@ -610,11 +591,28 @@ object Ann {
     * [[pqPack]] ∘ [[pqEncode]] (spec-pinned) but skips the n × ksub × m
     * join rows through the interpreted sqDistFold (measured 22 s → ~1 s on
     * 96k × 64d at local[32]) and the pack shuffle: zero exchange over the
-    * corpus scan, the shape that scales linearly with executors. */
+    * corpus scan, the shape that scales linearly with executors.
+    *
+    * Malformed rows (null embedding, null element, length ≠ dims) are
+    * SKIPPED — a junk vector must not kill an ingest-scale job. (The
+    * declarative reference produces undefined-garbage codes for such
+    * rows via null-poisoned distances, so the row-identity spec applies
+    * to well-formed rows; the fixtures contain only those.) */
   private[graft] def pqEncodePacked(corpus: DataFrame, idCol: String,
                                     embCol: String, cw: DataFrame,
                                     dims: Int, m: Int): Dataset[(Long, Array[Long])] =
     pqEncodePackedWith(corpus, idCol, embCol, pqCollectBook(cw, dims, m), dims, m)
+
+  /** Well-formed (id, embedding) rows only: drops null arrays, null
+    * elements, and wrong-arity vectors before the primitive encoders
+    * (whose (Long, Array[Double]) decode would otherwise throw). */
+  private def cleanVectors(df: DataFrame, idCol: String, embCol: String,
+                           dims: Int): DataFrame = {
+    val e = col(embCol).cast("array<double>")
+    df.select(col(idCol).cast("long").as("__vid"), e.as("__e"))
+      .filter(col("__e").isNotNull && size(col("__e")) === dims &&
+        !exists(col("__e"), _.isNull))
+  }
 
   private[graft] def pqEncodePackedWith(corpus: DataFrame, idCol: String,
                                         embCol: String, book: PqBook,
@@ -625,7 +623,7 @@ object Ann {
     // cids ASC + strict < scan in cid order ⇒ ties resolve to the smallest
     // cid, like the declarative plan's min(dc)
     val bc = spark.sparkContext.broadcast((book.cids, book.cw))
-    corpus.select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+    cleanVectors(corpus, idCol, embCol, dims)
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val (ids, tab) = bc.value
@@ -665,8 +663,8 @@ object Ann {
   private[graft] def pqDriverLut(queries: DataFrame, qIdCol: String,
                                  qEmbCol: String, book: PqBook,
                                  dims: Int, m: Int): (Array[Long], Array[Long]) = {
-    val rows = queries
-      .select(col(qIdCol).cast("long"), col(qEmbCol).cast("array<double>"))
+    // malformed query rows skipped, like [[pqEncodePackedWith]]'s corpus side
+    val rows = cleanVectors(queries, qIdCol, qEmbCol, dims)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).distinctBy(_._1)
@@ -709,6 +707,8 @@ object Ann {
                                      m: Int, topR: Int): DataFrame = {
     val spark = packed.sparkSession
     import spark.implicits._
+    if (topR <= 0) // k = 0, refine = 0: empty result, not a 0-length heap
+      return Seq.empty[(Long, Long, Long)].toDF("query_id", "vec_id", "adot")
     val bc = spark.sparkContext.broadcast((qIds, book.cids, table))
     packed.mapPartitions { it =>
       val (ids, cids, tab) = bc.value
@@ -738,6 +738,25 @@ object Ann {
     }.toDF("query_id", "vec_id", "adot")
   }
 
+  /** PQ/ADC approximate top-k. Per query, a lookup table of partial dots
+    * against every codeword (nq × m × ksub entries — broadcast-small by
+    * construction, built on the driver by [[pqDriverLut]]); the corpus is
+    * fused-encoded to one m-length code array per vector
+    * ([[pqEncodePacked]], map-only) and scored by an ADC kernel per
+    * partition: m table lookups + adds per (query, vector) into a bounded
+    * per-query top-R heap, so only numPartitions × nq × R candidate rows
+    * ever leave the scorer. (A declarative codes⋈LUT join computes the
+    * same sums but must materialize nq × n × m join rows through a hash
+    * aggregate with nq × n groups — measured 150.9 s vs the kernel path's
+    * ~3 s on 500 × 96k, GC/spill-bound and parallelism-flat, the
+    * [[triangleTasks]] lesson again; the row-wise [[pqEncode]] join alone
+    * costs 22 s in interpreted sqDistFold where the fused kernel takes
+    * ~1 s.) `refine` > 0 exact-rescores the top `refine` ADC candidates
+    * with the true quantized dot ([[bruteTopK]]'s metric) — refine ≥
+    * corpus size degenerates to exact (spec-pinned). k ≤ 0 returns an
+    * empty frame. Malformed vectors are skipped ([[pqEncodePacked]]).
+    * Output: query_id, rank, vec_id, adot (exact dot when refined).
+    */
   def pqTopK(queries: DataFrame, qIdCol: String, qEmbCol: String,
              corpus: DataFrame, idCol: String, embCol: String,
              k: Int, dims: Int, m: Int, codeEvery: Long,

@@ -22,39 +22,50 @@ import org.apache.spark.unsafe.types.UTF8String
   * UTF8String bytes without allocating per-character substrings.
   */
 object MinHashOps {
-  /** Decode the code point starting at byte `bi` (guarding truncated
-    * multi-byte tails — a malformed final sequence decodes from the bytes
-    * that exist rather than reading past the array) and return it packed
-    * with the encoded length: (len << 24) | cp. Code points are < 2^21 so
-    * the packing is lossless. */
-  private def codePointAt(bytes: Array[Byte], bi: Int): Int = {
+  /** Decode the code point starting at byte `bi` IF it begins a strictly
+    * valid UTF-8 sequence that fits in the array; returns it packed as
+    * (len << 24) | cp (code points < 2^21, lossless), or -1 on anything
+    * malformed (bare continuation, bad lead, overlong form, surrogate,
+    * out-of-range, truncated tail). Callers fall back to the exact
+    * reference semantics on -1 — Spark renders malformed bytes as U+FFFD
+    * through Java's replacement decoder, and faithfully reproducing that
+    * byte-for-byte belongs in the slow path, not here. */
+  private def validCodePointAt(bytes: Array[Byte], bi: Int): Int = {
     val b0 = bytes(bi) & 0xFF
-    val want =
-      if (b0 < 0x80) 1
-      else if (b0 < 0xE0) 2
-      else if (b0 < 0xF0) 3
-      else 4
-    val len = math.min(want, bytes.length - bi)
-    var cp =
-      if (want == 1) b0
-      else if (want == 2) b0 & 0x1F
-      else if (want == 3) b0 & 0x0F
-      else b0 & 0x07
-    var k = 1
-    while (k < len) { cp = (cp << 6) | (bytes(bi + k) & 0x3F); k += 1 }
-    (len << 24) | cp
+    if (b0 < 0x80) return (1 << 24) | b0
+    def cont(k: Int): Boolean =
+      bi + k < bytes.length && (bytes(bi + k) & 0xC0) == 0x80
+    if (b0 >= 0xC2 && b0 <= 0xDF) {
+      if (!cont(1)) return -1
+      (2 << 24) | (((b0 & 0x1F) << 6) | (bytes(bi + 1) & 0x3F))
+    } else if (b0 >= 0xE0 && b0 <= 0xEF) {
+      if (!cont(1) || !cont(2)) return -1
+      val b1 = bytes(bi + 1) & 0xFF
+      if (b0 == 0xE0 && b1 < 0xA0) return -1 // overlong
+      if (b0 == 0xED && b1 >= 0xA0) return -1 // surrogate range
+      (3 << 24) | (((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (bytes(bi + 2) & 0x3F))
+    } else if (b0 >= 0xF0 && b0 <= 0xF4) {
+      if (!cont(1) || !cont(2) || !cont(3)) return -1
+      val b1 = bytes(bi + 1) & 0xFF
+      if (b0 == 0xF0 && b1 < 0x90) return -1 // overlong
+      if (b0 == 0xF4 && b1 >= 0x90) return -1 // > U+10FFFF
+      (4 << 24) | (((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12) |
+        ((bytes(bi + 2) & 0x3F) << 6) | (bytes(bi + 3) & 0x3F))
+    } else -1 // bare continuation 0x80-0xBF or invalid lead 0xC0/0xC1/0xF5+
   }
 
   /** First-n-code-points positional hash of one shingle: walks the UTF8
     * bytes directly; position j past the string's end contributes
-    * ascii("") = 0 (substring beyond length is empty). */
+    * ascii("") = 0 (substring beyond length is empty). Malformed bytes
+    * bail to [[shingleHashRef]], the exact ascii∘substring semantics. */
   def shingleHash(s: UTF8String, n: Int, pow81: Array[Long]): Long = {
     val bytes = s.getBytes
     var h = 0L
     var bi = 0 // byte index
     var j = 0  // code-point index
     while (j < n && bi < bytes.length) {
-      val packed = codePointAt(bytes, bi)
+      val packed = validCodePointAt(bytes, bi)
+      if (packed < 0) return shingleHashRef(s, n, pow81)
       h += (packed & 0xFFFFFF).toLong * pow81(n - 1 - j)
       bi += packed >>> 24
       j += 1
@@ -62,16 +73,61 @@ object MinHashOps {
     h
   }
 
+  /** Reference path for malformed shingles: literally
+    * Σ ascii(substring(s, j, 1)) · 81^(n-j). Spark's substring (and its
+    * split) step through the bytes by numBytesForFirstByte jumps — a
+    * malformed "char" keeps its lead's claimed width (clamped) — and
+    * ascii renders that char's bytes through the Java replacement decoder
+    * and takes codePointAt(0); [[refCodePoint]] is exactly that. */
+  private def shingleHashRef(s: UTF8String, n: Int, pow81: Array[Long]): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var bi = 0
+    var j = 0
+    while (j < n && bi < bytes.length) {
+      val len = math.min(UTF8String.numBytesForFirstByte(bytes(bi)), bytes.length - bi)
+      h += refCodePoint(bytes, bi, len).toLong * pow81(n - 1 - j)
+      bi += len
+      j += 1
+    }
+    h
+  }
+
+  /** ascii() of the char occupying bytes [bi, bi+len): Java replacement
+    * decode, first code point (malformed runs decode to U+FFFD). */
+  private def refCodePoint(bytes: Array[Byte], bi: Int, len: Int): Int =
+    UTF8String.fromBytes(bytes, bi, len).toString.codePointAt(0)
+
   /** Sequential rolling hash (acc·31 + codePoint) mod p over every code
-    * point of the text — one byte walk, no per-character substrings. */
+    * point of the text — one byte walk, no per-character substrings.
+    * Malformed bytes bail to [[rollingFingerprintRef]], the exact
+    * semantics of the `aggregate(split(text, ""), ...)` fold it
+    * replaced (spec-pinned on invalid leads, bare continuations, and
+    * truncated tails). */
   def rollingFingerprint(s: UTF8String, p: Long): Long = {
     val bytes = s.getBytes
     var acc = 0L
     var bi = 0
     while (bi < bytes.length) {
-      val packed = codePointAt(bytes, bi)
+      val packed = validCodePointAt(bytes, bi)
+      if (packed < 0) return rollingFingerprintRef(s, p)
       acc = (acc * 31L + (packed & 0xFFFFFF)) % p
       bi += packed >>> 24
+    }
+    acc
+  }
+
+  /** Reference path for malformed text: split("") steps by the same
+    * numBytesForFirstByte jumps as substring, then ascii() each char —
+    * see [[shingleHashRef]]'s note. */
+  private def rollingFingerprintRef(s: UTF8String, p: Long): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var bi = 0
+    while (bi < bytes.length) {
+      val len = math.min(UTF8String.numBytesForFirstByte(bytes(bi)), bytes.length - bi)
+      acc = (acc * 31L + refCodePoint(bytes, bi, len)) % p
+      bi += len
     }
     acc
   }

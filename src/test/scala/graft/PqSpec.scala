@@ -183,6 +183,29 @@ class PqSpec extends SparkSpecBase {
     }
   }
 
+  test("malformed vectors are skipped, not fatal; k=0 returns empty") {
+    // null embedding, null element, and wrong-arity rows ride along with
+    // the valid corpus: the fused encoders must skip them (the primitive
+    // decode would otherwise throw and kill the job) and the valid rows'
+    // results must be unaffected
+    val junk = Seq[(Long, Option[Seq[Option[Float]]])](
+      (900L, None),
+      (901L, Some(Seq(Option(1.0f), None) ++ (2 until dims).map(d => Option(d.toFloat)))),
+      (902L, Some(Seq(Option(1.0f), Option(2.0f))))) // wrong arity
+      .toDF("vec_id", "embedding")
+    val dirty = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<float>")).unionByName(junk)
+    val q = embeddings.filter(col("vec_id") % 25 === 0)
+    def run(corpus: org.apache.spark.sql.DataFrame) =
+      Ann.pqTopK(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
+        k = 10, dims = dims, m = m, codeEvery = 7L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(run(dirty) === run(embeddings), "junk rows changed valid results")
+    val empty = Ann.pqTopK(q, "vec_id", "embedding", embeddings, "vec_id", "embedding",
+      k = 0, dims = dims, m = m, codeEvery = 7L)
+    assert(empty.count() === 0L)
+  }
+
   test("pqTopK output is identical at different partitionings") {
     val q = embeddings.filter(col("vec_id") % 25 === 0)
     def run(df: org.apache.spark.sql.DataFrame) =

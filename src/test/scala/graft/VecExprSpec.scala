@@ -178,6 +178,65 @@ class VecExprSpec extends SparkSpecBase {
     assert(out.count(r => !r.isNullAt(1) && r.getLong(1) != 0L) >= 3)
   }
 
+  test("MinHashSigsExpr matches the composed stack on MALFORMED UTF-8 shingles") {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+    import graft.dedup.Dedup
+    val n = 4
+    val k = 3
+    // one array whose shingles mix valid text with invalid leads, bare
+    // continuations, and truncated tails (enter via binary->string casts)
+    val shingleBytes: Seq[Array[Byte]] = Seq(
+      "valid".getBytes("UTF-8"),
+      Array(0x80.toByte, 'a'.toByte, 'b'.toByte),
+      Array(0xC3.toByte, 0x28.toByte, 'z'.toByte),
+      Array('x'.toByte, 0xF0.toByte, 0x9F.toByte),
+      Array(0xFF.toByte))
+    val df = shingleBytes.zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("i", "b")
+      .groupBy().agg(collect_list(col("b").cast("string")).as("__shs"))
+    val refRow = {
+      val withHashes = df.withColumn("__hh",
+        transform(col("__shs"), s => Dedup.shingleHash(s, n)))
+      val cols = (0 until k).map { j =>
+        array_min(transform(col("__hh"), h =>
+          pmod(lit(Dedup.HashA(j)) * h + lit(Dedup.HashB(j)), lit(Dedup.P)))).as(s"mh_$j")
+      }
+      withHashes.select(cols: _*).collect()(0)
+    }
+    val gotRow = {
+      val withSigs = df.withColumn("__mh", toCol(graft.expr.MinHashSigsExpr(
+        toExpr(col("__shs")), n, Dedup.HashA.take(k), Dedup.HashB.take(k), Dedup.P)))
+      withSigs.select((0 until k).map(j => element_at(col("__mh"), j + 1)): _*).collect()(0)
+    }
+    (0 until k).foreach { j =>
+      assert(gotRow.getLong(j) === refRow.getLong(j), s"malformed shingle divergence at mh_$j")
+    }
+  }
+
+  test("RollingFingerprintExpr matches the composed form on MALFORMED UTF-8") {
+    import graft.text.TextOps
+    // invalid byte sequences can enter via binary->string casts (no
+    // validation); the byte walker must advance and decode exactly like
+    // Spark's substring/ascii do or the fingerprint silently diverges
+    // from the pre-swap engine for such rows
+    val cases: Seq[(Long, Array[Byte])] = Seq(
+      (0L, Array(0x80.toByte, 'a'.toByte)), // bare continuation byte
+      (1L, Array('a'.toByte, 0xC3.toByte)), // truncated 2-byte tail
+      (2L, Array(0xC3.toByte, 0x28.toByte)), // invalid continuation
+      (3L, Array(0xFF.toByte, 'A'.toByte)), // invalid lead > 0xF4
+      (4L, Array(0xE2.toByte, 0x82.toByte)), // truncated 3-byte tail
+      (5L, Array(0xF0.toByte, 0x9F.toByte, 'x'.toByte)), // truncated 4-byte + ascii
+      (6L, Array('o'.toByte, 'k'.toByte))) // control: valid
+    val df = cases.toDF("id", "b").select(col("id"), col("b").cast("string").as("text"))
+    val ref = aggregate(split(col("text"), ""), lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(TextOps.FingerprintP))
+    val out = df.select(col("id"),
+      TextOps.fingerprintRolling(col("text")).as("fp"), ref.as("fp_ref")).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"malformed-UTF8 divergence at id ${r.getLong(0)}")
+    }
+  }
+
   test("scoring projection with LongDot stays inside whole-stage codegen") {
     // parquet-backed, not a local relation — ConvertToLocalRelation would
     // otherwise eagerly evaluate the projection and leave no plan to audit
