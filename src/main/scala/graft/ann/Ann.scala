@@ -611,7 +611,7 @@ object Ann {
     val e = col(embCol).cast("array<double>")
     df.select(col(idCol).cast("long").as("__vid"), e.as("__e"))
       .filter(col("__e").isNotNull && size(col("__e")) === dims &&
-        !exists(col("__e"), _.isNull))
+        !toCol(graft.expr.ArrayHasNullExpr(toExpr(col("__e")))))
   }
 
   private[graft] def pqEncodePackedWith(corpus: DataFrame, idCol: String,

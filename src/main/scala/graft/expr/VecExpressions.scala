@@ -39,6 +39,17 @@ object VecOps {
     java.lang.Long.valueOf(s)
   }
 
+  /** True iff any element is null (one flag walk, no lambda). */
+  def hasNullElement(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Elementwise floor(x·scale + 0.5) → long; null elements preserved
     * (transform's lambda-of-null semantics, NOT the fold's poisoning). */
   def quantize(a: ArrayData, scale: Double): ArrayData = {
@@ -66,6 +77,33 @@ object VecOps {
     }
     java.lang.Double.valueOf(s)
   }
+}
+
+/** array_has_null(a): true iff the array contains a null element — the
+  * codegen'd twin of `exists(a, _.isNull)` (higher-order, interpreted)
+  * for the malformed-vector prefilters that run on every scanned row.
+  */
+case class ArrayHasNullExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "array_has_null"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: ArrayType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs an array input, got $t")
+    }
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.hasNullElement(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.VecOps.hasNullElement($a)")
+
+  override protected def withNewChildInternal(c: Expression): ArrayHasNullExpr =
+    copy(child = c)
 }
 
 /** quantize(a, scale): array<long> — elementwise floor(x·scale + 0.5),
