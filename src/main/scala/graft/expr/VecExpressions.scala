@@ -39,6 +39,27 @@ object VecOps {
     java.lang.Long.valueOf(s)
   }
 
+  /** Signed twice-shoelace sum over the ring's (lon, lat) structs, in the
+    * fold's exact association and order — see [[RingShoelace2Expr]].
+    * Boxed null when any element/field is null (the fold's poisoning). */
+  def ringShoelace2(a: ArrayData, nFields: Int, lonIdx: Int,
+                    latIdx: Int): java.lang.Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n - 1) {
+      if (a.isNullAt(i) || a.isNullAt(i + 1)) return null
+      val p = a.getStruct(i, nFields)
+      val q = a.getStruct(i + 1, nFields)
+      if (p.isNullAt(lonIdx) || p.isNullAt(latIdx) ||
+        q.isNullAt(lonIdx) || q.isNullAt(latIdx)) return null
+      acc = (acc + p.getDouble(lonIdx) * q.getDouble(latIdx)) -
+        q.getDouble(lonIdx) * p.getDouble(latIdx)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   /** True iff any element is null (one flag walk, no lambda). */
   def hasNullElement(a: ArrayData): Boolean = {
     val n = a.numElements()
@@ -77,6 +98,63 @@ object VecOps {
     }
     java.lang.Double.valueOf(s)
   }
+}
+
+/** ring_shoelace2(ring): SIGNED twice-shoelace-area of an
+  * array<struct<..., lon: double, lat: double, ...>> ring — the codegen'd
+  * twin of `aggregate(sequence(1, size-1), 0.0, (acc, i) => acc +
+  * lon_i·lat_{i+1} − lon_{i+1}·lat_i)` with BIT-IDENTICAL double
+  * summation: each step performs (acc + lon_i·lat_{i+1}) −
+  * lon_{i+1}·lat_i in that association, ascending i, so the rounded
+  * result equals the fold's exactly (spec-pinned — this feeds an ORDER BY
+  * that picks the smallest containing outer ring, where a one-ulp
+  * difference could flip an ordering). The fold form allocated the index
+  * sequence per ring and ran interpreted. Null array / null element /
+  * null field → null (the fold's poisoning); rings with < 2 points → 0.0
+  * (the fold form THROWS under ANSI via element_at(ring, 0) on its
+  * descending sequence(1, 0) — unreachable at the call site, which only
+  * feeds closed ≥4-point rings; total here beats partial there).
+  */
+case class RingShoelace2Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ring_shoelace2"
+
+  private lazy val (lonIdx, latIdx) = child.dataType match {
+    case ArrayType(s: StructType, _) =>
+      (s.fieldIndex("lon"), s.fieldIndex("lat"))
+    case _ => (-1, -1)
+  }
+  private lazy val nFields = child.dataType match {
+    case ArrayType(s: StructType, _) => s.length
+    case _ => 0
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _)
+        if s.fieldNames.contains("lon") && s.fieldNames.contains("lat") &&
+          s("lon").dataType == DoubleType && s("lat").dataType == DoubleType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<struct<.., lon: double, lat: double, ..>>, got $t")
+    }
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.ringShoelace2(a.asInstanceOf[ArrayData], nFields, lonIdx, latIdx)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("shoelace")
+      s"""
+         |java.lang.Double $r = graft.expr.VecOps.ringShoelace2($a, $nFields, $lonIdx, $latIdx);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): RingShoelace2Expr =
+    copy(child = c)
 }
 
 /** array_has_null(a): true iff the array contains a null element — the

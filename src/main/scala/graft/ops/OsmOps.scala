@@ -212,14 +212,16 @@ object OsmOps {
   }
 
   /** Twice the (unsigned) shoelace area of a closed ring column
-    * (array<struct<lon,lat>> with first == last) — pure column arithmetic,
-    * no UDF.
+    * (array<struct<lon,lat>> with first == last) — the codegen'd
+    * [[graft.expr.RingShoelace2Expr]], bit-identical double summation to
+    * the aggregate/sequence fold it replaced (which allocated the index
+    * array per ring and, like every higher-order function, ran
+    * interpreted; equality incl. float rounding order is spec-pinned).
     */
-  def ringArea2(ring: Column): Column = abs(aggregate(
-    sequence(lit(1), size(ring) - 1), lit(0.0),
-    (acc, i) => acc +
-      element_at(ring, i).getField("lon") * element_at(ring, i + 1).getField("lat") -
-      element_at(ring, i + 1).getField("lon") * element_at(ring, i).getField("lat")))
+  def ringArea2(ring: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+    abs(toCol(graft.expr.RingShoelace2Expr(toExpr(ring))))
+  }
 
   /** GeoJSON MultiPolygon per relation from [[assembleRelationRings]]
     * output: closed outer rings become polygons; each closed inner ring is

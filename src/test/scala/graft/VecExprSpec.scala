@@ -237,6 +237,39 @@ class VecExprSpec extends SparkSpecBase {
     }
   }
 
+  test("RingShoelace2Expr bit-identical to the aggregate fold, rounding order included") {
+    import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+    // irregular coordinates whose products round — a different summation
+    // association would differ in the last ulp, which matters because the
+    // value feeds the smallest-containing-outer ORDER BY
+    def mix(v: Long): Long = graft.geo.GeoFixtures.mix(v)
+    val rings = (0 until 50).map { r =>
+      val n = 4 + r % 7
+      val pts = (0 to n).map { i =>
+        val a = (mix(r * 97L + i) % 1000000L) / 2718.281828
+        val b = (mix(r * 89L + i * 7L) % 1000000L) / 3141.592653
+        (a, b)
+      }
+      (r.toLong, pts :+ pts.head) // closed
+    }
+    val df = rings.toDF("id", "raw")
+      .select(col("id"), expr("transform(raw, p -> struct(p._1 AS lon, p._2 AS lat))").as("ring"))
+    val fold = abs(aggregate(
+      sequence(lit(1), size(col("ring")) - 1), lit(0.0),
+      (acc, i) => acc +
+        element_at(col("ring"), i).getField("lon") * element_at(col("ring"), i + 1).getField("lat") -
+        element_at(col("ring"), i + 1).getField("lon") * element_at(col("ring"), i).getField("lat")))
+    val out = df.select(col("id"),
+      abs(toCol(graft.expr.RingShoelace2Expr(toExpr(col("ring"))))).as("a"),
+      fold.as("a_ref")).collect()
+    out.foreach { r =>
+      // exact bit equality, not a tolerance: same ops, same order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"shoelace rounding diverged at ring ${r.getLong(0)}")
+    }
+  }
+
   test("scoring projection with LongDot stays inside whole-stage codegen") {
     // parquet-backed, not a local relation — ConvertToLocalRelation would
     // otherwise eagerly evaluate the projection and leave no plan to audit
