@@ -479,8 +479,13 @@ object Ann {
     * with a dense 0..ksub-1 re-map when packing codes to bytes). */
   def pqCodewords(corpus: DataFrame, idCol: String, embCol: String,
                   dims: Int, m: Int, codeEvery: Long): DataFrame =
-    subvectors(corpus.filter(pmod(col(idCol), lit(codeEvery)) === 0),
-      idCol, "cid", embCol, dims, m)
+    // malformed vectors are excluded BEFORE sampling: a junk row whose id
+    // lands on the codeEvery grid must not poison the codebook (it would
+    // NPE pqCollectBook / fail the codeword-arity require downstream) —
+    // the same skip contract as pqEncodePackedWith's corpus side
+    subvectors(cleanVectors(corpus, idCol, embCol, dims)
+        .filter(pmod(col("__vid"), lit(codeEvery)) === 0),
+      "__vid", "cid", "__e", dims, m)
       .select(col("sub"), col("cid"), col("sv").as("cw"))
 
   /** PQ-encode the corpus: per (vector, subspace), the nearest codeword by

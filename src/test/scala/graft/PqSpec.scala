@@ -188,10 +188,15 @@ class PqSpec extends SparkSpecBase {
     // the valid corpus: the fused encoders must skip them (the primitive
     // decode would otherwise throw and kill the job) and the valid rows'
     // results must be unaffected
+    // ids 903 and 910 are multiples of codeEvery=7: junk landing ON the
+    // codebook sampling grid must not poison the codebook either (it
+    // previously NPE'd pqCollectBook / failed the codeword-arity require)
     val junk = Seq[(Long, Option[Seq[Option[Float]]])](
       (900L, None),
       (901L, Some(Seq(Option(1.0f), None) ++ (2 until dims).map(d => Option(d.toFloat)))),
-      (902L, Some(Seq(Option(1.0f), Option(2.0f))))) // wrong arity
+      (902L, Some(Seq(Option(1.0f), Option(2.0f)))), // wrong arity
+      (903L, None), // null embedding on the sampling grid
+      (910L, Some(Seq(Option(3.0f))))) // wrong arity on the sampling grid
       .toDF("vec_id", "embedding")
     val dirty = embeddings.select(col("vec_id"),
       col("embedding").cast("array<float>")).unionByName(junk)
