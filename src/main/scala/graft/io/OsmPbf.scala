@@ -505,17 +505,26 @@ object OsmPbf {
         tags = new ArrayBasedMapData(
           new GenericArrayData(tk.toArray), new GenericArrayData(tv.toArray))
       }
-      if (hasInfo) { ts += dTs(i); cs += dCs(i); uid += dUid(i); sid += dUserSid(i) }
+      // DenseInfo's five arrays are EACH optional in osmformat.proto — a
+      // spec-valid third-party file may carry versions without changesets
+      // (privacy-stripped extracts). Absent arrays yield null columns;
+      // only present ones are delta-accumulated.
+      if (hasInfo) {
+        if (i < dTs.length) ts += dTs(i)
+        if (i < dCs.length) cs += dCs(i)
+        if (i < dUid.length) uid += dUid(i)
+        if (i < dUserSid.length) sid += dUserSid(i)
+      }
       val out = new Array[Any](pm.ords.length)
       var j = 0
       while (j < pm.ords.length) {
         out(j) = pm.ords(j) match {
           case 0 => id
-          case 1 => if (hasInfo) Integer.valueOf(dVersion(i).toInt) else null
-          case 2 => if (hasInfo) ctx.tsMicros(ts) else null
-          case 3 => if (hasInfo) cs else null
-          case 4 => if (hasInfo) uid else null
-          case 5 => if (hasInfo) ctx.user(sid.toInt) else null
+          case 1 => if (hasInfo && i < dVersion.length) Integer.valueOf(dVersion(i).toInt) else null
+          case 2 => if (hasInfo && dTs.nonEmpty) ctx.tsMicros(ts) else null
+          case 3 => if (hasInfo && dCs.nonEmpty) cs else null
+          case 4 => if (hasInfo && dUid.nonEmpty) uid else null
+          case 5 => if (hasInfo && dUserSid.nonEmpty) ctx.user(sid.toInt) else null
           case 6 => ctx.coordLon(lon)
           case 7 => ctx.coordLat(lat)
           case 8 => tags
@@ -886,7 +895,8 @@ object OsmPbf {
     }
     val (h, b) = writeBlock(out, st, group)
     idx += IdxEntry('n', pos + 4L + h, b, chunk.length.toLong,
-      chunk.head.getLong(0), chunk.last.getLong(0), mnLon, mnLat, mxLon, mxLat)
+      chunk.iterator.map(_.getLong(0)).min, chunk.iterator.map(_.getLong(0)).max,
+      mnLon, mnLat, mxLon, mxLat)
     pos + 4L + h + b
   }
 
@@ -912,7 +922,7 @@ object OsmPbf {
     }
     val (h, b) = writeBlock(out, st, group)
     idx += IdxEntry('w', pos + 4L + h, b, chunk.length.toLong,
-      chunk.head.getLong(0), chunk.last.getLong(0),
+      chunk.iterator.map(_.getLong(0)).min, chunk.iterator.map(_.getLong(0)).max,
       Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     pos + 4L + h + b
   }
@@ -938,12 +948,21 @@ object OsmPbf {
       rm.packedZigzags(9, members.map { m =>
         val v = m.getLong(1); val d = v - prev; prev = v; d
       })
-      rm.packedVarints(10, members.map(m => MemberTypes.indexOf(m.getString(0)).toLong))
+      rm.packedVarints(10, members.map { m =>
+        val t = MemberTypes.indexOf(m.getString(0))
+        // fail FAST at write: indexOf's -1 would encode a 10-byte varint
+        // that crashes this engine's own reader (MemberTypesU(-1)) with
+        // no error until someone opens the corrupt file
+        require(t >= 0, s"relation ${r.getLong(0)}: member type " +
+          s"'${m.getString(0)}' not in ${MemberTypes.mkString("|")} — " +
+          "the PBF member_type enum cannot represent it")
+        t.toLong
+      })
       group.message(4, rm)
     }
     val (h, b) = writeBlock(out, st, group)
     idx += IdxEntry('r', pos + 4L + h, b, chunk.length.toLong,
-      chunk.head.getLong(0), chunk.last.getLong(0),
+      chunk.iterator.map(_.getLong(0)).min, chunk.iterator.map(_.getLong(0)).max,
       Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     pos + 4L + h + b
   }

@@ -219,6 +219,20 @@ object OsmXml {
       else if (path.endsWith(".bz2"))
         new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(rawOut)
       else rawOut
+    // mid-write failures (a collect throwing on executor loss, disk full)
+    // must not leak the descriptor or leave a torn file posing as output —
+    // close what we opened and delete the partial file before rethrowing
+    try writePlanetTo(p, out, pretty)
+    catch {
+      case e: Throwable =>
+        try out.close() catch { case _: Throwable => () }
+        try new java.io.File(path).delete() catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  private def writePlanetTo(p: Planet, out: java.io.OutputStream,
+                            pretty: Boolean): (Long, Long, Long) = {
     val w = XMLOutputFactory.newInstance().createXMLStreamWriter(out, "UTF-8")
     def indent(depth: Int): Unit =
       if (pretty) w.writeCharacters("\n" + "    " * depth)

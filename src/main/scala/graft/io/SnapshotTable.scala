@@ -46,8 +46,21 @@ object SnapshotTable {
     val out = f.create(tmp, true)
     out.write(content.getBytes(StandardCharsets.UTF_8))
     out.close()
-    if (f.exists(p)) f.delete(p, false)
-    if (!f.rename(tmp, p)) throw new java.io.IOException(s"commit rename failed: $p")
+    // overwrite-rename in ONE operation where the filesystem supports it
+    // (HDFS/local via FileContext): a delete-then-rename would open a
+    // window where a concurrent CURRENT/LATEST reader sees no pointer at
+    // all — and a crash in that window loses the pointer outright
+    try {
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no AbstractFileSystem binding (some object stores): fall back to
+        // the non-atomic sequence rather than failing the commit
+        if (f.exists(p)) f.delete(p, false)
+        if (!f.rename(tmp, p)) throw new java.io.IOException(s"commit rename failed: $p")
+    }
   }
 
   private def readFile(spark: SparkSession, p: Path): Option[String] = {
@@ -62,6 +75,37 @@ object SnapshotTable {
 
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case e => b.append(e); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  // JSON string field: matches escaped quotes/backslashes inside the value
+  private def jsonStr(field: String, s: String): Option[String] =
+    (""""""" + field + """": "((?:[^"\\]|\\.)*)"""").r
+      .findFirstMatchIn(s).map(m => unesc(m.group(1)))
+
+  /** Partition keys become filesystem names twice (manifest file, data
+    * dir). Spark escapes special characters in partition DIRECTORY names
+    * (ExternalCatalogUtils), so the manifest filename and the data-dir
+    * fallback path must use the SAME escaping or keys with ':', ' ', '/',
+    * '%' silently break resume and read. */
+  private def escKey(k: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(k)
+  private def unescKey(k: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(k)
 
   /** Commit `df` into the table, partitioned by `partCol` (string-keyed).
     * Only partitions without a manifest are written. Returns metrics.
@@ -99,16 +143,19 @@ object SnapshotTable {
     val counts: Map[String, Long] = df
       .groupBy(col(partCol).cast("string").as("k")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(!counts.contains(null),
+      s"null partition key in '$partCol': ${counts.getOrElse(null, 0L)} rows — " +
+        "null-keyed rows would be invisible to resume; coalesce the key upstream")
     val overlap = inherited.keySet.intersect(counts.keySet)
     require(overlap.isEmpty,
       s"partitions both rewritten and inherited: ${overlap.toSeq.sorted.take(5)}")
 
-    // 2. committed = manifests present
+    // 2. committed = manifests present (filenames carry the ESCAPED key)
     val manDir = new Path(rootP, "manifests")
     val committed: Set[String] =
       if (!f.exists(manDir)) Set.empty
       else f.listStatus(manDir).map(_.getPath.getName).filter(_.endsWith(".json"))
-        .map(_.stripSuffix(".json")).toSet
+        .map(n => unescKey(n.stripSuffix(".json"))).toSet
 
     val missing = counts.keySet.diff(committed).toSeq.sorted
     val skipped = counts.keySet.intersect(committed).toSeq.sorted
@@ -125,7 +172,7 @@ object SnapshotTable {
       // 4. per-partition manifests (commit markers with metrics + lineage)
       missing.foreach { k =>
         val m = s"""{"key": "${esc(k)}", "rows": ${counts(k)}, "operator": "${esc(operator)}", "upstream": [${upstream.map(u => "\"" + esc(u) + "\"").mkString(", ")}]}"""
-        writeFile(spark, new Path(manDir, s"$k.json"), m)
+        writeFile(spark, new Path(manDir, s"${escKey(k)}.json"), m)
       }
     }
     // 4b. inherited partitions: a manifest POINTER per key (no data write);
@@ -133,7 +180,7 @@ object SnapshotTable {
     inherited.toSeq.sortBy(_._1).foreach { case (k, ref) =>
       if (!committed.contains(k)) {
         val m = s"""{"key": "${esc(k)}", "rows": ${ref.rows}, "operator": "${esc(operator)}", "upstream": [${upstream.map(u => "\"" + esc(u) + "\"").mkString(", ")}], "location": "${esc(ref.location)}"}"""
-        writeFile(spark, new Path(manDir, s"$k.json"), m)
+        writeFile(spark, new Path(manDir, s"${escKey(k)}.json"), m)
       }
     }
 
@@ -171,19 +218,33 @@ object SnapshotTable {
     * [[commitCow]] resolves to the location its manifest records (the
     * original writer's dir).
     */
-  def partitionRefs(spark: SparkSession, root: String,
-                    partCol: String): Map[String, PartRef] = {
+  /** All manifests parsed: (key, rows, explicit location if present). The
+    * ONE reader both [[partitionRefs]] and [[manifestRows]] go through —
+    * escape-aware on the JSON values (keys may contain quotes/backslashes).
+    */
+  private def parsedManifests(spark: SparkSession,
+                              root: String): Seq[(String, Long, Option[String])] = {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val manDir = new Path(rootP, "manifests")
-    if (!f.exists(manDir)) Map.empty
-    else f.listStatus(manDir).map(_.getPath).filter(_.getName.endsWith(".json")).map { p =>
+    if (!f.exists(manDir)) Nil
+    else f.listStatus(manDir).map(_.getPath).filter(_.getName.endsWith(".json")).toSeq.map { p =>
       val s = readFile(spark, p).get
-      val key = """"key": "([^"]*)"""".r.findFirstMatchIn(s).get.group(1)
+      val key = jsonStr("key", s).getOrElse(
+        throw new java.io.IOException(s"manifest missing key: $p"))
       val rows = """"rows": (\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
-      val loc = """"location": "([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
-        .getOrElse(new Path(rootP, s"data/$partCol=$key").toString)
-      key -> PartRef(loc, rows)
+      (key, rows, jsonStr("location", s))
+    }
+  }
+
+  def partitionRefs(spark: SparkSession, root: String,
+                    partCol: String): Map[String, PartRef] = {
+    val rootP = new Path(root)
+    parsedManifests(spark, root).map { case (key, rows, loc) =>
+      // fallback data dir uses Spark's own partition-path escaping — the
+      // directory the writer actually produced for this key
+      key -> PartRef(loc.getOrElse(
+        new Path(rootP, s"data/$partCol=${escKey(key)}").toString), rows)
     }.toMap
   }
 
@@ -215,16 +276,6 @@ object SnapshotTable {
   }
 
   /** Per-partition row-count metrics from manifests (lineage audit). */
-  def manifestRows(spark: SparkSession, root: String): Map[String, Long] = {
-    val rootP = new Path(root)
-    val f = fs(spark, rootP)
-    val manDir = new Path(rootP, "manifests")
-    if (!f.exists(manDir)) Map.empty
-    else f.listStatus(manDir).map(_.getPath).filter(_.getName.endsWith(".json")).map { p =>
-      val s = readFile(spark, p).get
-      val key = """"key": "([^"]*)"""".r.findFirstMatchIn(s).get.group(1)
-      val rows = """"rows": (\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
-      key -> rows
-    }.toMap
-  }
+  def manifestRows(spark: SparkSession, root: String): Map[String, Long] =
+    parsedManifests(spark, root).map { case (k, rows, _) => k -> rows }.toMap
 }

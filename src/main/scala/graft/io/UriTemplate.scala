@@ -48,6 +48,13 @@ object UriTemplate {
       case path if path.startsWith(".") =>
         require(piped.isEmpty && toks.size == 1, s"path $path takes no arguments")
         lookup(path, ctx)
+      // literal-only actions render the literal, like Go's text/template:
+      // {{ "v1" }}, {{ 5 }}, {{ -2.5 | float64 }} — a bare literal is not
+      // a function name
+      case lit if lit.startsWith("\"") ||
+        lit.headOption.exists(c => c.isDigit || c == '-') =>
+        require(piped.isEmpty && toks.size == 1, s"literal $lit takes no arguments")
+        atom(lit, ctx)
       case fn =>
         val args = toks.tail.map(t => atom(t, ctx)) ++ piped.toSeq
         applyFn(fn, args)
@@ -63,14 +70,17 @@ object UriTemplate {
       .orElse(tok.toDoubleOption.map(d => d: Any))
       .getOrElse(throw new IllegalArgumentException(s"bad template token: $tok"))
 
-  private def lookup(path: String, ctx: Map[String, Any]): Any =
-    path.stripPrefix(".").split('.').foldLeft(ctx: Any) {
+  private def lookup(path: String, ctx: Map[String, Any]): Any = {
+    val rest = path.stripPrefix(".")
+    if (rest.isEmpty) ctx // {{ . }} is the whole context (pipe it to json)
+    else rest.split('.').foldLeft(ctx: Any) {
       case (m: Map[_, _], k) =>
         m.asInstanceOf[Map[String, Any]].getOrElse(k,
           throw new NoSuchElementException(s"template key $path not in context"))
       case (other, k) =>
         throw new IllegalArgumentException(s"cannot descend into $other with .$k")
     }
+  }
 
   private def applyFn(name: String, args: Seq[Any]): Any = (name, args) match {
     case ("lower", Seq(v)) => stringify(v).toLowerCase

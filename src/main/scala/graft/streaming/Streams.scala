@@ -29,22 +29,33 @@ object Streams {
         col("n"), col("min_value"), col("max_value"))
 
   /** Streaming exact dedup for continuous ingestion: keep the first
-    * arrival per key; a duplicate arriving within `delay` (event time) of
+    * ARRIVAL per key; a duplicate arriving within `delay` (event time) of
     * the original is dropped, and per-key state is evicted once the
     * watermark passes it — bounded state, the firehose analogue of
-    * `Dedup.exactCanonical`. Batch frames get the global dedup.
+    * `Dedup.exactCanonical`. Batch frames get the deterministic replay
+    * canonicalization: earliest EVENT TIME per key.
+    *
+    * Contract (StreamsSpec pins both halves): the two paths return the
+    * SAME rows whenever each key's duplicates arrive in event-time order
+    * — which ordered-log replays satisfy — and always agree on the KEY
+    * set. Under out-of-order arrival of NON-identical duplicates they may
+    * keep different representatives: the streaming side's first-arrival
+    * pick is what bounded state can decide at arrival time (choosing the
+    * min-event-time row instead would mean emitting NOTHING until the
+    * watermark passes the key — a hold-everything-back latency profile
+    * that belongs to a different operator), while the batch side must not
+    * depend on partition order, so it canonicalizes by event time.
     */
   def dedupeStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
                    delay: String): DataFrame =
     if (df.isStreaming)
       df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
     else {
-      // "first arrival" must mean the same thing a replay computes:
-      // earliest EVENT TIME per key (plain dropDuplicates keeps whichever
-      // row a partition surfaces first — nondeterministic across runs and
-      // different from the streaming semantics). Equal-timestamp
-      // duplicates are exact dupes in practice; among them the pick is
-      // arbitrary but value-identical for the dedup contract.
+      // plain dropDuplicates keeps whichever row a partition surfaces
+      // first — nondeterministic across runs; the window form is the
+      // replay-deterministic canonicalization. Equal-timestamp duplicates
+      // are exact dupes in practice; among them the pick is arbitrary but
+      // value-identical for the dedup contract.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
       df.withColumn("__rn", row_number().over(w))

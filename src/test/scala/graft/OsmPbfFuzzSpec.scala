@@ -110,6 +110,71 @@ class OsmPbfFuzzSpec extends SparkSpecBase {
       .except(back.relations.select(col("id"), col("members"), tagStr)).count() === 0)
   }
 
+  test("partial DenseInfo (versions + timestamps only) decodes; absent fields are null") {
+    // osmformat.proto makes each DenseInfo array individually optional —
+    // privacy-stripped third-party extracts carry versions/timestamps but
+    // no changeset/uid/user_sid arrays. Hand-build such a file (our own
+    // writer always emits all five) and decode: used to AIOOBE on the
+    // first node.
+    val st = new OsmPbf.WireOut
+    st.string(1, "") // string table: index 0 = ""
+    val di = new OsmPbf.WireOut
+    locally { val w = new OsmPbf.WireOut; Seq(1L, 1L, 2L).foreach(w.varint); di.bytes(1, w.toBytes) } // versions
+    locally { val w = new OsmPbf.WireOut; Seq(1000L, 1L, 1L).foreach(w.zigzag); di.bytes(2, w.toBytes) } // ts deltas
+    val dense = new OsmPbf.WireOut
+    locally { val w = new OsmPbf.WireOut; Seq(10L, 1L, 1L).foreach(w.zigzag); dense.bytes(1, w.toBytes) } // ids
+    dense.message(5, di)
+    locally { val w = new OsmPbf.WireOut; Seq(100L, 1L, 1L).foreach(w.zigzag); dense.bytes(8, w.toBytes) } // lats
+    locally { val w = new OsmPbf.WireOut; Seq(200L, 1L, 1L).foreach(w.zigzag); dense.bytes(9, w.toBytes) } // lons
+    val group = new OsmPbf.WireOut
+    group.message(2, dense)
+    val block = new OsmPbf.WireOut
+    block.message(1, st)
+    block.message(2, group)
+    block.key(17, 0); block.varint(100L)  // granularity
+    block.key(18, 0); block.varint(1000L) // date_granularity
+    def rawBlob(kind: String, payload: Array[Byte]): Array[Byte] = {
+      val blob = new OsmPbf.WireOut
+      blob.bytes(1, payload) // raw storage
+      val blobBytes = blob.toBytes
+      val header = new OsmPbf.WireOut
+      header.string(1, kind)
+      header.key(3, 0); header.varint(blobBytes.length.toLong)
+      val h = header.toBytes
+      java.nio.ByteBuffer.allocate(4 + h.length + blobBytes.length)
+        .putInt(h.length).put(h).put(blobBytes).array()
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft_pbf_pi").toString + "/partial.osm.pbf"
+    val fos = new java.io.FileOutputStream(path)
+    fos.write(rawBlob("OSMData", block.toBytes)); fos.close()
+    val rows = OsmPbf.nodes(spark, path).orderBy("id").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(rows(0).fieldIndex("id"))).toSeq === Seq(10L, 11L, 12L))
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("version")), "present array must decode")
+      assert(!r.isNullAt(r.fieldIndex("ts")), "present array must decode")
+      assert(r.isNullAt(r.fieldIndex("changeset")), "absent array must be null")
+      assert(r.isNullAt(r.fieldIndex("uid")), "absent array must be null")
+      assert(r.isNullAt(r.fieldIndex("user")), "absent array must be null")
+    }
+  }
+
+  test("a member type PBF cannot represent fails the WRITE with a named error") {
+    import scala.jdk.CollectionConverters._
+    val rel = Row(1L, null, null, null, null, null,
+      Seq(Row("", 42L, "outer")), Map.empty[String, String])
+    val p = OsmXml.Planet(
+      spark.createDataFrame(Seq.empty[Row].asJava, OsmXml.nodeSchema),
+      spark.createDataFrame(Seq.empty[Row].asJava, OsmXml.waySchema),
+      spark.createDataFrame(Seq(rel).asJava, OsmXml.relationSchema), None)
+    val path = java.nio.file.Files.createTempDirectory("graft_pbf_mt").toString + "/bad.osm.pbf"
+    val e = intercept[Exception](OsmPbf.writePlanet(p, path))
+    // previously encoded member_type -1 silently — a file this engine's
+    // own reader crashes on
+    assert(e.getMessage != null && e.getMessage.contains("member type"),
+      s"expected a named member-type error, got $e")
+  }
+
   test("empty planet round-trips (header-only file)") {
     import scala.jdk.CollectionConverters._
     val empty = OsmXml.Planet(

@@ -121,4 +121,16 @@ class SchemesSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       UriTemplate.render("{{ frobnicate .x }}", Map[String, Any]("x" -> "1")))
   }
+
+  test("uri template: literal-only actions and the whole-context dot render") {
+    // Go's text/template renders bare literals; these used to be routed
+    // to applyFn as function names and throw
+    val ctx = Map[String, Any]("a" -> 1, "b" -> "two")
+    assert(UriTemplate.render("""{{ "v1" }}/data""", ctx) === "v1/data")
+    assert(UriTemplate.render("{{ 5 }}", ctx) === "5")
+    assert(UriTemplate.render("{{ -2.5 | float64 }}", ctx) === "-2.500000")
+    assert(UriTemplate.render("""{{ "Mixed-Case" | lower }}""", ctx) === "mixed-case")
+    // {{ . }} is the whole context; json-piping it is the useful form
+    assert(UriTemplate.render("{{ . | json }}", ctx) === """{"a":1,"b":"two"}""")
+  }
 }

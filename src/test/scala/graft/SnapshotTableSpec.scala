@@ -37,6 +37,42 @@ class SnapshotTableSpec extends SparkSpecBase {
     assert(back.count() === 500L)
   }
 
+  test("keys with path-special characters survive commit, resume, and read") {
+    // Spark ESCAPES special characters in partition directory names, so
+    // the manifest filename and the data-dir fallback must use the same
+    // escaping — raw keys with ':', ' ', '/', '%', '"' used to break
+    // read (path-not-found) or resume (manifest invisible, rewritten
+    // every run)
+    val keys = Seq("2024-01-01 00:00:00", "a/b", "pct%20done", "qu\"ote", "plain")
+    val rows = keys.zipWithIndex.flatMap { case (k, i) =>
+      (0 to i).map(j => (s"id_${i}_$j", k))
+    }
+    val df = rows.toDF("id", "k")
+    val root = freshRoot()
+    val rep = SnapshotTable.commit(df, root, "k", "specials")
+    assert(rep.written.toSet === keys.toSet)
+    // resume: an identical second commit must SKIP every key — this is
+    // what raw '/' keys broke (manifest written to a nested dir the
+    // lister never saw)
+    val rep2 = SnapshotTable.commit(df, root, "k", "specials")
+    assert(rep2.written.isEmpty, s"re-written: ${rep2.written}")
+    assert(rep2.skipped.toSet === keys.toSet)
+    assert(SnapshotTable.manifestRows(spark, root).keySet === keys.toSet)
+    // read resolves every partition's escaped data dir
+    val back = SnapshotTable.read(spark, root, "k")
+    assert(back.count() === rows.length.toLong)
+    assert(back.select("k").distinct().collect().map(_.getString(0)).toSet === keys.toSet)
+  }
+
+  test("null partition keys are rejected loudly, not silently dropped") {
+    val df = Seq(("a", Some("k1")), ("b", None), ("c", Some("k2")))
+      .toDF("id", "k")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(df, freshRoot(), "k", "nulls")
+    }
+    assert(e.getMessage.contains("null partition key"))
+  }
+
   test("partial run (simulated kill) resumes: only missing partitions written") {
     val root = freshRoot()
     val keys = full.select("cell5").distinct().collect().map(_.getString(0)).sorted

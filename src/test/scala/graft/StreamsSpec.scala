@@ -243,6 +243,40 @@ class StreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedup stream==batch on in-order arrivals; out-of-order picks are documented") {
+    // the documented contract: identical rows when each key's duplicates
+    // arrive in event-time order; key-set equality always; representative
+    // MAY differ when non-identical duplicates arrive out of event-time
+    // order (streaming keeps first ARRIVAL, batch keeps min EVENT TIME)
+    implicit val sqlCtx = spark.sqlContext
+    val inOrder = Seq(
+      Event(1L, "click", ts(0), 1.0), Event(1L, "click", ts(5), 9.0),
+      Event(2L, "view", ts(3), 2.0))
+    val outOfOrder = Seq( // key 3's LATER event arrives first
+      Event(3L, "click", ts(8), 8.0), Event(3L, "click", ts(2), 2.0))
+    def streamed(events: Seq[Event], name: String) = {
+      val mem = MemoryStream[Event]
+      val q = Streams.dedupeStream(mem.toDF(), Seq("user_id", "event_type"), "ts", "30 minutes")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        events.foreach { e => mem.addData(e); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getDouble(3))).toSet
+      } finally q.stop()
+    }
+    def batched(events: Seq[Event]) =
+      Streams.dedupeStream(events.toDF(), Seq("user_id", "event_type"), "ts", "30 minutes")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getDouble(3))).toSet
+    // in-order: row-identical
+    assert(streamed(inOrder, "dedup_inorder") === batched(inOrder))
+    // out-of-order: key set identical, representatives differ as documented
+    val s = streamed(outOfOrder, "dedup_ooo")
+    val b = batched(outOfOrder)
+    assert(s.map(t => (t._1, t._2)) === b.map(t => (t._1, t._2)), "key sets must agree")
+    assert(s === Set((3L, "click", ts(8), 8.0)), s"stream keeps first arrival: $s")
+    assert(b === Set((3L, "click", ts(2), 2.0)), s"batch keeps min event time: $b")
+  }
+
   test("batch sessionize streams a hot key: one pre-sort, no group materialization") {
     // two users, one with 500k events, in scrambled input order: sessions
     // of 3 events (0s, 10s, 20s apart), one-hour gaps between sessions
