@@ -160,6 +160,13 @@ object Dfl {
     case other => throw new IllegalArgumentException(s"unexpected operand: $other")
   }
 
+  /** go-dfl's like wildcard is '%' ONLY — SQL LIKE additionally treats
+    * '_' as any-one-character and '\' as the escape, so both must be
+    * escaped or `@name like %beer_garden%` would match 'beerXgarden'
+    * here and not in the reference. */
+  private def likePattern(s: String): String =
+    s.replace("\\", "\\\\").replace("_", "\\_")
+
   private def cmpColumn(op: String, l: Node, r: Node, resolve: String => Column): Column = {
     op match {
       case "in" =>
@@ -171,14 +178,16 @@ object Dfl {
         }
       case "like" =>
         r match {
-          case Lit(s: String) if s.contains("%") => operand(l, resolve).like(s)
+          case Lit(s: String) if s.contains("%") =>
+            operand(l, resolve).like(likePattern(s))
           case Lit(v) => operand(l, resolve) === lit(v)
           case other => throw new IllegalArgumentException(
             s"like: pattern must be a literal (quoted or bareword), got $other")
         }
       case "ilike" =>
         r match {
-          case Lit(s: String) if s.contains("%") => operand(l, resolve).ilike(s)
+          case Lit(s: String) if s.contains("%") =>
+            operand(l, resolve).ilike(likePattern(s))
           case Lit(v) => lower(operand(l, resolve)) === lower(lit(v))
           case other => throw new IllegalArgumentException(
             s"ilike: pattern must be a literal (quoted or bareword), got $other")

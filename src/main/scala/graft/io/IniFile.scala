@@ -10,7 +10,10 @@ object IniFile {
 
   /** All key→value pairs of one section (empty map if absent). */
   def loadSection(path: String, section: String): Map[String, String] = {
-    val src = scala.io.Source.fromFile(path)
+    // explicit UTF-8: the platform default charset can be ASCII in
+    // stripped containers, and a config comment with a unicode char
+    // would then fail to read
+    val src = scala.io.Source.fromFile(path, "UTF-8")
     try parseSection(src.getLines(), section) finally src.close()
   }
 

@@ -134,7 +134,14 @@ object Hcl {
             text.charAt(pos) == '.' || text.charAt(pos) == 'e' ||
             text.charAt(pos) == 'E' || text.charAt(pos) == '+' ||
             text.charAt(pos) == '-')) pos += 1
-          HNum(text.substring(start, pos).toDouble)
+          val numText = text.substring(start, pos)
+          // the greedy scan accepts shapes toDouble rejects ("1.2.3", "-"):
+          // surface them as a located parse error like every other
+          // malformed construct, not a bare NumberFormatException
+          numText.toDoubleOption match {
+            case Some(d) => HNum(d)
+            case None => err(s"malformed number '$numText'")
+          }
         case _ =>
           ident() match {
             case "true" => HBool(true)

@@ -102,7 +102,27 @@ object OsmCli {
   /** Build the PipelineConfig the reference's main.go would build. */
   def toConfig(strs: Map[String, String], bools: Set[String]): PipelineConfig = {
     strs.get("config_uri") match {
-      case Some(uri) => return PipelineConfigIO.load(uri)
+      case Some(uri) =>
+        val loaded = PipelineConfigIO.load(uri)
+        // reference main.go:293-330: -input_uri given WITH -config_uri
+        // REPLACES the config's inputs (keys-keep/drop filter + element
+        // drops from the flags; no dfl/bbox in this path). Outputs stay
+        // the config's. Without -input_uri the config is used verbatim.
+        val inSep0 = strs.get("input_uri_separator").filter(_.nonEmpty)
+        val overrideInputs = strs.get("input_uri").map(u =>
+          inSep0.map(s => u.split(java.util.regex.Pattern.quote(s)).toSeq)
+            .getOrElse(Seq(u))).getOrElse(Nil)
+          .map { u =>
+            val keep0 = csv(strs.get("filter_keys_keep"))
+            val drop0 = csv(strs.get("filter_keys_drop"))
+            InputSpec(uri = u,
+              filter = if (keep0.isEmpty && drop0.isEmpty) None
+                       else Some(FilterSpec(keepKeys = keep0, dropKeys = drop0)),
+              dropWays = bools("drop_ways"),
+              dropRelations = bools("drop_relations"))
+          }
+        return if (overrideInputs.isEmpty) loaded
+               else loaded.copy(inputs = overrideInputs)
       case None =>
     }
     val keep = csv(strs.get("filter_keys_keep"))
@@ -146,6 +166,11 @@ object OsmCli {
           // in the reference, and must here too. (The programmatic
           // Pipeline.formatOf still sniffs when format is None.)
           format = Some(strs.get("output_format").filter(_.nonEmpty).getOrElse("osm")),
+          // reference main.go:395: every output receives the INPUT filter
+          // (NewOutputConfig's second argument) and re-applies it at
+          // marshal time — without this, feature sinks would emit
+          // way-geometry nodes that retention kept but the filter rejects
+          filter = filter,
           waysToNodes = bools("ways_to_nodes"),
           dropNodes = b("drop_nodes"),
           dropWays = b("drop_ways"),
@@ -186,6 +211,12 @@ object OsmCli {
             keysToKeep = if (strs.contains("output_keys_keep")) o.keysToKeep else iniKeys)
         }
     }
+    // reference main.go:437-440: checked AFTER the GDAL merge (an ini
+    // `attributes` keep + -output_keys_drop is the error case flags alone
+    // can't see)
+    outputs.foreach(o => require(o.keysToKeep.isEmpty || o.keysToDrop.isEmpty,
+      s"-output_keys_keep (${o.keysToKeep.mkString(",")}) and -output_keys_drop " +
+        s"(${o.keysToDrop.mkString(",")}) are mutually exclusive"))
     PipelineConfig(inputs, outputs)
   }
 

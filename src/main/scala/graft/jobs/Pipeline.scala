@@ -97,8 +97,15 @@ object Pipeline {
         s"output ${o.uri}: cannot enable ways_to_nodes and drop_ways at the same time")
       require(!(o.dropNodes && o.dropWays && o.dropRelations),
         s"output ${o.uri}: cannot drop nodes, ways, and relations — output would be empty")
+      // fail BEFORE ingest, not with a MatchError after hours of scan:
+      // runOutput's fmt match only knows these sinks
+      o.format.foreach(f => require(KnownFormats(f),
+        s"output ${o.uri}: unknown output format '$f' " +
+          s"(have ${KnownFormats.toSeq.sorted.mkString(", ")})"))
     }
   }
+
+  private val KnownFormats = Set("osm", "pbf", "geojson", "geojsonl", "parquet")
 
   /** What the shared scan may skip, conjoined across outputs (Config.Init). */
   case class IngestPlan(
@@ -253,7 +260,21 @@ object Pipeline {
           val hPath = new org.apache.hadoop.fs.Path(path)
           val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(hPath)) return emptyOf(spark, schema)
-          val scan = spark.read.parquet(path)
+          // a class dir produced by PbfIngestJob/ApplyChangeJob (or this
+          // pipeline's own snapshotParts output) is a SNAPSHOT TABLE —
+          // manifests/ + snapshots/ + CURRENT around the data — which a
+          // plain parquet scan cannot read. Detect via CURRENT and read
+          // through the manifest protocol; the partition column name is
+          // whatever the data dir's key=value children carry.
+          val scan =
+            if (fs.exists(new org.apache.hadoop.fs.Path(hPath, "CURRENT"))) {
+              val dataDir = new org.apache.hadoop.fs.Path(hPath, "data")
+              val partCol =
+                (if (fs.exists(dataDir)) fs.listStatus(dataDir).map(_.getPath.getName)
+                  .find(_.contains("=")).map(_.takeWhile(_ != '=')) else None)
+                  .getOrElse("part")
+              graft.io.SnapshotTable.read(spark, path, partCol).drop(partCol)
+            } else spark.read.parquet(path)
           // prune: id + body + tags + only the attrs some output still needs
           val needed = Seq("id") ++ p.neededAttrCols.filterNot(_ == "uid") ++
             (if (p.dropUserId && p.dropUserName) Nil else Seq("uid")) ++
@@ -345,7 +366,11 @@ object Pipeline {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    Shared(nodes, ways, rels, users, maxId, planets.headOption.flatMap(_.bounds),
+    // reference UnmarshalPlanet.go:69: each parsed file OVERWRITES
+    // p.Bounds, so the LAST input that carries bounds wins (a file with
+    // no <bounds> element leaves the previous value standing)
+    Shared(nodes, ways, rels, users, maxId,
+      planets.reverse.flatMap(_.bounds).headOption,
       inputUris = c.inputs.map(_.uri))
   }
 
@@ -416,7 +441,7 @@ object Pipeline {
     val convert = o.waysToNodes
     // planet-shaped sinks get MarshalPlanet's node-retention semantics;
     // feature sinks get GetFeatures' (no retention, geometry via all nodes)
-    val planetSink = fmt == "osm" || fmt == "parquet"
+    val planetSink = fmt == "osm" || fmt == "pbf" || fmt == "parquet"
 
     // ways this output keeps: KeepWay filter semantics — tags + attributes,
     // never bbox (KeepWay.go:7-50; ways carry no coordinates)

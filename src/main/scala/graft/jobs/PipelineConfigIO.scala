@@ -42,6 +42,12 @@ object PipelineConfigIO {
     case other => throw new IllegalArgumentException(s"expected number, got $other")
   }
 
+  /** First non-empty of several field spellings — the documented names are
+    * the reference's hcl tags; the codec's original spellings stay accepted
+    * so existing configs keep working. */
+  private def strsAny(m: Map[String, JValue], ks: String*): Seq[String] =
+    ks.iterator.map(strs(m, _)).find(_.nonEmpty).getOrElse(Nil)
+
   private def filterOf(m: Map[String, JValue]): Option[FilterSpec] =
     m.get("filter").map { jv =>
       val f = fields(jv)
@@ -50,10 +56,12 @@ object PipelineConfigIO {
           (num(vs(0)), num(vs(1)), num(vs(2)), num(vs(3)))
       }
       FilterSpec(
-        keepKeys = strs(f, "keep_keys"),
-        dropKeys = strs(f, "drop_keys"),
+        // reference Filter.go tags: keys_keep / keys_drop (the filter's
+        // names differ from the projection's keep_keys/drop_keys!)
+        keepKeys = strsAny(f, "keys_keep", "keep_keys"),
+        dropKeys = strsAny(f, "keys_drop", "drop_keys"),
         bbox = bbox,
-        dfl = str(f, "dfl"))
+        dfl = str(f, "expression").orElse(str(f, "dfl")))
     }
 
   private def inputOf(jv: JValue): InputSpec = {
@@ -68,8 +76,8 @@ object PipelineConfigIO {
       dropChangeset = bool(m, "drop_changeset"),
       dropUserId = bool(m, "drop_user_id"),
       dropUserName = bool(m, "drop_user_name"),
-      keysToKeep = strs(m, "keys_to_keep"),
-      keysToDrop = strs(m, "keys_to_drop"))
+      keysToKeep = strsAny(m, "keep_keys", "keys_to_keep"),
+      keysToDrop = strsAny(m, "drop_keys", "keys_to_drop"))
   }
 
   private def outputOf(jv: JValue): OutputSpec = {
@@ -87,8 +95,8 @@ object PipelineConfigIO {
       dropChangeset = bool(m, "drop_changeset"),
       dropUserId = bool(m, "drop_user_id"),
       dropUserName = bool(m, "drop_user_name"),
-      keysToKeep = strs(m, "keys_to_keep"),
-      keysToDrop = strs(m, "keys_to_drop"),
+      keysToKeep = strsAny(m, "keep_keys", "keys_to_keep"),
+      keysToDrop = strsAny(m, "drop_keys", "keys_to_drop"),
       snapshotParts = m.get("snapshot_parts").map(jv => num(jv).toInt).getOrElse(0))
   }
 
@@ -176,7 +184,10 @@ object PipelineConfigIO {
     * the JSON mirror. (HCL proper treats JSON as a subset; so does this.)
     */
   def load(path: String): PipelineConfig = {
-    val src = scala.io.Source.fromFile(path)
+    // explicit UTF-8: the platform default charset can be ASCII in
+    // stripped containers, and a config comment with a unicode char
+    // would then fail to read
+    val src = scala.io.Source.fromFile(path, "UTF-8")
     val text = try src.mkString finally src.close()
     val lower = path.toLowerCase(java.util.Locale.ROOT)
     if (lower.endsWith(".hcl") || lower.endsWith(".tf")) parseHcl(text)

@@ -68,20 +68,24 @@ class OsmCliSpec extends SparkSpecBase {
       "-ways_to_nodes", "-drop_relations", "-output_uri", outFile)
     assert(code === 0)
 
-    // independent expectation straight off the fixture rows: the input
-    // filter keeps crafty nodes PLUS nodes referenced by kept ways (J2
-    // retention, UnmarshalPlanet.go:139-177), and each kept way converts
-    // to one fresh node
+    // independent expectation straight off the fixture rows. Ingest keeps
+    // crafty nodes PLUS nodes referenced by kept ways (J2 retention,
+    // UnmarshalPlanet.go:139-177) — those ref nodes feed way GEOMETRY.
+    // But the reference passes the input filter into every output
+    // (main.go:395, NewOutputConfig) and re-applies it at marshal time
+    // with retention only through ways the OUTPUT keeps
+    // (MarshalPlanet.go:130-148) — under ways_to_nodes no ways survive,
+    // so the geometry-only ref nodes are NOT emitted: the file carries
+    // exactly the crafty nodes plus one converted node per crafty way.
     def crafty(m: Map[String, String]) =
       m.get("craft").exists(v => v == "brewery" || v == "distillery")
     val craftyNodeIds = planet.nodes.collect()
       .filter(r => crafty(r.getMap[String, String](8).toMap)).map(_.getLong(0)).toSet
     val craftyWays = planet.ways.collect()
       .filter(r => crafty(r.getMap[String, String](7).toMap))
-    val refIds = craftyWays.flatMap(_.getSeq[Long](6)).toSet
-    val expNodes = (craftyNodeIds ++ refIds).size + craftyWays.length
+    val expNodes = craftyNodeIds.size + craftyWays.length
 
-    // the written planet: retained nodes + converted filtered ways
+    // the written planet: filtered nodes + converted filtered ways
     val back = OsmXml.readPlanet(spark, outFile)
     assert(back.nodes.count() === expNodes.toLong)
     assert(back.ways.count() === 0L)
@@ -233,6 +237,11 @@ class OsmCliSpec extends SparkSpecBase {
          |
          |outputs {
          |  uri = "$hclOut"
+         |  # the flag path passes the input filter into every output
+         |  # (main.go:395) - the equivalent config spells it out
+         |  filter {
+         |    expression = "(@craft like brewery) or (@craft like distillery)"
+         |  }
          |  ways_to_nodes = true
          |  drop_relations = true
          |  drop_version = true
@@ -293,6 +302,9 @@ class OsmCliSpec extends SparkSpecBase {
       Seq(InputSpec(uri = inOsm,
         filter = Some(FilterSpec(keepKeys = Seq("amenity", "craft", "shop"))))),
       Seq(OutputSpec(uri = cfgOut, keysToKeep = Seq("amenity", "craft", "shop"),
+        // the flag path passes the input filter into every output
+        // (main.go:395) — the equivalent programmatic config spells it out
+        filter = Some(FilterSpec(keepKeys = Seq("amenity", "craft", "shop"))),
         waysToNodes = true, dropRelations = true, dropVersion = true,
         dropTimestamp = true, dropChangeset = true))))
     assert(Files.readAllBytes(java.nio.file.Paths.get(cliOut))
