@@ -276,7 +276,8 @@ object Knn {
     val nQueries = queries.count()
 
     val ptsBase = points.select(
-      col(pointIdCol).as("point_id"), col(lonCol).as("p_lon"), col(latCol).as("p_lat"),
+      col(pointIdCol).as("point_id"),
+      col(lonCol).cast("double").as("p_lon"), col(latCol).cast("double").as("p_lat"),
       pointCellCol.map(col).getOrElse(cell_id(col(lonCol), col(latCol), z)).as("__cell"))
     val pts = pointCellCol match {
       // Bucketed ingest layout: the scan itself reports the join's required
@@ -367,7 +368,13 @@ object Knn {
         lit(-1).as("__explored"), r0.as("__next"))
       .persist()
 
-    val emptyBest = spark.emptyDataFrame
+    // schema'd empty frame: scan() returns the four documented columns on
+    // empty input, and unionByName/select downstream must work on this
+    // path too
+    val emptyBest = {
+      import spark.implicits._
+      Seq.empty[(Long, Int, Long, Double)].toDF("query_id", "rank", "point_id", "dist")
+    }
     var best: DataFrame = null
     var round = 0
     // WARM-FINISHER threshold: once any ring round has run, nearly every
@@ -461,6 +468,17 @@ object Knn {
       if (scanFinishThreshold > 0 &&
           (nRem <= (if (best == null) scanFinishThreshold else autoThr) ||
            sumCells == 0L)) {
+        // the forced path (sumCells == 0: every straggler capped) can carry
+        // an nRem far beyond the count trigger — e.g. a corpus with < k
+        // points leaves EVERY query unprovable — and the finisher collects
+        // and broadcasts the straggler set. Fail with a named error
+        // instead of a driver OOM; the count-triggered path is bounded by
+        // construction.
+        require(nRem <= math.max(5000000L, autoThr),
+          s"cellRing: $nRem straggler queries all capped at maxRings (corpus smaller " +
+            s"than k=$k, or maxRings too small for the data density) — the exact " +
+            "finisher broadcasts the straggler set and cannot absorb this many; " +
+            "raise maxRings or run Knn.scan directly on a partitioned query set")
         // seed thresholds from the ring phase: for each straggler with a
         // full k candidates, its current kth distance is a valid upper
         // bound on the true kth (collect bounded by the threshold)
@@ -631,7 +649,11 @@ object Knn {
         .join(stats, Seq("query_id"), "left")
         .filter((if (scanFinishThreshold > 0) lit(true) else col("__explored") < hardMax) &&
           (coalesce(col("__n"), lit(0L)) < k ||
-            col("__kth") > ringMinSqDist(col("q_lon"), col("q_lat"), col("__qcell"), col("__explored") + 1)))
+            // >= not >: at EXACT equality an unexplored point on the next
+            // ring's near edge can sit at dist == kth with a SMALLER id,
+            // which the (dist, point_id) total order must admit — scan()'s
+            // checkCell keeps the same tie with '<='
+            col("__kth") >= ringMinSqDist(col("q_lon"), col("q_lat"), col("__qcell"), col("__explored") + 1)))
         .select(col("query_id"), col("q_lon"), col("q_lat"), col("__qcell"), col("__explored"),
           least(lit(hardMax), greatest(col("__explored") + 1, col("__explored") * 2)).as("__next"))
         .persist()
@@ -664,6 +686,11 @@ object Knn {
            points: DataFrame, pointIdCol: String, lonCol: String, latCol: String,
            k: Int, gridZ: Int = -1, refreshEvery: Int = 256,
            initThr: Map[Long, Double] = Map.empty): DataFrame = {
+    // the flat tile grid indexes with (tileY << 16 | tileX) into a
+    // 1 << (2·g) array: g = 13..15 allocates up to 4 GB and g ≥ 16
+    // overflows the Int shift into a wrong-size array (AIOOBE per task);
+    // the auto-pick path caps at 12, the explicit parameter must too
+    require(gridZ <= 12, s"scan: gridZ $gridZ out of range (max 12; -1 = auto)")
     val spark = queries.sparkSession
     import spark.implicits._
 
@@ -873,9 +900,12 @@ object Knn {
     // coalesce reads the same cached/bucketed blocks without a shuffle
     // and pins the partial volume to cores × queries × k.
     val targetTasks = math.max(1, spark.sparkContext.defaultParallelism)
+    // cast coordinates explicitly: the InternalRow fast path below reads
+    // them with getDouble, which on a FloatType column reinterprets the
+    // 4-byte word as a double (silent garbage), it does not convert
     val src0 = points
       .select(col(pointIdCol).cast("long").as("point_id"),
-        col(lonCol).as("p_lon"), col(latCol).as("p_lat"))
+        col(lonCol).cast("double").as("p_lon"), col(latCol).cast("double").as("p_lat"))
     val src = if (src0.rdd.getNumPartitions > targetTasks) src0.coalesce(targetTasks) else src0
     // InternalRow iteration (queryExecution.toRdd): the Dataset tuple
     // decoder allocates a Tuple3 + two boxed Doubles PER POINT — ~400M

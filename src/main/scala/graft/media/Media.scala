@@ -522,7 +522,10 @@ object Media {
   def imageNearDupPairs(df: DataFrame, maxDist: Int,
                         bucketCap: Int = 0): DataFrame =
     graft.dedup.Dedup.hammingNearDupPairs(
-      imageFeatures(df).select(col("image_id"), col("phash")),
+      // columnar-capable: identical output (MediaSpec), half the payload
+      // copies when the input is a plain parquet scan — same routing as
+      // imageNearDupPairsDct via imageEmbeddings
+      imageFeaturesColumnar(df).select(col("image_id"), col("phash")),
       "image_id", "phash", maxDist, bits = 64, bucketCap = bucketCap)
 
   // ---- DCT perceptual hash + image embeddings ----------------------------------
@@ -868,8 +871,14 @@ object Media {
     // surrogate→id map straight off the raw input: deriving it from `emb`
     // would re-execute the fused decode+DCT pass (an opaque RDD plan —
     // nothing prunes the decode out of an id-only projection), so the
-    // pipeline's dominant cost would be paid once per join side
+    // pipeline's dominant cost would be paid once per join side.
+    // ONE canonical id per surrogate (min): without the agg, a surrogate
+    // collision would FAN OUT every pair of that sid to each collided id
+    // — fabricating pairs that name the wrong image — where the documented
+    // contract is at-worst-drop; with it, the collided ids collapse to the
+    // representative and only their own pairs are lost
     val ids = df.select(xxhash64(col("image_id")).as("sid"), col("image_id"))
+      .groupBy(col("sid")).agg(min(col("image_id")).as("image_id"))
     val named = pairs
       .join(ids.withColumnRenamed("image_id", "n1"), col("id_1") === col("sid")).drop("sid")
       .join(ids.withColumnRenamed("image_id", "n2"), col("id_2") === col("sid")).drop("sid")

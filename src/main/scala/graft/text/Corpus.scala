@@ -305,7 +305,13 @@ object Corpus {
       .withColumn("__canon", min(col(idCol)).over(w))
       .filter(col(idCol) === col("__canon") && !col("contaminated"))
       .drop("__canon", "contaminated")
-    val capped = quotaSampleSkewSafe(clean, domainCol, idCol, quota)
+    // textCol is dead after the dedup window, but quotaSampleSkewSafe's
+    // prefilter is an RDD barrier Catalyst cannot prune through and its
+    // heaps copy full rows — project the multi-KB text away NOW or it
+    // rides the quota heaps and the window exchange for nothing
+    val capped = quotaSampleSkewSafe(
+      clean.select(col(idCol), col(domainCol), col(costCol)),
+      domainCol, idCol, quota)
     val withSplit = splitAssign(capped, idCol, splits)
     packBudget(withSplit, idCol, costCol, budget, buckets,
       within = Seq("split"))
