@@ -118,9 +118,12 @@ object CellIndex {
     (((cell >>> 5) >>> (2 * (cz - z))) << 5) | z.toLong
   }
 
-  /** The four children one level down. */
+  /** The four children one level down. Guarded like [[ancestor]]: at MaxZ
+    * the shifted Morton code would overflow past bit 63 and pack corrupt
+    * ids that silently match wrong cells. */
   def children(cell: Long): Array[Long] = {
     val z = zOf(cell)
+    require(z < MaxZ, s"children: cell already at max zoom $MaxZ")
     val base = (cell >>> 5) << 2
     Array.tabulate(4)(d => ((base | d.toLong) << 5) | (z + 1).toLong)
   }
@@ -200,10 +203,20 @@ object CellIndex {
     val y0 = tileY(maxLat, z) // north edge -> smaller y
     val y1 = tileY(minLat, z)
     val n = 1L << z
-    val xs: Array[Long] =
-      if (minLon <= maxLon) (tileX(minLon, z) to tileX(maxLon, z)).toArray
-      else ((tileX(minLon, z) until n) ++ (0L to tileX(maxLon, z))).toArray
-    val out = new Array[Long](xs.length * (y1 - y0 + 1).toInt)
+    val xs: Array[Long] = {
+      val raw =
+        if (minLon <= maxLon) (tileX(minLon, z) to tileX(maxLon, z)).toArray
+        else ((tileX(minLon, z) until n) ++ (0L to tileX(maxLon, z))).toArray
+      // a wrap bbox whose two lon segments overlap (edges in the same or
+      // crossing tiles, or any wrap at z=0) enumerates tiles on both
+      // sides — dedupe, or an explode+equi-join over the covering
+      // double-counts its matches (ring() dedupes for the same reason)
+      if (minLon > maxLon) raw.distinct else raw
+    }
+    val cells = xs.length.toLong * (y1 - y0 + 1)
+    require(cells <= (1L << 26),
+      s"cover: $cells cells at z=$z — enumeration would not fit; use coverRanges")
+    val out = new Array[Long](cells.toInt)
     var i = 0
     var yi = y0
     while (yi <= y1) {

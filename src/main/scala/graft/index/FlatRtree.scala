@@ -131,6 +131,10 @@ object FlatRtree {
 
   /** Build from (id, flat closed ring [x0,y0,x1,y1,…]) pairs. */
   def build(polys: Array[(Long, Array[Double])], fanout: Int = 16): FlatRtree = {
+    // the probe's thread-local node stack is a fixed 4096 slots; keep the
+    // worst push depth (levels x (fanout - 1) + fanout) comfortably inside
+    // it instead of risking an AIOOBE deep in an executor task
+    require(fanout >= 2 && fanout <= 256, s"rtree fanout $fanout out of [2, 256]")
     val n = polys.length
     val minX = new Array[Double](n); val minY = new Array[Double](n)
     val maxX = new Array[Double](n); val maxY = new Array[Double](n)

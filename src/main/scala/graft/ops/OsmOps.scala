@@ -61,14 +61,18 @@ object OsmOps {
   def assembleWays(resolved: DataFrame, lonCol: String = "lon", latCol: String = "lat"): DataFrame =
     resolved
       .groupBy(col("way_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col(lonCol).as("lon"), col(latCol).as("lat"))))
+      .agg(array_sort(collect_list(struct(col("pos"), col("ref"),
+        col(lonCol).as("lon"), col(latCol).as("lat"))))
         .as("verts"))
       .select(col("way_id"),
         transform(col("verts"), v => struct(v.getField("lon").as("lon"), v.getField("lat").as("lat")))
           .as("ring"),
-        (element_at(col("verts"), 1).getField("lon") === element_at(col("verts"), -1).getField("lon") &&
-         element_at(col("verts"), 1).getField("lat") === element_at(col("verts"), -1).getField("lat"))
-          .as("closed")) // ring-closure first==last (Planet.go:67 intent)
+        // ring-closure by NODE ID equality (the OSM definition of a closed
+        // way, and what assembleRelationRings already uses) — coordinate
+        // equality would mark a way closed when its distinct first/last
+        // nodes merely COINCIDE (stacked nodes, common in imports)
+        (element_at(col("verts"), 1).getField("ref") === element_at(col("verts"), -1).getField("ref"))
+          .as("closed"))
 
   // ---- A1 + W1: ways→nodes centroid collapse with deterministic fresh ids
   //      (ConvertWayToNode :209-244; id sequencing MarshalPlanet.go:99-118 is
@@ -290,9 +294,10 @@ object OsmOps {
   // ---- A2: summarize (Planet.Summarize:497-520) — one multi-aggregate
   //      pass; per-key counts via exploded map keys -------------------------
 
-  /** Dataset profile: element counts + distinct users + distinct tag keys +
-    * distinct key=value pairs, plus recomputed bounds (the reference trusts
-    * the input header — Summary.go:9; we recompute honestly, SURVEY A5).
+  /** Dataset profile: row count + distinct users + recomputed bounds (the
+    * reference trusts the input header — Summary.go:9; we recompute
+    * honestly, SURVEY A5). Distinct tag keys / key=value pairs are the
+    * separate [[tagCardinality]] — the two ride different scans.
     */
   def summarize(df: DataFrame, uidCol: String,
                 lonCol: String, latCol: String): DataFrame =
@@ -338,8 +343,14 @@ object OsmOps {
   def tagCardinality(df: DataFrame, tagsCol: String, approx: Boolean = false): DataFrame = {
     val kv = df.select(explode(col(tagsCol)).as(Seq("key", "value")))
     if (approx)
+      // same quantity as the exact path, only the counting is approximate:
+      // countDistinct(key, value) skips null values, so filter them here
+      // too, and the pair is joined on NUL (cannot occur in an XML
+      // attribute) — an '=' delimiter would collide ("a=b","c") with
+      // ("a","b=c") and estimate a DIFFERENT quantity
       kv.agg(approx_count_distinct(col("key")).as("n_keys"),
-        approx_count_distinct(concat_ws("=", col("key"), col("value"))).as("n_tags"))
+        approx_count_distinct(when(col("value").isNotNull,
+          concat_ws("\u0000", col("key"), col("value")))).as("n_tags"))
     else
       kv.agg(countDistinct(col("key")).as("n_keys"),
         countDistinct(col("key"), col("value")).as("n_tags"))
@@ -348,7 +359,10 @@ object OsmOps {
   // ---- A3/A5: max-id and honest bounds ------------------------------------
 
   def maxId(df: DataFrame, idCol: String): Long =
-    df.agg(max(col(idCol))).collect()(0).getLong(0)
+    df.agg(max(col(idCol))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L // empty input: max() is NULL
+      case r => r.getLong(0)
+    }
 
   def bounds(df: DataFrame, lonCol: String, latCol: String): DataFrame =
     df.agg(min(col(lonCol)).as("min_lon"), min(col(latCol)).as("min_lat"),

@@ -29,9 +29,14 @@ object Tiles {
     // north edge (lat + h) has the SMALLER tile y
     val tyMin = tile_y(lat + halfLat, z)
     val tyMax = tile_y(lat - halfLat, z)
+    // guard inverted extents: sequence(a, b) with a > b DESCENDS in Spark
+    // (step -1), which would silently fabricate tiles for a row whose
+    // caller-supplied half-extent evaluates negative — emit zero tiles
     df.withColumn("tile_z", lit(z))
-      .withColumn("tile_x", explode(sequence(txMin, txMax)))
-      .withColumn("tile_y", explode(sequence(tyMin, tyMax)))
+      .withColumn("tile_x", explode(when(txMin <= txMax,
+        sequence(txMin, txMax)).otherwise(array().cast("array<bigint>"))))
+      .withColumn("tile_y", explode(when(tyMin <= tyMax,
+        sequence(tyMin, tyMax)).otherwise(array().cast("array<bigint>"))))
   }
 
   /** Point (zero-footprint) tile assignment at zoom z. */
