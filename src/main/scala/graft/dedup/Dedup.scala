@@ -44,6 +44,21 @@ object Dedup {
   /** Normalized content key: lowercase, alphabetic chars only. */
   def normKey(text: Column): Column = regexp_replace(lower(text), "[^a-z]", "")
 
+  /** Scale-adaptive parallelism floor for map-heavy pipelines (shingle
+    * explodes, token explodes): when the SCAN delivers fewer splits than
+    * the cluster has cores — a handful of small files — the whole
+    * downstream map work (explode + probe) inherits that parallelism; a
+    * real 100 TB input arrives as tens of thousands of splits and this is
+    * the identity. Guide §2: derive partitioning from the input, never a
+    * constant tuned for one scale. Safe only on scan-shaped frames (no
+    * upstream exchange — `.rdd` on an exchange-bearing adaptive plan would
+    * eagerly materialize its stages).
+    */
+  private[graft] def spreadToCores(df: DataFrame): DataFrame = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+  }
+
   // ---- character shingles ---------------------------------------------------
 
   /** Distinct character n-gram shingles per document:
@@ -97,8 +112,17 @@ object Dedup {
     */
   def jaccardPairs(sh: DataFrame, idCol: String, blockCols: Seq[String]): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val a = sh.select((blockCols :+ "shingle").map(col) :+ col(idCol).as("id_1"): _*)
-    val b = sh.select((blockCols :+ "shingle").map(col) :+ col(idCol).as("id_2"): _*)
+    // explicit partition count on the co-shingle self-join's clustering key:
+    // the shingle frame is skinny (id + shingle) but each join group emits
+    // O(docs-per-shingle²) pair rows — compute-per-byte AQE's byte-based
+    // coalescing cannot see, and on a hot boilerplate shingle it squeezed
+    // the whole pair explosion onto one core (same fix as
+    // verifyCandidatesPacked / bandedPairs)
+    val nPart = math.max(sh.sparkSession.sparkContext.defaultParallelism,
+      sh.sparkSession.sessionState.conf.numShufflePartitions)
+    val shRep = sh.repartition(nPart, (blockCols :+ "shingle").map(col): _*)
+    val a = shRep.select((blockCols :+ "shingle").map(col) :+ col(idCol).as("id_1"): _*)
+    val b = shRep.select((blockCols :+ "shingle").map(col) :+ col(idCol).as("id_2"): _*)
     val inter = a.join(b, blockCols :+ "shingle")
       .filter(col("id_1") < col("id_2"))
       .groupBy(col("id_1"), col("id_2"))
@@ -145,12 +169,33 @@ object Dedup {
                              threshold: Double): DataFrame = {
     val a = packed.select(col(idCol).as("id_1"), col("__shs").as("__sh1"))
     val b = packed.select(col(idCol).as("id_2"), col("__shs").as("__sh2"))
-    cand.join(a, "id_1").join(b, "id_2")
+    // verify is CPU-bound PER ROW (an O(n_1 + n_2) merge per candidate),
+    // not byte-bound: AQE sizes post-shuffle partitions by bytes and will
+    // coalesce a skinny (id_1, id_2) candidate list onto a handful of
+    // cores while each row carries a multi-hundred-compare merge. The
+    // explicit partition count (exempt from AQE coalescing) keeps the
+    // verify stage at cluster parallelism; hash on the pair key is
+    // deterministic and spreads hub documents.
+    val nPart = math.max(cand.sparkSession.sparkContext.defaultParallelism,
+      cand.sparkSession.sessionState.conf.numShufflePartitions)
+    val spread = cand.repartition(nPart, col("id_1"), col("id_2"))
+    // The merge kernel is evaluated ONCE per pair, inside a Generate: the
+    // previous shape computed it in a Project with the n_inter/jaccard
+    // filters above it, and PushPredicate/CollapseProject re-substituted
+    // the alias until the plan held FOUR sorted_intersect_count calls per
+    // row — three of them folded into the id-join's condition (measured 4×
+    // the verify stage's compute at the 52k-candidate q39 leg). Predicates
+    // on generator output cannot be pushed into the generator, so the
+    // single evaluation is structural, not an optimizer accident.
+    spread.join(a, "id_1").join(b, "id_2")
       .select(col("id_1"), col("id_2"),
-        graft.functions.GeoFunctions.sorted_intersect_count(
-          col("__sh1"), col("__sh2")).cast("long").as("n_inter"),
-        size(col("__sh1")).cast("long").as("n_1"),
-        size(col("__sh2")).cast("long").as("n_2"))
+        explode(array(struct(
+          graft.functions.GeoFunctions.sorted_intersect_count(
+            col("__sh1"), col("__sh2")).cast("long").as("n_inter"),
+          size(col("__sh1")).cast("long").as("n_1"),
+          size(col("__sh2")).cast("long").as("n_2")))).as("__v"))
+      .select(col("id_1"), col("id_2"), col("__v.n_inter").as("n_inter"),
+        col("__v.n_1").as("n_1"), col("__v.n_2").as("n_2"))
       // the exploded plan never surfaced zero-overlap pairs (inner join on
       // the shingle): keep that contract independent of the threshold
       .filter(col("n_inter") > 0)
@@ -253,23 +298,33 @@ object Dedup {
   private def bandedPairs(banded0: DataFrame, idCol: String,
                           keyCols: Seq[String], bucketCap: Int): DataFrame = {
     // ONE explicit shuffle on the bucket keys, reused by every consumer:
-    // the bucket-size count, the size-tag join, and BOTH sides of the
-    // within-bucket self-join all require clustering on keyCols, and the
-    // single repartition below satisfies them all (identical exchange
-    // subtrees dedupe via ReusedExchange inside the one action). Without
-    // it this stage shuffled the full banded frame 5× — measured as the
-    // scaling bottleneck of the end-to-end dedupe leg (its marginal cost
-    // scaled at 0.52 N→4N; the shared memory bus serves those redundant
-    // shuffles no faster with 4× the cores).
-    val banded = banded0.repartition(keyCols.map(col): _*)
+    // the bucket-size tag and BOTH sides of the within-bucket self-join
+    // all require clustering on keyCols, and the single repartition below
+    // satisfies them all (identical exchange subtrees dedupe via
+    // ReusedExchange inside the one action). Without it this stage
+    // shuffled the full banded frame 5× — measured as the scaling
+    // bottleneck of the end-to-end dedupe leg (its marginal cost scaled
+    // at 0.52 N→4N; the shared memory bus serves those redundant shuffles
+    // no faster with 4× the cores). The partition count is EXPLICIT so
+    // AQE's byte-based coalescing cannot squeeze the stage: band rows are
+    // skinny but each downstream join group does O(bucket²) pair
+    // generation — compute-per-byte AQE cannot see (same argument as
+    // verifyCandidatesPacked's repartition).
+    val nPart = math.max(banded0.sparkSession.sparkContext.defaultParallelism,
+      banded0.sparkSession.sessionState.conf.numShufflePartitions)
+    val banded = banded0.repartition(nPart, keyCols.map(col): _*)
     def plainPairs(df: DataFrame): DataFrame =
       df.as("x").join(df.as("y"), keyCols)
         .filter(col(s"x.$idCol") < col(s"y.$idCol"))
         .select(col(s"x.$idCol").as("id_1"), col(s"y.$idCol").as("id_2"))
     if (bucketCap <= 0) return plainPairs(banded).distinct()
 
-    val freq = banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__cnt"))
-    val tagged = banded.join(freq, keyCols)
+    // bucket size as a window count over the one clustered frame — the
+    // former aggregate + re-join shape re-ran its sort-merge join once per
+    // consumer (small ×2 sides, repl ×2) on top of the reused exchange;
+    // the window needs only the in-partition sort the join needed anyway
+    val tagged = banded.withColumn("__cnt", count(lit(1)).over(
+      Window.partitionBy(keyCols.map(col): _*)))
     val small = tagged.filter(col("__cnt") <= bucketCap).drop("__cnt")
     val repl = triangleBlockedReplica(tagged.filter(col("__cnt") > bucketCap),
       idCol, bucketCap)
@@ -430,9 +485,18 @@ object Dedup {
     // iterate ONLY over vertices that appear in a pair: a singleton can
     // never change its label, and on a real corpus near-dup vertices are a
     // tiny fraction of the ids — the loop's joins and convergence counts
-    // run on that fraction, not the whole table
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
+    // run on that fraction, not the whole table. Labels START at the
+    // closed-neighborhood minimum, not the own id: the init needs a
+    // per-vertex pass over the edges either way (the former shape ran
+    // DISTINCT over src — the same exchange this groupBy costs), and the
+    // neighborhood-min init IS round one's propagate step, so one full
+    // round of joins + checkpoint + convergence check disappears. Any
+    // label that is a component vertex ≤ the own id keeps the convergence
+    // argument intact (labels only move down within the component; the
+    // component minimum keeps its own label).
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__nmin"))
+      .select(col("src").as("id"), least(col("src"), col("__nmin")).as("cluster"))
       .localCheckpoint()
     var round = 0
     var changed = 1L
@@ -442,18 +506,20 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("n_min"))
+      // carry the pre-round label as `prev` THROUGH the round: the former
+      // shape re-joined the round's output against `labels` just to
+      // recover it for the convergence check — one whole join per round
+      // for a column that was already on the row
       val propagated = labels.join(fromNeighbors, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"))
       // (2) jump: cluster := label(cluster) — labels are ids, so one
       // self-join compresses label chains (pointer doubling)
       val jumped = propagated.as("l")
         .join(propagated.select(col("id").as("cluster"), col("cluster").as("jc")).as("j"),
           Seq("cluster"), "left")
-        .select(col("id"), coalesce(col("jc"), col("cluster")).as("cluster"))
-      val next = jumped
-        .join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .localCheckpoint()
+        .select(col("id"), col("prev"), coalesce(col("jc"), col("cluster")).as("cluster"))
+      val next = jumped.localCheckpoint()
       changed = next.filter(col("cluster") =!= col("prev")).count()
       labels = next.select(col("id"), col("cluster"))
       round += 1

@@ -301,7 +301,17 @@ object Corpus {
     val flagged = contaminationFlags(docs, bench, idCol, textCol, shingleN)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(Dedup.normKey(col(textCol)))
-    val clean = flagged
+    // explicit partition count on the dedup window's exchange: its key is
+    // a COMPUTED ~text-length string (regex-normalized), so every row
+    // carries the full text and every sort compare walks long keys —
+    // compute-per-byte that AQE's byte-based coalescing squeezes onto one
+    // core on a small input. The explicit count (exempt from coalescing)
+    // keeps the window at cluster parallelism; the window's required
+    // distribution is exactly this hash clustering, so no second exchange
+    // appears (plan-audited).
+    val nPart = math.max(docs.sparkSession.sparkContext.defaultParallelism,
+      docs.sparkSession.sessionState.conf.numShufflePartitions)
+    val clean = flagged.repartition(nPart, Dedup.normKey(col(textCol)))
       .withColumn("__canon", min(col(idCol)).over(w))
       .filter(col(idCol) === col("__canon") && !col("contaminated"))
       .drop("__canon", "contaminated")
