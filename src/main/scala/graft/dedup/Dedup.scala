@@ -313,11 +313,19 @@ object Dedup {
     val nPart = math.max(banded0.sparkSession.sparkContext.defaultParallelism,
       banded0.sparkSession.sessionState.conf.numShufflePartitions)
     val banded = banded0.repartition(nPart, keyCols.map(col): _*)
+    // candidate dedup at explicit pair-key parallelism: `.distinct()` would
+    // plan its final aggregate over an AQE-coalesced exchange — one task
+    // hash-deduping every generated pair row; the explicit repartition's
+    // hash clustering on (id_1, id_2) already satisfies the aggregate's
+    // required distribution, so dedupDistinct costs the same single
+    // exchange with the final agg at cluster width
+    def dedupDistinct(pairs: DataFrame): DataFrame =
+      pairs.repartition(nPart, col("id_1"), col("id_2")).dropDuplicates()
     def plainPairs(df: DataFrame): DataFrame =
       df.as("x").join(df.as("y"), keyCols)
         .filter(col(s"x.$idCol") < col(s"y.$idCol"))
         .select(col(s"x.$idCol").as("id_1"), col(s"y.$idCol").as("id_2"))
-    if (bucketCap <= 0) return plainPairs(banded).distinct()
+    if (bucketCap <= 0) return dedupDistinct(plainPairs(banded))
 
     // bucket size as a window count over the one clustered frame — the
     // former aggregate + re-join shape re-ran its sort-merge join once per
@@ -336,7 +344,7 @@ object Dedup {
         least(col("x.__blk"), col("y.__blk")) === col("__lo") &&
         greatest(col("x.__blk"), col("y.__blk")) === col("__hi"))
       .select(col(s"x.$idCol").as("id_1"), col(s"y.$idCol").as("id_2"))
-    plainPairs(small).unionByName(largePairs).distinct()
+    dedupDistinct(plainPairs(small).unionByName(largePairs))
   }
 
   /** Replicate each member of an oversized bucket into its triangle tasks:
@@ -513,13 +521,21 @@ object Dedup {
       val propagated = labels.join(fromNeighbors, Seq("id"), "left")
         .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"))
-      // (2) jump: cluster := label(cluster) — labels are ids, so one
-      // self-join compresses label chains (pointer doubling)
-      val jumped = propagated.as("l")
-        .join(propagated.select(col("id").as("cluster"), col("cluster").as("jc")).as("j"),
+      // (2) jump ×2: cluster := label(label(cluster)) — labels are ids, so
+      // each self-join compresses label chains (pointer doubling). Two
+      // jumps per round quarter the distance-to-root instead of halving
+      // it: the second jump is one more cheap self-join inside the SAME
+      // materialization, while a round it can replace costs a full
+      // propagate (edge join + aggregate) + checkpoint + convergence
+      // check. (On q35's sf0.1 components the round count stays 5 either
+      // way — their propagation distance, not jump depth, binds — but
+      // deep-chain components halve their rounds, for one broadcast-join
+      // job per round of overhead.)
+      def jump(l: DataFrame): DataFrame = l.as("l")
+        .join(l.select(col("id").as("cluster"), col("cluster").as("jc")).as("j"),
           Seq("cluster"), "left")
         .select(col("id"), col("prev"), coalesce(col("jc"), col("cluster")).as("cluster"))
-      val next = jumped.localCheckpoint()
+      val next = jump(jump(propagated)).localCheckpoint()
       changed = next.filter(col("cluster") =!= col("prev")).count()
       labels = next.select(col("id"), col("cluster"))
       round += 1
