@@ -521,10 +521,15 @@ object OsmPbf {
         out(j) = pm.ords(j) match {
           case 0 => id
           case 1 => if (hasInfo && i < dVersion.length) Integer.valueOf(dVersion(i).toInt) else null
-          case 2 => if (hasInfo && dTs.nonEmpty) ctx.tsMicros(ts) else null
-          case 3 => if (hasInfo && dCs.nonEmpty) cs else null
-          case 4 => if (hasInfo && dUid.nonEmpty) uid else null
-          case 5 => if (hasInfo && dUserSid.nonEmpty) ctx.user(sid.toInt) else null
+          // `i < length`, not `nonEmpty`: a present-but-TRUNCATED array
+          // (0 < length < node count) must not silently repeat the last
+          // accumulated value for the out-of-range tail — those nodes get
+          // null, same as an absent array, while in-range nodes keep the
+          // delta-accumulated value (version at ord 1 already did this)
+          case 2 => if (hasInfo && i < dTs.length) ctx.tsMicros(ts) else null
+          case 3 => if (hasInfo && i < dCs.length) cs else null
+          case 4 => if (hasInfo && i < dUid.length) uid else null
+          case 5 => if (hasInfo && i < dUserSid.length) ctx.user(sid.toInt) else null
           case 6 => ctx.coordLon(lon)
           case 7 => ctx.coordLat(lat)
           case 8 => tags

@@ -101,34 +101,45 @@ object OsmCli {
 
   /** Build the PipelineConfig the reference's main.go would build. */
   def toConfig(strs: Map[String, String], bools: Set[String]): PipelineConfig = {
+    // validations and the -drop convenience merge run BEFORE the config_uri
+    // branch, exactly like the reference (main.go:255-281 precede the
+    // :285 config load): the override path must see the merged drop flags
+    // and must still reject contradictory filter key lists.
+    val keep = csv(strs.get("filter_keys_keep"))
+    val drop = csv(strs.get("filter_keys_drop"))
+    require(keep.isEmpty || drop.isEmpty,
+      "-filter_keys_keep and -filter_keys_drop are mutually exclusive")
+    // -drop convenience list (main.go:263; "author" = uid + user)
+    val dropList = csv(strs.get("drop")).map(_.toLowerCase).toSet
+    def b(flag: String): Boolean = bools(flag) || dropList(flag.stripPrefix("drop_"))
+    val dropAuthor = bools("drop_author") || dropList("author")
+    // reference validation (main.go:278): uid can't go while the name stays
+    require(!(b("drop_uid") && !dropAuthor && !b("drop_user")),
+      "You cannot drop the user id but keep the user name.")
     strs.get("config_uri") match {
       case Some(uri) =>
         val loaded = PipelineConfigIO.load(uri)
         // reference main.go:293-330: -input_uri given WITH -config_uri
         // REPLACES the config's inputs (keys-keep/drop filter + element
-        // drops from the flags; no dfl/bbox in this path). Outputs stay
-        // the config's. Without -input_uri the config is used verbatim.
+        // drops from the MERGED flags, drop_nodes included —
+        // NewInputConfig at main.go:319). Outputs stay the config's.
+        // Without -input_uri the config is used verbatim.
         val inSep0 = strs.get("input_uri_separator").filter(_.nonEmpty)
         val overrideInputs = strs.get("input_uri").map(u =>
           inSep0.map(s => u.split(java.util.regex.Pattern.quote(s)).toSeq)
             .getOrElse(Seq(u))).getOrElse(Nil)
           .map { u =>
-            val keep0 = csv(strs.get("filter_keys_keep"))
-            val drop0 = csv(strs.get("filter_keys_drop"))
             InputSpec(uri = u,
-              filter = if (keep0.isEmpty && drop0.isEmpty) None
-                       else Some(FilterSpec(keepKeys = keep0, dropKeys = drop0)),
-              dropWays = bools("drop_ways"),
-              dropRelations = bools("drop_relations"))
+              filter = if (keep.isEmpty && drop.isEmpty) None
+                       else Some(FilterSpec(keepKeys = keep, dropKeys = drop)),
+              dropNodes = b("drop_nodes"),
+              dropWays = b("drop_ways"),
+              dropRelations = b("drop_relations"))
           }
         return if (overrideInputs.isEmpty) loaded
                else loaded.copy(inputs = overrideInputs)
       case None =>
     }
-    val keep = csv(strs.get("filter_keys_keep"))
-    val drop = csv(strs.get("filter_keys_drop"))
-    require(keep.isEmpty || drop.isEmpty,
-      "-filter_keys_keep and -filter_keys_drop are mutually exclusive")
     val bbox = strs.get("bbox").map { b =>
       val p = b.split(",").map(_.trim.toDouble)
       require(p.length == 4, s"bbox needs minx,miny,maxx,maxy: $b")
@@ -139,13 +150,6 @@ object OsmCli {
       if (keep.isEmpty && drop.isEmpty && bbox.isEmpty && dfl.isEmpty) None
       else Some(FilterSpec(keepKeys = keep, dropKeys = drop, bbox = bbox, dfl = dfl))
 
-    // -drop convenience list (main.go:165; "author" = uid + user)
-    val dropList = csv(strs.get("drop")).map(_.toLowerCase).toSet
-    def b(flag: String): Boolean = bools(flag) || dropList(flag.stripPrefix("drop_"))
-    val dropAuthor = bools("drop_author") || dropList("author")
-    // reference validation (main.go:278): uid can't go while the name stays
-    require(!(b("drop_uid") && !dropAuthor && !b("drop_user")),
-      "You cannot drop the user id but keep the user name.")
 
     val inSep = strs.get("input_uri_separator").filter(_.nonEmpty)
     val inputs = strs.get("input_uri").map(u =>

@@ -49,6 +49,16 @@ object Pipeline {
   case class InputSpec(
       uri: String,
       filter: Option[FilterSpec] = None,
+      /** Carried for reference parity but NOT consulted at read: the
+        * reference's InputConfig.DropNodes is a dead field — neither
+        * Config.Init (DropAllNodes loops over outputs only,
+        * Config.go:100-106) nor UnmarshalPlanet ever reads it, so nodes
+        * are always ingested regardless of this flag. The CLI's
+        * -config_uri + -input_uri override still records it
+        * (main.go:319 passes drop_nodes to NewInputConfig) with the same
+        * (non-)effect.
+        */
+      dropNodes: Boolean = false,
       dropWays: Boolean = false,
       dropRelations: Boolean = false,
       dropVersion: Boolean = false,

@@ -310,4 +310,41 @@ class OsmCliSpec extends SparkSpecBase {
     assert(Files.readAllBytes(java.nio.file.Paths.get(cliOut))
       .sameElements(Files.readAllBytes(java.nio.file.Paths.get(cfgOut))))
   }
+
+  test("-config_uri + -input_uri override merges -drop and validates like the flags path") {
+    val hcl = s"$tmp/override.hcl"
+    Files.write(java.nio.file.Paths.get(hcl),
+      s"""inputs {
+         |  uri = "$inOsm"
+         |}
+         |outputs {
+         |  uri = "$tmp/override_out.osm"
+         |}
+         |""".stripMargin.getBytes("UTF-8"))
+    // main.go:263 merges the -drop list BEFORE the config branch, so the
+    // replacement InputConfigs see the merged flags (main.go:319) —
+    // including drop_nodes, which the reference carries on the input
+    // struct (dead there and here; InputSpec scaladoc)
+    val c = OsmCli.toConfig(
+      Map("config_uri" -> hcl, "input_uri" -> inOsm,
+        "drop" -> "nodes,ways,relations"), Set.empty)
+    assert(c.inputs.map(_.uri) === Seq(inOsm))
+    assert(c.inputs.head.dropNodes && c.inputs.head.dropWays &&
+      c.inputs.head.dropRelations)
+    // keep/drop mutual exclusivity is validated BEFORE the config branch
+    // (main.go:257-260 precede the :285 load)
+    intercept[IllegalArgumentException] {
+      OsmCli.toConfig(
+        Map("config_uri" -> hcl, "input_uri" -> inOsm,
+          "filter_keys_keep" -> "amenity", "filter_keys_drop" -> "craft"),
+        Set.empty)
+    }
+    // the uid-without-user rejection guards the override path too
+    // (main.go:278-281)
+    intercept[IllegalArgumentException] {
+      OsmCli.toConfig(
+        Map("config_uri" -> hcl, "input_uri" -> inOsm, "drop" -> "uid"),
+        Set.empty)
+    }
+  }
 }

@@ -159,6 +159,52 @@ class OsmPbfFuzzSpec extends SparkSpecBase {
     }
   }
 
+  test("truncated DenseInfo array: in-range nodes decode, the tail is null") {
+    // a present-but-TRUNCATED array (0 < length < node count) must not
+    // silently repeat the last accumulated value for the out-of-range
+    // tail — it decodes like an absent array there (null), while in-range
+    // nodes keep their delta-accumulated values
+    val st = new OsmPbf.WireOut
+    st.string(1, "") // string table: index 0 = ""
+    val di = new OsmPbf.WireOut
+    locally { val w = new OsmPbf.WireOut; Seq(1L, 1L, 2L).foreach(w.varint); di.bytes(1, w.toBytes) } // versions ×3
+    locally { val w = new OsmPbf.WireOut; Seq(1000L, 1L).foreach(w.zigzag); di.bytes(2, w.toBytes) } // ts deltas ×2 (truncated)
+    val dense = new OsmPbf.WireOut
+    locally { val w = new OsmPbf.WireOut; Seq(10L, 1L, 1L).foreach(w.zigzag); dense.bytes(1, w.toBytes) } // ids ×3
+    dense.message(5, di)
+    locally { val w = new OsmPbf.WireOut; Seq(100L, 1L, 1L).foreach(w.zigzag); dense.bytes(8, w.toBytes) } // lats
+    locally { val w = new OsmPbf.WireOut; Seq(200L, 1L, 1L).foreach(w.zigzag); dense.bytes(9, w.toBytes) } // lons
+    val group = new OsmPbf.WireOut
+    group.message(2, dense)
+    val block = new OsmPbf.WireOut
+    block.message(1, st)
+    block.message(2, group)
+    block.key(17, 0); block.varint(100L)  // granularity
+    block.key(18, 0); block.varint(1000L) // date_granularity
+    def rawBlob(kind: String, payload: Array[Byte]): Array[Byte] = {
+      val blob = new OsmPbf.WireOut
+      blob.bytes(1, payload) // raw storage
+      val blobBytes = blob.toBytes
+      val header = new OsmPbf.WireOut
+      header.string(1, kind)
+      header.key(3, 0); header.varint(blobBytes.length.toLong)
+      val h = header.toBytes
+      java.nio.ByteBuffer.allocate(4 + h.length + blobBytes.length)
+        .putInt(h.length).put(h).put(blobBytes).array()
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft_pbf_tr").toString + "/trunc.osm.pbf"
+    val fos = new java.io.FileOutputStream(path)
+    fos.write(rawBlob("OSMData", block.toBytes)); fos.close()
+    val rows = OsmPbf.nodes(spark, path).orderBy("id").collect()
+    assert(rows.length === 3)
+    val tsIdx = rows(0).fieldIndex("ts")
+    assert(!rows(0).isNullAt(tsIdx) && !rows(1).isNullAt(tsIdx),
+      "in-range nodes keep their accumulated timestamps")
+    assert(rows(2).isNullAt(tsIdx),
+      "the node past the truncated array's end must be null, not a stale repeat")
+    rows.foreach(r => assert(!r.isNullAt(r.fieldIndex("version"))))
+  }
+
   test("a member type PBF cannot represent fails the WRITE with a named error") {
     import scala.jdk.CollectionConverters._
     val rel = Row(1L, null, null, null, null, null,
