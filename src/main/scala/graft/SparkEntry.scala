@@ -389,7 +389,11 @@ object SparkEntry {
     // exact n-gram Jaccard near-dup pairs within a blocking key
     "q24_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("source").isin("src6", "src7"))
-      val sh = Dedup.shingles(d, "doc_id", "text", 5, carry = Seq("lang"))
+      // spread the scan before the shingle explode: the filtered doc set
+      // arrives as one split, which serialized the whole explode+distinct
+      // map stage on one core (same scale-adaptive floor as Corpus §2)
+      val sh = Dedup.shingles(Dedup.spreadToCores(d), "doc_id", "text", 5,
+        carry = Seq("lang"))
       Dedup.jaccardPairs(sh, "doc_id", Seq("lang"))
         .filter(col("jaccard") >= 0.25)
         .select(col("id_1"), col("id_2"), col("n_inter"), col("n_1"), col("n_2"))
@@ -407,7 +411,8 @@ object SparkEntry {
     // would double band rows without cutting candidates (measured +15%)
     "q25_minhash_lsh" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("source").isin("src6", "src7"))
-      val packed = Dedup.packedShingles(d, "doc_id", "text", 5)
+      // spread the scan before the shingle explode (see q24)
+      val packed = Dedup.packedShingles(Dedup.spreadToCores(d), "doc_id", "text", 5)
       val sigs = Dedup.minhashSignaturesPacked(packed, "doc_id", 5, 8)
       val cand = Dedup.lshCandidates(sigs, "doc_id", 8, 2)
       // candidate-first verification: per-doc packed shingle arrays attach
@@ -427,7 +432,9 @@ object SparkEntry {
     // the default driver union-find fast path — both proven identical.
     "q35_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("source").isin("src6", "src7"))
-      val sh = Dedup.shingles(d, "doc_id", "text", 5, carry = Seq("lang"))
+      // spread the scan before the shingle explode (see q24)
+      val sh = Dedup.shingles(Dedup.spreadToCores(d), "doc_id", "text", 5,
+        carry = Seq("lang"))
       val pairs = Dedup.jaccardPairs(sh, "doc_id", Seq("lang"))
         .filter(col("jaccard") >= 0.25)
       Dedup.clusterLabelsConverged(pairs, "id_1", "id_2", d, "doc_id",

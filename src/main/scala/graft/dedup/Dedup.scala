@@ -111,25 +111,40 @@ object Dedup {
     * Output: id_1, id_2 (id_1 < id_2), n_inter, n_1, n_2, jaccard.
     */
   def jaccardPairs(sh: DataFrame, idCol: String, blockCols: Seq[String]): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val nPart = math.max(sh.sparkSession.sparkContext.defaultParallelism,
+      sh.sparkSession.sessionState.conf.numShufflePartitions)
+    // per-doc shingle counts RIDE the shingle rows (count over a per-doc
+    // window) instead of a separate sizes aggregate re-joined per pair
+    // side: the former sizes branches were near-copies of the whole
+    // scan+explode+distinct pipeline that canonical-plan reuse could not
+    // dedup (an isnotnull(shingle) filter is pushed into the join branches
+    // only), so the shingle build EXECUTED twice more — plan-audited. One
+    // window pass costs a single exchange of the skinny shingle frame; the
+    // explicit clustering keeps it at cluster width under AQE (finding 1)
+    // and the window's required distribution is exactly that hash — no
+    // second exchange (same pattern as Corpus.assemble's dedup window).
+    val wDoc = Window.partitionBy(col(idCol))
+    val shN = sh.repartition(nPart, col(idCol))
+      .withColumn("__n", count(lit(1)).over(wDoc))
     // explicit partition count on the co-shingle self-join's clustering key:
     // the shingle frame is skinny (id + shingle) but each join group emits
     // O(docs-per-shingle²) pair rows — compute-per-byte AQE's byte-based
     // coalescing cannot see, and on a hot boilerplate shingle it squeezed
     // the whole pair explosion onto one core (same fix as
-    // verifyCandidatesPacked / bandedPairs)
-    val nPart = math.max(sh.sparkSession.sparkContext.defaultParallelism,
-      sh.sparkSession.sessionState.conf.numShufflePartitions)
-    val shRep = sh.repartition(nPart, (blockCols :+ "shingle").map(col): _*)
-    val a = shRep.select((blockCols :+ "shingle").map(col) :+ col(idCol).as("id_1"): _*)
-    val b = shRep.select((blockCols :+ "shingle").map(col) :+ col(idCol).as("id_2"): _*)
-    val inter = a.join(b, blockCols :+ "shingle")
+    // verifyCandidatesPacked / bandedPairs); both join sides reuse this one
+    // exchange (plan-audited ReusedExchange)
+    val shRep = shN.repartition(nPart, (blockCols :+ "shingle").map(col): _*)
+    val a = shRep.select((blockCols :+ "shingle").map(col) ++
+      Seq(col(idCol).as("id_1"), col("__n").as("n_1")): _*)
+    val b = shRep.select((blockCols :+ "shingle").map(col) ++
+      Seq(col(idCol).as("id_2"), col("__n").as("n_2")): _*)
+    // min() over the group recovers the (constant) per-doc sizes — every
+    // row of a pair group carries the same n_1/n_2, so this is exact
+    a.join(b, blockCols :+ "shingle")
       .filter(col("id_1") < col("id_2"))
       .groupBy(col("id_1"), col("id_2"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_1"), col("n").as("n_1")), "id_1")
-      .join(sizes.select(col(idCol).as("id_2"), col("n").as("n_2")), "id_2")
+      .agg(count(lit(1)).as("n_inter"),
+        min(col("n_1")).as("n_1"), min(col("n_2")).as("n_2"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_1") + col("n_2") - col("n_inter")))
   }
@@ -467,13 +482,19 @@ object Dedup {
     // union-of-two-selects shape re-runs everything upstream of the last
     // reusable exchange once per direction — for LSH-verified pairs that
     // is the whole candidate-verification tail (measured ~40% of the
-    // dedupe_decision leg's end-to-end time on top of the verify prefix)
+    // dedupe_decision leg's end-to-end time on top of the verify prefix).
+    // LAZY checkpoint: the first action over it (the fast-path count below,
+    // or the label init) materializes and persists it in the SAME job — an
+    // eager checkpoint would spend one whole extra job on materialization.
+    // (An explicit pre-checkpoint hash clustering by dst was tried and
+    // REVERTED: under AQE, localCheckpoint captures UnknownPartitioning,
+    // so the loop's joins cannot reuse it — the exchange was pure cost.)
     val edges = pairs
       .select(explode(array(
         struct(col(idCol1).as("src"), col(idCol2).as("dst")),
         struct(col(idCol2).as("src"), col(idCol1).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // SMALL-GRAPH FAST PATH: the near-dup edge set is tiny relative to the
     // corpus (that is the point of dedup) — when it fits the driver, exact
     // union-find beats any distributed iteration: zero rounds, zero
@@ -535,7 +556,10 @@ object Dedup {
         .join(l.select(col("id").as("cluster"), col("cluster").as("jc")).as("j"),
           Seq("cluster"), "left")
         .select(col("id"), col("prev"), coalesce(col("jc"), col("cluster")).as("cluster"))
-      val next = jump(jump(propagated)).localCheckpoint()
+      // LAZY checkpoint: the convergence count below is the round's one
+      // action — it computes the round, persists the checkpoint, and
+      // counts the changed labels in a single job (eager + count was two)
+      val next = jump(jump(propagated)).localCheckpoint(eager = false)
       changed = next.filter(col("cluster") =!= col("prev")).count()
       labels = next.select(col("id"), col("cluster"))
       round += 1
@@ -600,7 +624,10 @@ object Dedup {
     // already has the row frame. The packed frame is rebuilt for verify
     // rather than persisted — BASELINE.md's q39 attribution (recompute vs
     // persist) was re-run over this path and recompute still won.
-    val packed = packedShingles(docs, idCol, textCol, shingleN)
+    // spread the scan before the shingle explode: a few-split doc input
+    // would otherwise serialize the explode+collect_set map stage on a
+    // couple of cores (scale-adaptive floor, identity on many-split inputs)
+    val packed = packedShingles(spreadToCores(docs), idCol, textCol, shingleN)
     val sigs = minhashSignaturesPacked(packed, idCol, shingleN, numHashes)
     val cand = lshCandidates(sigs, idCol, numHashes, rowsPerBand, bucketCap)
     val verified = verifyCandidatesPacked(packed, idCol, cand, threshold)
