@@ -34,8 +34,22 @@ object GeoTables {
 
   // ---- points -------------------------------------------------------------
 
+  /** Scale-adaptive parallelism floor (same rule as Dedup.spreadToCores):
+    * a small lineitem file arrives as a handful of row-group splits, and
+    * the groupBy's scan + partial-aggregation map stage inherits that
+    * parallelism — serialized on 3 of 32 cores, it was the single largest
+    * stage of every pts-derived query. The partial agg barely reduces here
+    * (near-unique keys), so the round-robin spread costs one narrow
+    * exchange and buys cluster-width hashing. Identity on real many-split
+    * inputs: partitioning derives from the input, never a constant.
+    */
+  private def spreadToCores(df: DataFrame): DataFrame = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+  }
+
   def points(spark: SparkSession, dir: String): DataFrame = {
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val li = spreadToCores(spark.read.parquet(s"$dir/lineitem.parquet"))
     // lineitem has duplicate (orderkey, linenumber) pairs — group to get a
     // unique point key with deterministic (order-insensitive) aggregates
     val g = li.groupBy(li("l_orderkey").as("way_id"), li("l_linenumber").as("pos"))
