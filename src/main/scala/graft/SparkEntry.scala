@@ -202,7 +202,13 @@ object SparkEntry {
 
     // J1: way→node reference resolution (posexplode + hash join + reassembly)
     "q09_way_assembly" -> ((s, dir) => {
-      val p = pts(s, dir)
+      // share ONE evaluation of the point derivation between the ways and
+      // nodes branches: an isnotnull(join key) filter is pushed into the
+      // nodes branch only, so the two subtrees are not canonically equal
+      // and exchange reuse cannot dedup them — without the checkpoint the
+      // full scan+groupBy derivation executed once per branch (plan-
+      // audited). Lazy: the query's first action materializes it in-job.
+      val p = pts(s, dir).localCheckpoint(eager = false)
       val ways = p.groupBy(col("way_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("point_id")))),
           v => v.getField("point_id")).as("refs"))
@@ -249,7 +255,9 @@ object SparkEntry {
 
     // J2: way-node retention semi-join (way-referenced nodes bypass filter)
     "q13_retention_semijoin" -> ((s, dir) => {
-      val p = pts(s, dir)
+      // three consumers of the point derivation (way-ref semi-join, keep
+      // filter, retention union) — share one evaluation (see q09)
+      val p = pts(s, dir).localCheckpoint(eager = false)
       val orders = s.read.parquet(s"$dir/orders.parquet")
       val keptWayRefs = p.join(
         orders.filter(col("o_totalprice") > 300000.0)
@@ -627,7 +635,8 @@ object SparkEntry {
     // (closure first==last picks Polygon); exact string oracle via ordered
     // STRING_AGG of the same double renderings
     "q37_geojson_ways" -> ((s, dir) => {
-      val p = pts(s, dir)
+      // ways + nodes branches share one point-derivation evaluation (q09)
+      val p = pts(s, dir).localCheckpoint(eager = false)
       val ways = p.groupBy(col("way_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("point_id")))),
           v => v.getField("point_id")).as("refs"))
@@ -648,10 +657,15 @@ object SparkEntry {
     // oracle-checked; the stitch-merge/reversal branches are unit-spec'd
     // on hand-built geometries (OsmOpsSpec)
     "q40_relation_rings" -> ((s, dir) => {
-      val p = pts(s, dir)
+      // p feeds ways + nodes; ways feeds the member list, the stitch
+      // resolve AND the rels derivation — share one evaluation of each
+      // (the pruned rels branch was a third full lineitem chain and the
+      // collect_list aggregate executed twice; plan-audited, see q09)
+      val p = pts(s, dir).localCheckpoint(eager = false)
       val ways = p.groupBy(col("way_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("point_id")))),
           v => v.getField("point_id")).as("refs"))
+        .localCheckpoint(eager = false)
       val rels = ways.select(col("way_id"))
         .withColumn("rel_id", pmod(col("way_id"), lit(25L)))
         .groupBy(col("rel_id"))
