@@ -32,14 +32,15 @@ object SparkEntry {
   /** points with an OSM-style tags map (flag/status always present; bulk /
     * tiny keys conditionally — exercises map-typed tag algebra F2/F3).
     */
-  private def taggedPts(s: SparkSession, dir: String): DataFrame = {
-    val p = pts(s, dir)
+  private def taggedPts(s: SparkSession, dir: String): DataFrame =
+    withTags(pts(s, dir))
+
+  private def withTags(p: DataFrame): DataFrame =
     p.withColumn("tags",
       map_concat(
         map(lit("flag"), col("tag_flag"), lit("status"), col("tag_status")),
         when(col("quantity") > 30, map(lit("bulk"), lit("y"))).otherwise(map()),
         when(col("quantity") < 5, map(lit("tiny"), lit("y"))).otherwise(map())))
-  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -685,8 +686,11 @@ object SparkEntry {
     // CountsByKey, Planet.go:497-520) — one pass over the unioned tag maps
     // of three derived element classes, conditional aggregate per class
     "q38_summarize_by_key" -> ((s, dir) => {
-      val nodes = taggedPts(s, dir)
-      val ways = pts(s, dir).groupBy(col("way_id"))
+      // nodes (tag map) and ways (per-way rollup) share one evaluation of
+      // the point derivation (see q09)
+      val p = pts(s, dir).localCheckpoint(eager = false)
+      val nodes = withTags(p)
+      val ways = p.groupBy(col("way_id"))
         .agg(count(lit(1)).as("n_refs"), sum(col("quantity")).as("q"))
         .withColumn("tags", map_concat(
           map(lit("status"), when(col("n_refs") > 2, lit("big")).otherwise(lit("small"))),
