@@ -530,18 +530,24 @@ object Dedup {
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
-      // (1) propagate: min label over the closed neighborhood
-      val fromNeighbors = edges
+      // (1) propagate: min label over the closed neighborhood, as ONE
+      // aggregate over neighbor contributions UNIONED with a per-vertex
+      // self row — the former shape aggregated neighbors only and then
+      // joined back to `labels` to fold in the own label and recover it
+      // as `prev` for the convergence check; the self row carries both
+      // (own is null on neighbor rows, so max(own) is exactly the
+      // pre-round label), deleting one whole join per round. The union
+      // adds no exchange of its own: both legs feed the aggregate's.
+      val clusterType = labels.schema("cluster").dataType
+      val contrib = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("cluster")).as("n_min"))
-      // carry the pre-round label as `prev` THROUGH the round: the former
-      // shape re-joined the round's output against `labels` just to
-      // recover it for the convergence check — one whole join per round
-      // for a column that was already on the row
-      val propagated = labels.join(fromNeighbors, Seq("id"), "left")
-        .select(col("id"), col("cluster").as("prev"),
-          least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"))
+        .select(col("src").as("id"), col("cluster"),
+          lit(null).cast(clusterType).as("__own"))
+        .unionByName(labels.select(col("id"), col("cluster"),
+          col("cluster").as("__own")))
+      val propagated = contrib.groupBy(col("id"))
+        .agg(min(col("cluster")).as("cluster"), max(col("__own")).as("prev"))
+        .select(col("id"), col("prev"), col("cluster"))
       // (2) jump ×2: cluster := label(label(cluster)) — labels are ids, so
       // each self-join compresses label chains (pointer doubling). Two
       // jumps per round quarter the distance-to-root instead of halving
