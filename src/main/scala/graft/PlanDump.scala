@@ -35,11 +35,18 @@ object PlanDump {
       println(s"dumped $name")
     }
 
-    // declared queries (lazy frames — full plan visible)
+    // declared queries (lazy frames — full plan visible). Optional filter:
+    // SPARK_GRAFT_PLAN_ONLY=q09_way_assembly,... dumps just those.
+    val only = sys.env.get("SPARK_GRAFT_PLAN_ONLY").map(_.split(",").toSet)
     Seq("q24_ngram_jaccard", "q25_minhash_lsh", "q45_hamming_neardup",
-      "q46_decontaminate", "q51_corpus_assemble").foreach { q =>
-      dump(q, SparkEntry.queries(q)(spark, sfDir))
-    }
+      "q46_decontaminate", "q51_corpus_assemble",
+      // round-6 second pass: shared-derivation checkpoints + scan spread
+      "q04_tag_keep_filter", "q09_way_assembly", "q13_retention_semijoin",
+      "q37_geojson_ways", "q38_summarize_by_key", "q40_relation_rings")
+      .filter(q => only.forall(_.contains(q)))
+      .foreach { q =>
+        dump(q, SparkEntry.queries(q)(spark, sfDir))
+      }
 
     // internal stages of the eager dedup operators
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
