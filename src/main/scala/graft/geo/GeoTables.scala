@@ -34,22 +34,25 @@ object GeoTables {
 
   // ---- points -------------------------------------------------------------
 
-  /** Scale-adaptive parallelism floor (same rule as Dedup.spreadToCores):
-    * a small lineitem file arrives as a handful of row-group splits, and
-    * the groupBy's scan + partial-aggregation map stage inherits that
-    * parallelism — serialized on 3 of 32 cores, it was the single largest
-    * stage of every pts-derived query. The partial agg barely reduces here
-    * (near-unique keys), so the round-robin spread costs one narrow
-    * exchange and buys cluster-width hashing. Identity on real many-split
-    * inputs: partitioning derives from the input, never a constant.
-    */
-  private def spreadToCores(df: DataFrame): DataFrame = {
-    val dp = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
-  }
-
   def points(spark: SparkSession, dir: String): DataFrame = {
-    val li = spreadToCores(spark.read.parquet(s"$dir/lineitem.parquet"))
+    // Scale-adaptive parallelism floor: a small lineitem file arrives as a
+    // handful of row-group splits, and the groupBy's scan + aggregation map
+    // stage inherits that parallelism — serialized on 3 of 32 cores, it was
+    // the single largest stage of every pts-derived query. An EXPLICIT hash
+    // repartition on the group keys (not a round-robin spread: keyless
+    // repartition pays a local sort of the input for retry determinism,
+    // guide §2.5 — measured as a real regression on the cheap pts queries)
+    // satisfies the aggregate's required distribution, so the plan keeps
+    // ONE exchange and the aggregate runs complete-mode at cluster width
+    // (the bandedPairs/dedupDistinct precedent). Conditional on a few-split
+    // scan, so on real many-split inputs this is the identity and the
+    // normal partial-agg plan stands.
+    val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+    val dp = spark.sparkContext.defaultParallelism
+    val nPart = math.max(dp, spark.sessionState.conf.numShufflePartitions)
+    val li = if (li0.rdd.getNumPartitions < dp)
+      li0.repartition(nPart, li0("l_orderkey"), li0("l_linenumber"))
+    else li0
     // lineitem has duplicate (orderkey, linenumber) pairs — group to get a
     // unique point key with deterministic (order-insensitive) aggregates
     val g = li.groupBy(li("l_orderkey").as("way_id"), li("l_linenumber").as("pos"))
