@@ -76,7 +76,11 @@ object Corpus {
     */
   def contaminatedIds(train: DataFrame, bench: DataFrame, idCol: String,
                       textCol: String, n: Int): DataFrame = {
-    val benchSh = Dedup.shingles(bench, idCol, textCol, n)
+    // the bench side gets the same few-split parallelism floor as train:
+    // an eval set typically arrives as ONE small file, and its shingle
+    // explode + distinct map side (the broadcast build job) otherwise runs
+    // on a single core
+    val benchSh = Dedup.shingles(Dedup.spreadToCores(bench), idCol, textCol, n)
       .select(col("shingle")).distinct()
     // the train-side explode + broadcast probe is map-only by design
     // (nothing crosses an exchange before the semi-join), so its
@@ -304,7 +308,13 @@ object Corpus {
     // single most expensive exchange in the pipeline. Flag-first keeps the
     // double-consumed subtree down at the raw scan (plan-audited: one
     // Window, identical output).
-    val flagged = contaminationFlags(docs, bench, idCol, textCol, shingleN)
+    // few-split floor on the train frame itself: the window's MAP side
+    // (scan + regex normKey + exchange write) otherwise inherits the doc
+    // scan's single split — the explicit reduce-width repartition below
+    // cannot widen the stage that feeds it (contaminationFlags spreads its
+    // own probe branch internally; this covers the flag-join/window branch)
+    val spread = Dedup.spreadToCores(docs)
+    val flagged = contaminationFlags(spread, bench, idCol, textCol, shingleN)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(Dedup.normKey(col(textCol)))
     // explicit partition count on the dedup window's exchange: its key is
