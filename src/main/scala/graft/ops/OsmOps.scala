@@ -147,6 +147,50 @@ object OsmOps {
     * @param nodes     (nodeIdCol, lon, lat)
     * @return rel_id, role, ring_idx, ring: array<struct<lon,lat>>, closed
     */
+  /** One stitched ring of [[assembleRelationRings]]. */
+  case class StitchedRing(ring_idx: Int, ref_ring: Seq[Long], closed: Boolean)
+
+  /** Per-(relation, role) segment stitcher: greedy endpoint matching with
+    * reversal, exactly the procedural kernel the former flatMapGroups ran —
+    * applied to the collected (member_pos, refs) segment list so the
+    * surrounding aggregate controls its distribution (see call site).
+    * Single-node members can't stitch but still carry data: they pass
+    * through as their own degenerate open rings.
+    */
+  private val stitchSegsUdf = udf { segsRows: Seq[org.apache.spark.sql.Row] =>
+    val segs = segsRows.sortBy(_.getInt(0))
+      .map(_.getSeq[Long](1).toArray).filter(_.nonEmpty).toArray
+    val used = new Array[Boolean](segs.length)
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    var start = 0
+    while (start < segs.length) {
+      if (!used(start)) {
+        used(start) = true
+        val ring = scala.collection.mutable.ArrayBuffer(segs(start): _*)
+        var extended = true
+        while (extended && ring.head != ring.last) {
+          extended = false
+          var j = 0
+          while (j < segs.length && !extended) {
+            if (!used(j)) {
+              val s = segs(j)
+              if (s.head == ring.last) { ring ++= s.drop(1); used(j) = true; extended = true }
+              else if (s.last == ring.last) { ring ++= s.reverse.drop(1); used(j) = true; extended = true }
+              else if (s.last == ring.head) { ring.prependAll(s.dropRight(1)); used(j) = true; extended = true }
+              else if (s.head == ring.head) { ring.prependAll(s.reverse.dropRight(1)); used(j) = true; extended = true }
+            }
+            j += 1
+          }
+        }
+        rings += ring.toArray
+      }
+      start += 1
+    }
+    rings.zipWithIndex.map { case (r, i) =>
+      StitchedRing(i, r.toSeq, r.length >= 4 && r.head == r.last)
+    }.toSeq
+  }
+
   def assembleRelationRings(relations: DataFrame, relIdCol: String, membersCol: String,
                             ways: DataFrame, wayIdCol: String, refsCol: String,
                             nodes: DataFrame, nodeIdCol: String): DataFrame = {
@@ -161,46 +205,28 @@ object OsmOps {
         coalesce(col("m.role"), lit("")).as("role"), col("m.ref").as("way_id"))
       .join(ways.select(col(wayIdCol).as("way_id"), col(refsCol).as("refs")), Seq("way_id"))
 
-    // stitch on node-id sequences per (relation, role)
+    // stitch on node-id sequences per (relation, role). Shape: explicit
+    // repartition on the group key + collect_list + a per-group stitch UDF
+    // over the collected segments — NOT a groupByKey/flatMapGroups: its
+    // required distribution is on lambda-derived key attributes that no
+    // explicit repartition can pre-satisfy, so AQE's byte-based coalescing
+    // squeezed the compute-heavy, byte-light stitch stage onto 1-3 tasks
+    // (the relation groups are skinny arrays but each costs O(segs²)
+    // stitching — the same blind spot as every other explicit-repartition
+    // site here). The explicit clustering satisfies the aggregate, so the
+    // stitch runs at cluster width with no extra exchange.
+    val nPart = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
     val stitched = memberWays
       .select(col("rel_id"), col("role"), col("member_pos"), col("refs"))
-      .as[(Long, String, Int, Seq[Long])]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Long, String), it: Iterator[(Long, String, Int, Seq[Long])]) =>
-        // single-node members can't stitch but still carry data: they pass
-        // through as their own degenerate open rings
-        val segs = it.toArray.sortBy(_._3).map(_._4.toArray).filter(_.nonEmpty)
-        val used = new Array[Boolean](segs.length)
-        val rings = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
-        var start = 0
-        while (start < segs.length) {
-          if (!used(start)) {
-            used(start) = true
-            val ring = scala.collection.mutable.ArrayBuffer(segs(start): _*)
-            var extended = true
-            while (extended && ring.head != ring.last) {
-              extended = false
-              var j = 0
-              while (j < segs.length && !extended) {
-                if (!used(j)) {
-                  val s = segs(j)
-                  if (s.head == ring.last) { ring ++= s.drop(1); used(j) = true; extended = true }
-                  else if (s.last == ring.last) { ring ++= s.reverse.drop(1); used(j) = true; extended = true }
-                  else if (s.last == ring.head) { ring.prependAll(s.dropRight(1)); used(j) = true; extended = true }
-                  else if (s.head == ring.head) { ring.prependAll(s.reverse.dropRight(1)); used(j) = true; extended = true }
-                }
-                j += 1
-              }
-            }
-            rings += ring.toArray
-          }
-          start += 1
-        }
-        rings.zipWithIndex.map { case (r, i) =>
-          (key._1, key._2, i, r.toSeq, r.length >= 4 && r.head == r.last)
-        }
-      }
-      .toDF("rel_id", "role", "ring_idx", "ref_ring", "closed")
+      .repartition(nPart, col("rel_id"), col("role"))
+      .groupBy(col("rel_id"), col("role"))
+      .agg(collect_list(struct(col("member_pos"), col("refs"))).as("__segs"))
+      .select(col("rel_id"), col("role"),
+        explode(stitchSegsUdf(col("__segs"))).as("sr"))
+      .select(col("rel_id"), col("role"),
+        col("sr.ring_idx").as("ring_idx"), col("sr.ref_ring").as("ref_ring"),
+        col("sr.closed").as("closed"))
 
     // resolve ring node ids to coordinates, order restored by position
     val exploded = stitched
