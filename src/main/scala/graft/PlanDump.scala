@@ -35,8 +35,12 @@ object PlanDump {
       println(s"dumped $name")
     }
 
-    // declared queries (lazy frames — full plan visible). Optional filter:
-    // SPARK_GRAFT_PLAN_ONLY=q09_way_assembly,... dumps just those.
+    // declared queries. Optional filter: SPARK_GRAFT_PLAN_ONLY=q09_...
+    // dumps just those. NOTE: the shared-derivation queries (q09/q13/q37/
+    // q38/q40) lazily localCheckpoint their point frame, so constructing
+    // them here materializes that derivation as real jobs and their dumped
+    // plans show the checkpoint as `Scan ExistingRDD` — the derivation's
+    // own plan is the one visible in q04's dump.
     val only = sys.env.get("SPARK_GRAFT_PLAN_ONLY").map(_.split(",").toSet)
     Seq("q24_ngram_jaccard", "q25_minhash_lsh", "q45_hamming_neardup",
       "q46_decontaminate", "q51_corpus_assemble",

@@ -209,7 +209,11 @@ object SparkEntry {
       // and exchange reuse cannot dedup them — without the checkpoint the
       // full scan+groupBy derivation executed once per branch (plan-
       // audited). Lazy: the query's first action materializes it in-job.
-      val p = pts(s, dir).localCheckpoint(eager = false)
+      // Projected to the branches' columns first, so the pinned blocks
+      // hold only what the query reads.
+      val p = pts(s, dir)
+        .select(col("point_id"), col("way_id"), col("pos"), col("lon"), col("lat"))
+        .localCheckpoint(eager = false)
       val ways = p.groupBy(col("way_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("point_id")))),
           v => v.getField("point_id")).as("refs"))
@@ -257,8 +261,11 @@ object SparkEntry {
     // J2: way-node retention semi-join (way-referenced nodes bypass filter)
     "q13_retention_semijoin" -> ((s, dir) => {
       // three consumers of the point derivation (way-ref semi-join, keep
-      // filter, retention union) — share one evaluation (see q09)
-      val p = pts(s, dir).localCheckpoint(eager = false)
+      // filter, retention union) — share one evaluation (see q09),
+      // projected to the consumed columns
+      val p = pts(s, dir)
+        .select(col("point_id"), col("way_id"), col("quantity"))
+        .localCheckpoint(eager = false)
       val orders = s.read.parquet(s"$dir/orders.parquet")
       val keptWayRefs = p.join(
         orders.filter(col("o_totalprice") > 300000.0)
@@ -637,7 +644,9 @@ object SparkEntry {
     // STRING_AGG of the same double renderings
     "q37_geojson_ways" -> ((s, dir) => {
       // ways + nodes branches share one point-derivation evaluation (q09)
-      val p = pts(s, dir).localCheckpoint(eager = false)
+      val p = pts(s, dir)
+        .select(col("point_id"), col("way_id"), col("pos"), col("lon"), col("lat"))
+        .localCheckpoint(eager = false)
       val ways = p.groupBy(col("way_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("point_id")))),
           v => v.getField("point_id")).as("refs"))
@@ -662,7 +671,9 @@ object SparkEntry {
       // resolve AND the rels derivation — share one evaluation of each
       // (the pruned rels branch was a third full lineitem chain and the
       // collect_list aggregate executed twice; plan-audited, see q09)
-      val p = pts(s, dir).localCheckpoint(eager = false)
+      val p = pts(s, dir)
+        .select(col("point_id"), col("way_id"), col("pos"), col("lon"), col("lat"))
+        .localCheckpoint(eager = false)
       val ways = p.groupBy(col("way_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("point_id")))),
           v => v.getField("point_id")).as("refs"))
@@ -687,8 +698,10 @@ object SparkEntry {
     // of three derived element classes, conditional aggregate per class
     "q38_summarize_by_key" -> ((s, dir) => {
       // nodes (tag map) and ways (per-way rollup) share one evaluation of
-      // the point derivation (see q09)
-      val p = pts(s, dir).localCheckpoint(eager = false)
+      // the point derivation (see q09), projected to the consumed columns
+      val p = pts(s, dir)
+        .select(col("way_id"), col("quantity"), col("tag_flag"), col("tag_status"))
+        .localCheckpoint(eager = false)
       val nodes = withTags(p)
       val ways = p.groupBy(col("way_id"))
         .agg(count(lit(1)).as("n_refs"), sum(col("quantity")).as("q"))

@@ -59,6 +59,16 @@ object Dedup {
     if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
   }
 
+  /** The explicit partition count every width-pinned exchange in the
+    * engine uses: the cluster's core count or the session's shuffle
+    * partitions, whichever is larger. Explicitly numbered repartitions are
+    * exempt from AQE's byte-based coalescing — the lever each call site
+    * needs against compute-heavy, byte-light stages.
+    */
+  private[graft] def clusterWidth(spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+
   // ---- character shingles ---------------------------------------------------
 
   /** Distinct character n-gram shingles per document:
@@ -111,8 +121,7 @@ object Dedup {
     * Output: id_1, id_2 (id_1 < id_2), n_inter, n_1, n_2, jaccard.
     */
   def jaccardPairs(sh: DataFrame, idCol: String, blockCols: Seq[String]): DataFrame = {
-    val nPart = math.max(sh.sparkSession.sparkContext.defaultParallelism,
-      sh.sparkSession.sessionState.conf.numShufflePartitions)
+    val nPart = clusterWidth(sh.sparkSession)
     // per-doc shingle counts RIDE the shingle rows (count over a per-doc
     // window) instead of a separate sizes aggregate re-joined per pair
     // side: the former sizes branches were near-copies of the whole
@@ -191,8 +200,7 @@ object Dedup {
     // explicit partition count (exempt from AQE coalescing) keeps the
     // verify stage at cluster parallelism; hash on the pair key is
     // deterministic and spreads hub documents.
-    val nPart = math.max(cand.sparkSession.sparkContext.defaultParallelism,
-      cand.sparkSession.sessionState.conf.numShufflePartitions)
+    val nPart = clusterWidth(cand.sparkSession)
     val spread = cand.repartition(nPart, col("id_1"), col("id_2"))
     // The merge kernel is evaluated ONCE per pair, inside a Generate: the
     // previous shape computed it in a Project with the n_inter/jaccard
@@ -325,8 +333,7 @@ object Dedup {
     // skinny but each downstream join group does O(bucket²) pair
     // generation — compute-per-byte AQE cannot see (same argument as
     // verifyCandidatesPacked's repartition).
-    val nPart = math.max(banded0.sparkSession.sparkContext.defaultParallelism,
-      banded0.sparkSession.sessionState.conf.numShufflePartitions)
+    val nPart = clusterWidth(banded0.sparkSession)
     val banded = banded0.repartition(nPart, keyCols.map(col): _*)
     // candidate dedup at explicit pair-key parallelism: `.distinct()` would
     // plan its final aggregate over an AQE-coalesced exchange — one task

@@ -195,15 +195,18 @@ object OsmOps {
                             ways: DataFrame, wayIdCol: String, refsCol: String,
                             nodes: DataFrame, nodeIdCol: String): DataFrame = {
     val spark = relations.sparkSession
-    import spark.implicits._
 
+    // refs cast to bigint up front: the former typed-Dataset decode
+    // inserted an analyzer upcast that the stitch UDF's getSeq[Long] does
+    // not — the cast keeps array<int> ref columns working for callers
     val memberWays = relations
       .select(col(relIdCol).as("rel_id"),
         posexplode(col(membersCol)).as(Seq("member_pos", "m")))
       .filter(col("m.type") === "way")
       .select(col("rel_id"), col("member_pos"),
         coalesce(col("m.role"), lit("")).as("role"), col("m.ref").as("way_id"))
-      .join(ways.select(col(wayIdCol).as("way_id"), col(refsCol).as("refs")), Seq("way_id"))
+      .join(ways.select(col(wayIdCol).as("way_id"),
+        col(refsCol).cast("array<bigint>").as("refs")), Seq("way_id"))
 
     // stitch on node-id sequences per (relation, role). Shape: explicit
     // repartition on the group key + collect_list + a per-group stitch UDF
@@ -215,8 +218,7 @@ object OsmOps {
     // stitching — the same blind spot as every other explicit-repartition
     // site here). The explicit clustering satisfies the aggregate, so the
     // stitch runs at cluster width with no extra exchange.
-    val nPart = math.max(spark.sparkContext.defaultParallelism,
-      spark.sessionState.conf.numShufflePartitions)
+    val nPart = graft.dedup.Dedup.clusterWidth(spark)
     val stitched = memberWays
       .select(col("rel_id"), col("role"), col("member_pos"), col("refs"))
       .repartition(nPart, col("rel_id"), col("role"))

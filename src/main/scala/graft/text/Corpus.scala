@@ -311,10 +311,17 @@ object Corpus {
     // few-split floor on the train frame itself: the window's MAP side
     // (scan + regex normKey + exchange write) otherwise inherits the doc
     // scan's single split — the explicit reduce-width repartition below
-    // cannot widen the stage that feeds it (contaminationFlags spreads its
-    // own probe branch internally; this covers the flag-join/window branch)
+    // cannot widen the stage that feeds it. The contamination probe gets
+    // the RAW docs frame (contaminatedIds spreads its own branch, and
+    // spreadToCores' `.rdd` probe on an exchange-bearing frame would
+    // eagerly materialize a throwaway job); only the flag-join/window
+    // branch reads the spread frame, with the flag join inlined here.
     val spread = Dedup.spreadToCores(docs)
-    val flagged = contaminationFlags(spread, bench, idCol, textCol, shingleN)
+    val contIds = contaminatedIds(docs, bench, idCol, textCol, shingleN)
+      .withColumn("__cont", lit(true))
+    val flagged = spread.join(contIds, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("__cont"), lit(false)))
+      .drop("__cont")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(Dedup.normKey(col(textCol)))
     // explicit partition count on the dedup window's exchange: its key is
@@ -325,8 +332,7 @@ object Corpus {
     // keeps the window at cluster parallelism; the window's required
     // distribution is exactly this hash clustering, so no second exchange
     // appears (plan-audited).
-    val nPart = math.max(docs.sparkSession.sparkContext.defaultParallelism,
-      docs.sparkSession.sessionState.conf.numShufflePartitions)
+    val nPart = Dedup.clusterWidth(docs.sparkSession)
     val clean = flagged.repartition(nPart, Dedup.normKey(col(textCol)))
       .withColumn("__canon", min(col(idCol)).over(w))
       .filter(col(idCol) === col("__canon") && !col("contaminated"))
